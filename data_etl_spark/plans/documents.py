@@ -1,0 +1,285 @@
+"""Document-pipeline queries (SURVEY.md §7 Phase 0 + Phase 2).
+
+The reference's identity re-expressed on the driver's ``documents``
+table: normalize -> chunk -> enumerate -> aggregate (the whole engine
+shape: scan, project, flatMap, window, agg), plus the keyed-upsert write
+discipline (J5/J6) and the extension gate (F1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import chunking as CH
+from ..operators.merge import delete_by_key, merge_by_key
+from ..sources import load_table
+from .registry import register
+
+SIZE, OVERLAP = CH.DEFAULT_CHUNK_SIZE, CH.DEFAULT_OVERLAP
+STEP = SIZE - OVERLAP
+
+# ---------------------------------------------------------------------------
+# q_chunk_pipeline — the flagship (Phase 0 slice, also wired as entry()).
+# scan -> normalize (T-chain) -> overlapping chunks -> token counts -> agg.
+# No join needed: lang/source/n_chars are functionally dependent on doc_id,
+# so they ride through the groupBy (one shuffle total; chunking itself is a
+# shuffle-free flatMap — at 100 TB the only shuffle is the final doc agg).
+# ---------------------------------------------------------------------------
+
+_CHUNK_PIPELINE_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, lang, source, n_chars,
+           {TX.normalize_text_sql('text')} AS ntext
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, lang, source, n_chars,
+           unnest(generate_series(0, {CH.n_chunks_sql('ntext', SIZE, STEP)} - 1)) AS chunk_idx,
+           ntext
+    FROM norm
+),
+tok AS (
+    SELECT doc_id, lang, source, n_chars, chunk_idx,
+           substring(ntext, chunk_idx * {STEP} + 1, {SIZE}) AS chunk_text
+    FROM chunks
+)
+SELECT doc_id, lang, source, n_chars,
+       count(*) AS n_chunks,
+       CAST(sum({TX.ws_token_count_sql('chunk_text')}) AS BIGINT) AS total_tokens,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS total_chars
+FROM tok
+GROUP BY doc_id, lang, source, n_chars
+"""
+
+
+@register("q_chunk_pipeline", oracle=_CHUNK_PIPELINE_ORACLE, tags=("phase0", "flagship"))
+def q_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize -> chunk (size=100, overlap=20) -> per-doc chunk/token stats.
+
+    Covers S3 scan, T1/T3-T7 normalize, U3-native chunking, W2 chunk
+    enumeration, A3 chunk-count agg (SURVEY.md §2).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "lang", "source", "n_chars", TX.normalize_text(F.col("text")).alias("ntext")
+    )
+    chunks = CH.chunk_text(norm, text_col="ntext", size=SIZE, overlap=OVERLAP)
+    return chunks.groupBy("doc_id", "lang", "source", "n_chars").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(TX.ws_token_count(F.col("chunk_text"))).alias("total_tokens"),
+        F.sum(F.length("chunk_text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chunks — the exploded chunk rows themselves (D4 record shape).
+# ---------------------------------------------------------------------------
+
+_CHUNKS_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, {TX.normalize_text_sql('text')} AS ntext FROM documents
+),
+c AS (
+    SELECT doc_id,
+           unnest(generate_series(0, {CH.n_chunks_sql('ntext', SIZE, STEP)} - 1)) AS chunk_idx,
+           ntext
+    FROM norm
+)
+SELECT doc_id, chunk_idx,
+       substring(ntext, chunk_idx * {STEP} + 1, {SIZE}) AS chunk_text,
+       {TX.ws_token_count_sql(f'substring(ntext, chunk_idx * {STEP} + 1, {SIZE})')} AS n_tokens
+FROM c
+"""
+
+
+@register("q_chunks", oracle=_CHUNKS_ORACLE, tags=("phase0",))
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk rows with deterministic (doc_id, chunk_idx) identity (§1.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", TX.normalize_text(F.col("text")).alias("ntext"))
+    chunks = CH.chunk_text(norm, text_col="ntext", size=SIZE, overlap=OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        TX.ws_token_count(F.col("chunk_text")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_normalize_text — the T-chain alone, checked by md5 (exact text parity).
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = f"""
+SELECT doc_id,
+       md5({TX.normalize_text_sql('text')}) AS norm_md5,
+       length({TX.normalize_text_sql('text')}) AS norm_len
+FROM documents
+"""
+
+
+@register("q_normalize_text", oracle=_NORMALIZE_ORACLE, tags=("phase2",))
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1,T3-T7 normalization chain; md5 proves byte-exact parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = TX.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id", F.md5(n).alias("norm_md5"), F.length(n).cast("bigint").alias("norm_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_markdown_header_split — U3's MarkdownHeaderTextSplitter, native.
+# Synthesizes a deterministic markdown doc from `text` (same construction
+# in engine and oracle), then splits on header lines.
+# ---------------------------------------------------------------------------
+
+_MD_SPARK = (
+    "concat('# Doc ', CAST(doc_id AS STRING), '\n', substring(text, 1, 120), "
+    "'\n## Section A\n', substring(text, 121, 160), "
+    "'\n## Section B\n', substring(text, 281, 100000))"
+)
+
+_MD_SQL = (
+    "concat('# Doc ', CAST(doc_id AS VARCHAR), chr(10), substring(text, 1, 120), "
+    "chr(10), '## Section A', chr(10), substring(text, 121, 160), "
+    "chr(10), '## Section B', chr(10), substring(text, 281, 100000))"
+)
+
+_HEADER_SPLIT_ORACLE = rf"""
+WITH m AS (
+    SELECT doc_id, {_MD_SQL} AS md FROM documents
+),
+s AS (
+    SELECT doc_id,
+           string_split(regexp_replace(md, '(?m)^(#{{1,6}} )', chr(1) || '\1', 'g'), chr(1)) AS segs
+    FROM m
+),
+e AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(segs))) AS seg_idx,
+           unnest(segs) AS segment
+    FROM s
+)
+SELECT doc_id, seg_idx,
+       length(regexp_extract(segment, '^(#{{1,6}}) ', 1)) AS level,
+       trim(regexp_extract(segment, '^#{{1,6}} ([^\n]*)', 1)) AS title,
+       length(trim(regexp_replace(segment, '^#{{1,6}} [^\n]*\n?', ''))) AS body_len
+FROM e
+WHERE seg_idx > 1 OR segment <> ''
+"""
+
+
+@register("q_markdown_header_split", oracle=_HEADER_SPLIT_ORACLE, tags=("phase2",))
+def q_markdown_header_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-level markdown splitting (chunking_manager.py:63-76 analog)."""
+    from ..operators.chunking import split_markdown_headers
+
+    docs = load_table(spark, sf_dir, "documents")
+    md = docs.select("doc_id", F.expr(_MD_SPARK).alias("md"))
+    segs = split_markdown_headers(md, md_col="md")
+    return segs.select(
+        "doc_id",
+        F.col("seg_idx").cast("bigint"),
+        F.col("level").cast("bigint"),
+        "title",
+        F.length("body").cast("bigint").alias("body_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_meta_upsert — J5/J6 keyed upsert via merge_by_key.
+# "New batch" = every 10th doc with rewritten text; result must contain the
+# new version exactly once and all untouched rows.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH new_batch AS (
+    SELECT doc_id, upper(substring(text, 1, 50)) AS text, 'v2' AS version
+    FROM documents WHERE doc_id % 10 = 0
+),
+old AS (
+    SELECT doc_id, text, 'v1' AS version FROM documents
+)
+SELECT doc_id, md5(text) AS text_md5, version
+FROM (
+    SELECT * FROM old WHERE doc_id NOT IN (SELECT doc_id FROM new_batch)
+    UNION ALL
+    SELECT * FROM new_batch
+)
+"""
+
+
+@register("q_meta_upsert", oracle=_UPSERT_ORACLE, tags=("phase2",))
+def q_meta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata upsert J5 (etl_processor.py:143-169) as anti-join + union."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", F.lit("v1").alias("version"))
+    new = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 50)).alias("text"),
+            F.lit("v2").alias("version"),
+        )
+    )
+    merged = merge_by_key(old, new, keys=["doc_id"])
+    return merged.select("doc_id", F.md5("text").alias("text_md5"), "version")
+
+
+# ---------------------------------------------------------------------------
+# q_delete_by_key — J6's delete half (index_manager.py:134-160 analog).
+# ---------------------------------------------------------------------------
+
+_DELETE_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN ('src0', 'src1')
+"""
+
+
+@register("q_delete_by_key", oracle=_DELETE_ORACLE, tags=("phase2",))
+def q_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-predicate F3/V5 as a broadcast anti join."""
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("source").isin("src0", "src1"))
+    return delete_by_key(docs, doomed, keys=["source"]).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q_extension_filter — F1's extension whitelist gate on synthetic filenames.
+# ---------------------------------------------------------------------------
+
+_EXT_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+           (['pdf', 'txt', 'md', 'docx', 'exe'])[CAST(doc_id % 5 AS INT) + 1] AS filename
+    FROM documents
+)
+SELECT doc_id, filename, string_split(filename, '.')[-1] AS file_extension
+FROM f
+WHERE string_split(filename, '.')[-1] IN ('pdf', 'txt', 'md')
+"""
+
+
+@register("q_extension_filter", oracle=_EXT_ORACLE, tags=("phase2",))
+def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 gate (document_processor.py:51-60): lowercased-extension whitelist."""
+    docs = load_table(spark, sf_dir, "documents")
+    exts = F.array(*[F.lit(x) for x in ("pdf", "txt", "md", "docx", "exe")])
+    f = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            F.element_at(exts, (F.col("doc_id") % 5).cast("int") + 1),
+        ).alias("filename"),
+    )
+    ext = F.element_at(F.split(F.col("filename"), r"\."), -1)
+    return (
+        f.withColumn("file_extension", ext)
+        .filter(F.col("file_extension").isin("pdf", "txt", "md"))
+    )

@@ -1,0 +1,57 @@
+"""Registry mapping query names to (Spark callable, DuckDB oracle SQL).
+
+This is the engine's public query surface and the driver's correctness
+contract (__spark_entry__.py): every SQL-expressible operator has both a
+PySpark DataFrame implementation and an equivalent ANSI-SQL oracle that
+DuckDB runs on the same parquet. Column names/aliases must match exactly
+between the two — the driver sorts columns by name before value-hashing.
+
+Determinism rules (SURVEY.md §7 "What's hard"):
+- no monotonically_increasing_id; enumerations via ordered windows with
+  total orderings (ties broken by full key);
+- money aggregates in DECIMAL (order-independent exact sums), converted
+  to DOUBLE only as a final single deterministic step;
+- session timezone pinned to UTC in every callable (session.prep).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import prep
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, oracle, tuple(tags), doc=fn.__doc__ or "")
+        return wrapped
+
+    return deco

@@ -1,0 +1,831 @@
+"""Phase 1 — relational core over the TPC-H-ish tables (SURVEY.md §7).
+
+The reference has no relational executor (SURVEY.md §2.4 "Absent join
+types"); this module exposes Spark's full relational surface — every
+join family, aggregation (incl. rollup/cube/grouping-sets), window
+functions, sorts/top-k, set ops, scalar string/date/math functions —
+each as a `queries()` entry with a DuckDB oracle.
+
+Numeric determinism discipline (applies to every oracle here):
+- money sums go through DECIMAL(18,2) casts (exact, order-independent)
+  and are cast to DOUBLE only as the final step;
+- sums of integral-valued doubles (l_quantity) are exact as doubles;
+- averages are computed as exact-decimal-sum / count in one deterministic
+  double division — never the engine's own avg() over doubles.
+
+Scale notes are inline per query: which side broadcasts, where the
+shuffle is, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# q_pricing_summary — TPC-H Q1 shape: scan + filter + hash agg.
+# Map-side partial agg (6 groups) -> exchange of 6 rows -> final agg; at
+# 100 TB this is scan-bound, exactly what we want.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_pricing_summary", oracle=_Q1_ORACLE, tags=("phase1", "agg", "bench"))
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (filter + group-by agg, A1 family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_shipping_priority — TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+# customer (filtered) broadcasts; orders⋈lineitem shuffles on orderkey.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q_shipping_priority", oracle=_Q3_ORACLE, tags=("phase1", "join", "bench"))
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: broadcast dim filter + fact join + top-k with tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_local_supplier_volume — TPC-H Q5 shape: 6-way join, dims broadcast.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+"""
+
+
+@register("q_local_supplier_volume", oracle=_Q5_ORACLE, tags=("phase1", "join", "bench"))
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multiway join; region/nation/supplier broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join families: semi / anti / left outer / full outer / range (theta).
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+@register("q_semi_join", oracle=_SEMI_ORACLE, tags=("phase1", "join"))
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with at least one open order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+@register("q_anti_join", oracle=_ANTI_ORACLE, tags=("phase1", "join"))
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no pending orders (J5's core
+    shape). Restricted to status 'P' so the result is non-degenerate at
+    every scale factor (every customer has *some* order at sf>=0.01)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_LEFT_OUTER_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("q_left_outer_join", oracle=_LEFT_OUTER_ORACLE, tags=("phase1", "join"))
+def q_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + agg preserving zero-order customers (J7 analog)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+"""
+
+
+@register("q_full_outer_join", oracle=_FULL_OUTER_ORACLE, tags=("phase1", "join"))
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER: per-nation customer vs supplier counts."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_suppliers"))
+    j = cn.join(sn, "nationkey", "full")
+    return j.select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       count(*) AS n_quick_lines,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS quick_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@register("q_range_join", oracle=_RANGE_JOIN_ORACLE, tags=("phase1", "join"))
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped within 60 days of order.
+
+    J3's interval-overlap analog on time (SURVEY.md §2.4). The equi key
+    keeps it a hash join with a residual range predicate — no cartesian.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(l, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_quick_lines"),
+            F.sum("l_quantity").alias("quick_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth: distinct, rollup, cube, grouping sets, pivot,
+# scalar-subquery compare.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_AGG_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_distinct_agg", oracle=_DISTINCT_AGG_ORACLE, tags=("phase1", "agg"))
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("q_approx_distinct", oracle=None, tags=("phase1", "agg", "approx"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle — approximate by design;
+    the exact counterpart is q_distinct_agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q_rollup", oracle=_ROLLUP_ORACLE, tags=("phase1", "agg"))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (north-star extension; absent in reference §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_cube", oracle=_CUBE_ORACLE, tags=("phase1", "agg"))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_ORACLE, tags=("phase1", "agg"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+_PIVOT_VALUES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_pivot", oracle=_PIVOT_ORACLE, tags=("phase1", "agg"))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra job to discover values)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").pivot("o_orderpriority", _PIVOT_VALUES).count()
+
+
+_SCALAR_SUBQUERY_ORACLE = """
+WITH stats AS (
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders
+)
+SELECT count(*) AS n_above,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_above
+FROM orders, stats
+WHERE o_totalprice > stats.avg_price
+"""
+
+
+@register("q_scalar_subquery", oracle=_SCALAR_SUBQUERY_ORACLE, tags=("phase1", "agg"))
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (exact-decimal threshold)."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_above"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W-group + north-star extras: rank/lag/frames/ntile).
+# ---------------------------------------------------------------------------
+
+_WINDOW_RANK_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+QUALIFY rn <= 3
+"""
+
+
+@register("q_window_rank", oracle=_WINDOW_RANK_ORACLE, tags=("phase1", "window"))
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by balance (W1/W2 enumeration family)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_WINDOW_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("q_window_lag_lead", oracle=_WINDOW_LAG_ORACLE, tags=("phase1", "window"))
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-customer order history (W3's lead + lag mirror)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag(F.col("o_orderdate").cast("date")).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       max(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_key
+FROM orders
+"""
+
+
+@register("q_window_running", oracle=_WINDOW_RUNNING_ORACLE, tags=("phase1", "window"))
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal-exact sum + running max (W4's monotone-clamp shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.max("o_orderkey").over(w).alias("running_max_key"),
+    )
+
+
+_WINDOW_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+FROM customer
+"""
+
+
+@register("q_window_ntile", oracle=_WINDOW_NTILE_ORACLE, tags=("phase1", "window"))
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartiles by balance (single-partition window — fine for dim
+    tables; at fact scale use approx percentile bucketing instead)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / distinct-on / set ops.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q_topk", oracle=_TOPK_ORACLE, tags=("phase1", "sort"))
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (TakeOrderedAndProject — no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_DISTINCT_ON_ORACLE = """
+SELECT o_custkey, o_orderkey AS latest_orderkey, CAST(o_orderdate AS DATE) AS latest_orderdate
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@register("q_distinct_on", oracle=_DISTINCT_ON_ORACLE, tags=("phase1", "sort"))
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON-style latest-order-per-customer via ordered window (§1.3
+    determinism: full-key tiebreak, never dropDuplicates on unordered data)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+        )
+    )
+
+
+_SET_OPS_ORACLE = """
+SELECT 'both' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'open_only' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+"""
+
+
+@register("q_set_ops", oracle=_SET_OPS_ORACLE, tags=("phase1", "setop"))
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over customer key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_k.intersect(done_k).select(F.lit("both").alias("tag"), "o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # multiplicity and diverge from SQL EXCEPT.
+    only = open_k.subtract(done_k).select(F.lit("open_only").alias("tag"), "o_custkey")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / case-when / array / json-map.
+# ---------------------------------------------------------------------------
+
+_STRING_FUNCS_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       translate(p_type, ' ', '_') AS type_mangled,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       len(string_split(p_name, ' ')) AS n_name_words,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       CASE WHEN p_name LIKE '%al%' THEN 1 ELSE 0 END AS has_al
+FROM part
+"""
+
+
+@register("q_string_funcs", oracle=_STRING_FUNCS_ORACLE, tags=("phase1", "scalar"))
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/T12/T13-family scalar string functions, all JVM builtins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.translate("p_type", " ", "_").alias("type_mangled"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_name_words"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%al%"), 1).otherwise(0).alias("has_al"),
+    )
+
+
+_DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       quarter(o_orderdate) AS order_quarter,
+       day(o_orderdate) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS order_month_end,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+FROM orders
+"""
+
+
+@register("q_date_funcs", oracle=_DATE_FUNCS_ORACLE, tags=("phase1", "scalar"))
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp scalar functions (absent in reference — §2.8 'Date
+    functions: none'; required by the driver's timestamp columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_trunc("month", d).cast("date").alias("order_month_start"),
+        F.last_day(d.cast("date")).alias("order_month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+_MATH_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS discount_amount,
+       abs(l_extendedprice - l_quantity * 1000) AS price_deviation,
+       floor(l_extendedprice / 100) AS price_bucket,
+       ceil(l_quantity / 7.0) AS qty_weeks,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       sign(l_extendedprice - 25000) AS above_mid
+FROM lineitem
+"""
+
+
+@register("q_math_funcs", oracle=_MATH_FUNCS_ORACLE, tags=("phase1", "scalar"))
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row IEEE-deterministic math (round/abs/floor/ceil/sqrt/mod/sign)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # rounded in DECIMAL: price*discount hits exact .005 ties constantly,
+        # and double-rounding of ties differs between engines.
+        F.round(_dec("l_extendedprice") * _dec("l_discount"), 2)
+        .cast("double")
+        .alias("discount_amount"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("price_deviation"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 25000).alias("above_mid"),
+    )
+
+
+_CASE_WHEN_ORACLE = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END AS balance_band,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("q_case_when", oracle=_CASE_WHEN_ORACLE, tags=("phase1", "scalar"))
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + agg."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("balance_band")
+    )
+    return c.groupBy(band).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("band_total"),
+    )
+
+
+_ARRAY_FUNCS_ORACLE = """
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(list_distinct(ws)) AS n_distinct_words,
+       ws[1] AS first_word,
+       ws[-1] AS last_word,
+       CAST(list_contains(ws, 'spark') AS INT) AS has_spark,
+       list_sort(list_distinct(ws))[1] AS min_word
+FROM w
+"""
+
+
+@register("q_array_funcs", oracle=_ARRAY_FUNCS_ORACLE, tags=("phase1", "scalar"))
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text (§2.8 array/map coverage)."""
+    from ..functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct_words"),
+        F.element_at(ws, 1).alias("first_word"),
+        F.element_at(ws, -1).alias("last_word"),
+        F.array_contains(ws, "spark").cast("int").alias("has_spark"),
+        F.element_at(F.array_sort(F.array_distinct(ws)), 1).alias("min_word"),
+    )
+
+
+_JSON_FUNCS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_json_funcs", oracle=_JSON_FUNCS_ORACLE, tags=("phase1", "scalar"))
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (T14 from_json analog) + agg over events."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

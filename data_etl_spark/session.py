@@ -1,0 +1,54 @@
+"""SparkSession construction and per-query session prep.
+
+The driver supplies its own SparkSession to ``entry()``/``queries()``;
+``prep()`` applies only *runtime-settable* confs (session timezone,
+adaptive execution, shuffle parallelism) so results are deterministic
+regardless of who built the session. ``build_session()`` is used by our
+own tests and bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Shuffle partitions sized for local[N] testing; on a real cluster this
+#: would be ~2-3x total executor cores (or left to AQE coalescing).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(app_name: str = "data-etl-spark") -> SparkSession:
+    """Local-mode session tuned for the test harness (local[32], 128 GiB box)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs every query depends on for determinism.
+
+    - UTC session timezone: parquet naive timestamps round-trip to the same
+      wall-clock in Spark and DuckDB, and epoch/window bucketing agrees.
+    - AQE on: runtime join-strategy + skew handling (free at 100 TB scale).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as int64 nanos and convert in sources.tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

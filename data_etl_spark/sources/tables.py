@@ -1,0 +1,72 @@
+"""Parquet table loaders for the driver's test tables.
+
+Schemas are fixed and known (TESTDATA.md / FIXTURES.md); we rely on the
+parquet footer rather than re-declaring them (parquet *is* the explicit
+schema — no inference happens). Mirrors the reference's eager-validation
+stance (SURVEY.md §1.2: Pydantic models at src/config/manager.py:13-162)
+by checking expected columns on load.
+
+At 100 TB these would be partitioned/bucketed tables behind a catalog;
+the loader is the single place that would change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Minimal expected-column contract per table (subset check, not exhaustive).
+_KEY_COLS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read as int64 nanos
+        # (spark.sql.legacy.parquet.nanosAsLong, set in session.prep) and
+        # truncate to microseconds — the same truncation DuckDB oracles
+        # apply via epoch_ns(ts) // 1000, so both engines agree exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    missing = _KEY_COLS[name] - set(df.columns)
+    if missing:
+        raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register each table as a temp view for spark.sql() queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,123 @@
+"""Driver simulation: exercises __spark_entry__.py the way the per-round
+verify does — vanilla SparkSession (none of our session tuning), sf0.01,
+every queries() entry compared against its oracle_sql() in DuckDB
+(row count + column names + order-insensitive values).
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda x: x if x is None or isinstance(x, str) else str(x))
+    return df.sort_values(by=list(df.columns), na_position="last", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"rows {len(a)} vs {len(b)}"
+    a, b = canon(a), canon(b)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not eq.all():
+                i = int(np.where(~eq)[0][0])
+                return f"float col {c} row {i}: {av[i]!r} vs {bv[i]!r}"
+        elif not a[c].equals(b[c]):
+            diff = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+            if diff.any():
+                i = diff[diff].index[0]
+                return f"col {c} row {i}: {a.loc[i, c]!r} vs {b.loc[i, c]!r}"
+    return None
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    # vanilla session — deliberately NOT data_etl_spark.session.build_session;
+    # the driver brings its own.
+    spark = SparkSession.builder.master("local[32]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    print(f"== entry() smoke on sf0.001 ==")
+    t0 = time.time()
+    n = E.entry(spark).count()
+    print(f"entry rows={n} ({time.time() - t0:.1f}s)")
+    assert n > 0
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failed, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            failed.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {str(ex)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows-only {name}: {len(spdf)} rows ({time.time() - t0:.1f}s)")
+            continue
+        try:
+            opdf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            failed.append((name, f"oracle error: {ex}"))
+            print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
+            continue
+        err = frames_equal(spdf, opdf)
+        if err:
+            failed.append((name, err))
+            print(f"FAIL {name}: {err}")
+        else:
+            passed += 1
+            print(f"ok   {name}: {len(spdf)} rows ({time.time() - t0:.1f}s)")
+
+    print(f"\n== {passed} oracle-matched, {rows_only} rows-only, {len(failed)} failed ==")
+    for name, err in failed:
+        print(f"  FAIL {name}: {err}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

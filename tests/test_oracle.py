@@ -1,0 +1,91 @@
+"""Oracle-differential tests: every registered query vs its DuckDB oracle.
+
+Replicates the driver's correctness gate (row-count + schema-arity +
+order-insensitive value comparison) so regressions surface locally before
+the per-round verify. Comparison is *stricter* than a hash: exact value
+equality after canonicalization, with a readable diff on failure.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_etl_spark.plans import REGISTRY
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda x: x if x is None or isinstance(x, str) else str(x))
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                bad = np.where(~eq)[0][:5]
+                raise AssertionError(
+                    f"{name}: float col {c!r} differs at rows {bad.tolist()}: "
+                    f"spark={av[bad].tolist()} oracle={bv[bad].tolist()} "
+                    f"(max abs diff {np.nanmax(np.abs(av - bv))})"
+                )
+        else:
+            if not a[c].equals(b[c]):
+                diff = a[c] != b[c]
+                # treat NaN/None equal
+                diff &= ~(a[c].isna() & b[c].isna())
+                if diff.any():
+                    idx = diff[diff].index[:5].tolist()
+                    raise AssertionError(
+                        f"{name}: col {c!r} differs at rows {idx}: "
+                        f"spark={a.loc[idx, c].tolist()} oracle={b.loc[idx, c].tolist()}"
+                    )
+
+
+_ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    oracle_pdf = ddb.sql(q.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 10
