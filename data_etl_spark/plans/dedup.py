@@ -1,1 +1,199 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication queries (north-star: exact, n-gram Jaccard, MinHash+LSH,
+SimHash) over ``documents``.
+
+Each variant is the relational composition from operators/dedup.py with
+an exact DuckDB oracle — including MinHash and LSH banding, which stay
+deterministic because hashing is md5-hex (identical in both engines) and
+minima are lexicographic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q_exact_dedup — hash-groupBy canonical assignment (every doc -> canonical
+# doc with identical content; is_dup flags non-canonical members).
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents
+"""
+
+
+@register("q_exact_dedup", oracle=_EXACT_ORACLE, tags=("phase3", "dedup"))
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint + min-doc_id canonical per group."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    w = W.partitionBy(fp)
+    canonical = F.min("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).cast("int").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_jaccard — top-50 most-similar pairs by 3-word-shingle Jaccard,
+# via the shingle inverted index (never O(n²)).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = DD.word_shingles_sql("documents")
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc1, p.doc2, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) AS jaccard
+FROM pairs p
+JOIN sizes s1 ON s1.doc_id = p.doc1
+JOIN sizes s2 ON s2.doc_id = p.doc2
+ORDER BY jaccard DESC, p.doc1, p.doc2
+LIMIT 50
+"""
+
+
+@register("q_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("phase3", "dedup"))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: top-50 pairs via shingle inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_sh1") + F.col("n_sh2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc1", "doc2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_signatures — k=8 md5-based MinHash values per doc.
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = DD.minhash_signatures_sql(_SHINGLE_CTE)
+
+
+@register("q_minhash_signatures", oracle=_MINHASH_ORACLE, tags=("phase3", "dedup"))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 seeds, md5-hex minima)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_signatures(DD.word_shingles(d))
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_lsh_pairs — LSH candidate pairs (1-row bands over the k=8
+# signature: docs colliding on any seed's minhash).
+# ---------------------------------------------------------------------------
+
+_LSH_ORACLE = f"""
+WITH sig AS ({_MINHASH_ORACLE})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(DISTINCT a.seed) AS n_shared_bands
+FROM sig a
+JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("q_minhash_lsh_pairs", oracle=_LSH_ORACLE, tags=("phase3", "dedup"))
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs via bucket self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(DD.minhash_signatures(DD.word_shingles(d)))
+
+
+# ---------------------------------------------------------------------------
+# q_simhash — 16-bit SimHash per doc from term-frequency-weighted word
+# hashes. Hex nibbles are parsed positionally (strpos against a constant
+# alphabet) because that is the only hex->int primitive both engines
+# share; bit k is extracted arithmetically (floor(v / 2^k) % 2).
+# ---------------------------------------------------------------------------
+
+def _hexval_sql(h: str) -> str:
+    """SQL int value of the first 4 hex chars of md5 expr ``h``.
+
+    Uses instr(haystack, needle) — same name/arg-order in Spark SQL and
+    DuckDB — as the portable hex-nibble lookup.
+    """
+    nib = lambda p: f"(instr('0123456789abcdef', substring({h}, {p}, 1)) - 1)"  # noqa: E731
+    return f"((({nib(1)} * 16 + {nib(2)}) * 16 + {nib(3)}) * 16 + {nib(4)})"
+
+
+def _simhash_select(engine: str) -> str:
+    """Shared SQL text for the SimHash aggregation (valid in both dialects)."""
+    bits = []
+    for k in range(16):
+        bit = f"CAST(floor(v / {2**k}.0) AS BIGINT) % 2"
+        bits.append(
+            f"CASE WHEN 2 * sum(cnt * ({bit})) >= sum(cnt) THEN {2**k} ELSE 0 END"
+        )
+    simhash = " + ".join(bits)
+    return simhash
+
+
+_SIMHASH_WORDCOUNT_SQL = """
+    SELECT doc_id, w AS word, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+    GROUP BY doc_id, w
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH wc AS ({_SIMHASH_WORDCOUNT_SQL}),
+hv AS (SELECT doc_id, cnt, {_hexval_sql('md5(word)')} AS v FROM wc)
+SELECT doc_id, {_simhash_select('duckdb')} AS simhash
+FROM hv
+GROUP BY doc_id
+"""
+
+
+@register("q_simhash", oracle=_SIMHASH_ORACLE, tags=("phase3", "dedup"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (tf-weighted bitwise majority)."""
+    from ..functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hv = wc.select("doc_id", "cnt", F.expr(_hexval_sql("md5(word)")).alias("v"))
+    return hv.groupBy("doc_id").agg(
+        F.expr(_simhash_select("spark")).alias("simhash")
+    )

@@ -1,1 +1,183 @@
-"""Placeholder — filled in later this round."""
+"""Event-time window aggregations on the ``events`` table (SURVEY.md
+§2.10 north-star extension, Phase 4 batch layer).
+
+The reference is batch-only with no event-time semantics; these queries
+add tumbling / sliding / session windows as batch-expressible operators
+with DuckDB oracles. True Structured Streaming versions live in
+``data_etl_spark.streaming`` (rows-only checks).
+
+Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS). The Spark
+loader truncates to microseconds (sources/tables.py); every oracle here
+does the same via ``make_timestamp(epoch_ns(ts) // 1000)`` so both
+engines bucket identical µs values. Window starts are output as epoch
+seconds/micros (BIGINT) — never raw timestamps — to dodge ns-precision
+hash mismatches. Sums of ``value`` go through DECIMAL(18,6) (exact,
+order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+#: CTE normalizing events.ts to microsecond precision for oracles.
+EVENTS_US = """
+events_us AS (
+    SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           user_id, event_type, value, props
+    FROM events
+)
+"""
+
+_DEC = "CAST(value AS DECIMAL(18,6))"
+
+
+_TUMBLING_ORACLE = f"""
+WITH {EVENTS_US}
+SELECT CAST(epoch(time_bucket(INTERVAL 10 MINUTE, ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum({_DEC}) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events_us
+GROUP BY 1, 2
+"""
+
+
+@register("q_tumbling_window", oracle=_TUMBLING_ORACLE, tags=("phase4", "window", "events"))
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window counts/sums per event type.
+
+    Batch form of the Structured Streaming windowed agg; map-side partial
+    agg makes this scan-bound at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = f"""
+WITH {EVENTS_US},
+slid AS (
+    SELECT e.*,
+           time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS window_start
+    FROM events_us e, (SELECT unnest([0, 1]) AS k)
+)
+SELECT CAST(epoch(window_start) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       CAST(sum({_DEC}) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY 1
+"""
+
+
+@register("q_sliding_window", oracle=_SLIDING_ORACLE, tags=("phase4", "window", "events"))
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event in exactly 2).
+
+    Oracle expresses the same thing as the k∈{0,1} bucket-shift union.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH {EVENTS_US},
+flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events_us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum({_DEC}) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("q_session_window", oracle=_SESSION_ORACLE, tags=("phase4", "window", "events"))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user (session_window builtin).
+
+    Oracle is the classic gaps-and-islands rewrite; Spark's semantics
+    (event at exactly prev+gap starts a new session) match the ``>=``
+    flag.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_HOURLY_ORACLE = f"""
+WITH {EVENTS_US}
+SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events_us
+GROUP BY 1, 2
+"""
+
+
+@register("q_hourly_profile", oracle=_HOURLY_ORACLE, tags=("phase4", "events"))
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile (event-time extraction + distinct agg)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

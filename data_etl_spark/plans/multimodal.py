@@ -1,1 +1,45 @@
-"""Placeholder — filled in later this round."""
+"""Multimodal-column queries: binary payloads + mapInPandas metadata
+extraction, checked against a SQL oracle (the fake-decode path is
+deliberately oracle-expressible so the Arrow plumbing itself is what
+gets verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.columns import with_asset_meta
+from ..sources import load_table
+from .registry import register
+
+# Fake binary payload: utf8 bytes of the first 64 chars of text. ascii()
+# of 1-char substrings gives the same byte values SQL-side (corpus is
+# ASCII; both engines see identical bytes).
+
+_MM_ORACLE = """
+WITH p AS (
+    SELECT doc_id, substring(text, 1, 64) AS payload FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       md5(payload) AS content_md5,
+       CAST(ascii(substring(payload, 1, 1)) % 64 + 1 AS INT) AS fake_width,
+       CAST(ascii(substring(payload, 2, 1)) % 64 + 1 AS INT) AS fake_height
+FROM p
+"""
+
+
+@register("q_multimodal_meta", oracle=_MM_ORACLE, tags=("phase5", "multimodal"))
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through real mapInPandas plumbing.
+
+    documents.text -> binary column (encode) -> Arrow batches -> pandas
+    decode stub -> typed metadata. The U1/U2 wrapper shape (SURVEY.md
+    §2.11) minus the actual PDF/image library.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
+    )
+    return with_asset_meta(assets, binary_col="content", key_cols=("doc_id",))

@@ -1,1 +1,219 @@
-"""Placeholder — filled in later this round."""
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.9,
+Phase 3; north-star ANN requirement).
+
+Exact brute-force cosine top-k is the baseline; IVF (centroid-cell
+restricted search) is the scale path, here with deterministic centroids
+so even the ANN variant has an exact oracle. Scores are bit-identical
+across engines (see functions/vectors.py docstring); distances use the
+expanded-dot-product form sqrt(aa + bb - 2ab) so both engines evaluate
+the *same* expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..operators.knn import exact_knn
+from ..sources import load_table
+from .registry import register
+
+_EMB_D = V.as_double_sql("embedding")
+
+# ---------------------------------------------------------------------------
+# q_knn_exact — brute-force cosine top-5: queries = vec_id < 10.
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 10),
+scored AS (
+    SELECT q.q_vec_id, c.c_vec_id, {V.cosine_sql('q.q_emb', 'c.c_emb')} AS score
+    FROM q CROSS JOIN c
+)
+SELECT q_vec_id, rank, c_vec_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, c_vec_id) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@register("q_knn_exact", oracle=_KNN_ORACLE, tags=("phase3", "similarity", "bench"))
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors (broadcast × corpus scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb"))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("c_vec_id"), emb.alias("c_emb"))
+    )
+    return exact_knn(F.broadcast(q), c, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q_cosine_pairs — embedding-cosine near-dup: top-100 same-label pairs.
+# Label partition bounds the pair blow-up (the 100 TB version buckets by
+# LSH/IVF cell instead of a trusted label column).
+# ---------------------------------------------------------------------------
+
+_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings)
+SELECT a.label, a.vec_id AS vec1, b.vec_id AS vec2,
+       {V.cosine_sql('a.emb', 'b.emb')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec1, vec2
+LIMIT 100
+"""
+
+
+@register("q_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("phase3", "similarity"))
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most-similar same-label vector pairs (near-dup by cosine)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.select("label", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"))
+    b = e.select("label", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("label", "vec1", "vec2", V.cosine(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec1", "vec2")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_vector_stats — per-label norm statistics (decimal-exact averaging).
+# ---------------------------------------------------------------------------
+
+_VSTATS_ORACLE = f"""
+WITH n AS (
+    SELECT label, {V.l2_norm_sql(_EMB_D)} AS nrm FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_norm,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM n
+GROUP BY label
+"""
+
+
+@register("q_vector_stats", oracle=_VSTATS_ORACLE, tags=("phase3", "similarity"))
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm stats (V3 distance-config analog)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = V.l2_norm(V.as_double(F.col("embedding")))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(F.col("nrm").cast("decimal(18,12)")).cast("double") / F.count("*")).alias(
+                "avg_norm"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ivf_knn — IVF-style ANN with deterministic centroids (vec_id < 8):
+# assign every corpus vector to its nearest centroid cell, then each
+# probe (vec_id in [8,16)) searches only its own cell. Exact oracle.
+# ---------------------------------------------------------------------------
+
+_DIST = "sqrt({aa} + {bb} - 2 * {ab})"
+
+
+def _dist_sql(a: str, b: str) -> str:
+    return _DIST.format(
+        aa=V.dot_sql(a, a), bb=V.dot_sql(b, b), ab=V.dot_sql(a, b)
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < 8),
+probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= 16),
+c_assign AS (
+    SELECT c_vec_id, cemb2, cent_id AS cell FROM (
+        SELECT c.c_vec_id, c.cemb2, k.cent_id,
+               row_number() OVER (PARTITION BY c.c_vec_id
+                                  ORDER BY {_dist_sql('c.cemb2', 'k.cemb')}, k.cent_id) AS rn
+        FROM corpus c CROSS JOIN cent k
+    ) WHERE rn = 1
+),
+q_assign AS (
+    SELECT q_vec_id, qemb, cent_id AS cell FROM (
+        SELECT p.q_vec_id, p.qemb, k.cent_id,
+               row_number() OVER (PARTITION BY p.q_vec_id
+                                  ORDER BY {_dist_sql('p.qemb', 'k.cemb')}, k.cent_id) AS rn
+        FROM probe p CROSS JOIN cent k
+    ) WHERE rn = 1
+)
+SELECT q_vec_id, rank, c_vec_id, score FROM (
+    SELECT q.q_vec_id, c.c_vec_id,
+           {V.cosine_sql('q.qemb', 'c.cemb2')} AS score,
+           row_number() OVER (PARTITION BY q.q_vec_id
+                              ORDER BY {V.cosine_sql('q.qemb', 'c.cemb2')} DESC, c.c_vec_id) AS rank
+    FROM q_assign q JOIN c_assign c ON q.cell = c.cell
+)
+WHERE rank <= 5
+"""
+
+
+@register("q_ivf_knn", oracle=_IVF_ORACLE, tags=("phase3", "similarity"))
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid-cell assignment then in-cell top-5 cosine.
+
+    The scale path for V4: at 100 TB the corpus is written partitioned by
+    ``cell`` so a probe reads one cell; centroids broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), emb.alias("cemb")
+    )
+    probe = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_vec_id"), emb.alias("qemb")
+    )
+    corpus = e.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
+    )
+
+    def dist(a: str, b: str):
+        return F.sqrt(
+            V.dot(F.col(a), F.col(a))
+            + V.dot(F.col(b), F.col(b))
+            - F.lit(2) * V.dot(F.col(a), F.col(b))
+        )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        w = W.partitionBy(id_col).orderBy(dist(vec_col, "cemb").asc(), F.col("cent_id").asc())
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        )
+
+    c_assign = assign(corpus, "c_vec_id", "cemb2")
+    q_assign = assign(probe, "q_vec_id", "qemb")
+    score = V.cosine(F.col("qemb"), F.col("cemb2"))
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("score"), F.asc("c_vec_id"))
+    return (
+        q_assign.join(c_assign, "cell")
+        .select("q_vec_id", "c_vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_vec_id", "rank", "c_vec_id", "score")
+    )

@@ -1,1 +1,190 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators over ``documents`` (north-star: language-ID
+heuristic, quality scoring, token counting, document fingerprinting).
+
+All pure column expressions — no Python in the hot path — so each has an
+exact DuckDB oracle. Per-row double arithmetic is IEEE-deterministic when
+both engines evaluate the identical expression tree, which is how the
+ratio/score columns stay hash-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q_token_counts — whitespace + BPE-ish tokenization (A7 analog).
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       {TX.ws_token_count_sql('text')} AS ws_tokens,
+       {TX.bpeish_token_count_sql('text')} AS bpe_tokens,
+       length(text) AS n_chars_actual,
+       CAST(length(text) AS DOUBLE) / {TX.bpeish_token_count_sql('text')} AS chars_per_token
+FROM documents
+"""
+
+
+@register("q_token_counts", oracle=_TOKEN_ORACLE, tags=("phase3", "textstats"))
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = TX.bpeish_token_count(F.col("text")).cast("bigint")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_quality — length/uniqueness/stopword quality score.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and")
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {TX.words_sql('text')} AS ws, length(text) AS n_chars_actual
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars_actual,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct_words,
+           len(list_filter(ws, x -> list_contains([{_SW_LIST}], x))) AS n_stopwords
+    FROM w
+)
+SELECT doc_id, n_words, n_distinct_words, n_stopwords,
+       CAST(n_distinct_words AS DOUBLE) / n_words AS uniq_ratio,
+       CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       0.5 * least(CAST(n_words AS DOUBLE) / 64.0, 1.0)
+         + 0.3 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+         + 0.2 * least(5.0 * (CAST(n_stopwords AS DOUBLE) / n_words), 1.0) AS quality_score
+FROM m
+"""
+
+
+@register("q_text_quality", oracle=_QUALITY_ORACLE, tags=("phase3", "textstats"))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, uniqueness and stopword-ratio mix."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = TX.words(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(ws).cast("bigint")
+    n_distinct = F.size(F.array_distinct(ws)).cast("bigint")
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(sw, x))).cast("bigint")
+    uniq = n_distinct.cast("double") / n_words
+    swr = n_stop.cast("double") / n_words
+    score = (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * uniq
+        + F.lit(0.2) * F.least(F.lit(5.0) * swr, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        n_stop.alias("n_stopwords"),
+        uniq.alias("uniq_ratio"),
+        swr.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lang_id — marker-word n-gram heuristic (argmax over word-set hits with
+# a fixed tie order). The synthetic corpus has no real languages; the
+# operator's contract is the deterministic classification itself.
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "alpha": ("the", "a", "fast", "slow"),
+    "beta": ("data", "table", "row", "column"),
+    "gamma": ("join", "merge", "sort", "group"),
+}
+
+
+def _marker_sql(name: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[name])
+    return f"len(list_filter({TX.words_sql('text')}, x -> list_contains([{lst}], x)))"
+
+
+_LANG_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           {_marker_sql('alpha')} AS score_alpha,
+           {_marker_sql('beta')} AS score_beta,
+           {_marker_sql('gamma')} AS score_gamma
+    FROM documents
+)
+SELECT doc_id, score_alpha, score_beta, score_gamma,
+       CASE WHEN score_alpha >= score_beta AND score_alpha >= score_gamma THEN 'alpha'
+            WHEN score_beta >= score_gamma THEN 'beta'
+            ELSE 'gamma' END AS predicted
+FROM s
+"""
+
+
+@register("q_lang_id", oracle=_LANG_ORACLE, tags=("phase3", "textstats"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of marker-word hit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = TX.words(F.col("text"))
+
+    def hits(name: str):
+        arr = F.array(*[F.lit(w) for w in _MARKERS[name]])
+        return F.size(F.filter(ws, lambda x: F.array_contains(arr, x))).cast("bigint")
+
+    sa, sb, sg = hits("alpha"), hits("beta"), hits("gamma")
+    pred = (
+        F.when((sa >= sb) & (sa >= sg), "alpha")
+        .when(sb >= sg, "beta")
+        .otherwise("gamma")
+    )
+    return d.select(
+        "doc_id",
+        sa.alias("score_alpha"),
+        sb.alias("score_beta"),
+        sg.alias("score_gamma"),
+        pred.alias("predicted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_fingerprint — md5 whole-doc fingerprint + winnowing-style min-hash
+# over 5-char shingles (rolling-hash analog, fully relational).
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       md5({TX.normalize_text_sql('text')}) AS content_md5,
+       list_aggregate(
+           list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                          i -> md5(substring(text, CAST(i AS INT), 5))),
+           'min') AS winnow_min
+FROM documents
+"""
+
+
+@register("q_doc_fingerprint", oracle=_FP_ORACLE, tags=("phase3", "textstats"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 + min 5-gram hash."""
+    d = load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+        lambda i: F.md5(F.expr("text").substr(i, F.lit(5))),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(TX.normalize_text(F.col("text"))).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("winnow_min"),
+    )

@@ -55,9 +55,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # apply via epoch_ns(ts) // 1000, so both engines agree exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer `div`, NOT `/`: epoch-nanos ~1.7e18 exceeds double's 2^53
+        # mantissa, so float division is off by ±1µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     missing = _KEY_COLS[name] - set(df.columns)
