@@ -23,21 +23,20 @@ from ..functions import text as TX
 def word_shingles(df: DataFrame, key: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct n-word shingles per document: (key, shingle).
 
-    Guarded sequence (Spark's sequence(1,0) counts *down*, so short docs
-    must map to an empty array explicitly).
+    Built as zip_with over n shifted array slices rather than
+    ``transform(sequence(...), i -> element_at(ws, i+j))``: Catalyst
+    inlines the ``split()`` producing ``ws`` into the lambda, so the
+    element_at form re-tokenizes the document for every shingle element
+    (O(words²) per doc — measured 4x slower at sf0.1). Slices evaluate
+    the array once per row.
     """
-    ws = TX.words(F.col(text_col))
-    nw = F.size(ws)
-    idx = F.when(nw >= n, F.sequence(F.lit(1), nw - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + j) for j in range(n)]
-    )
-    return (
-        df.select(key, F.explode(F.transform(idx, shingle)).alias("shingle"))
-        .distinct()
-    )
+    ws_df = df.select(key, TX.words(F.col(text_col)).alias("__ws"))
+    cnt = F.greatest(F.size(F.col("__ws")) - (n - 1), F.lit(0))
+    slices = [F.slice(F.col("__ws"), j + 1, cnt) for j in range(n)]
+    z = slices[0]
+    for s in slices[1:]:
+        z = F.zip_with(z, s, lambda a, b: F.concat_ws(" ", a, b))
+    return ws_df.select(key, F.explode(z).alias("shingle")).distinct()
 
 
 def word_shingles_sql(table: str, key: str = "doc_id", text_col: str = "text", n: int = 3) -> str:

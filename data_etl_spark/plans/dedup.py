@@ -74,7 +74,9 @@ LIMIT 50
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: top-50 pairs via shingle inverted index."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d)
+    # persist: the shingle set feeds both sides of the self-join and the
+    # size lookup; without it the whole tokenize+explode subtree runs 3x.
+    sh = DD.word_shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -135,7 +137,8 @@ GROUP BY a.doc_id, b.doc_id
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs via bucket self-join."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.lsh_candidate_pairs(DD.minhash_signatures(DD.word_shingles(d)))
+    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    return DD.lsh_candidate_pairs(sig)
 
 
 # ---------------------------------------------------------------------------

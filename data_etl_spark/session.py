@@ -51,4 +51,9 @@ def prep(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     # rejects; read as int64 nanos and convert in sources.tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # A driver-provided vanilla session defaults to 200 shuffle partitions;
+    # at test scale that is pure task-scheduling overhead (AQE coalescing
+    # does not rescue stages whose stats arrive late). On a real cluster
+    # this would be ~2-3x total cores.
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     return spark
