@@ -5,10 +5,12 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # Import for registration side effects (order = SURVEY.md §7 build phases).
 from . import relational  # noqa: E402,F401
 from . import documents  # noqa: E402,F401
+from . import figures  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import textstats  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import streaming_plans  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

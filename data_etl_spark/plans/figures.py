@@ -1,0 +1,236 @@
+"""Figure-placement operators (SURVEY.md §2 J1/J2/J4, W1/W3/W4, O7, A5 —
+the reference's markdown image-placement pipeline re-expressed
+relationally).
+
+The driver ships no figures table, so fixtures are synthesized
+*deterministically inside each query* from the relational tables (pure
+integer arithmetic — identical rows in Spark and DuckDB), per
+FIXTURES.md §B. That keeps every operator oracle-checkable without PDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# Synthetic figures from `part`: bbox + page + 40%-null captions
+# (image_manager.py:13-20 record shape; FIXTURES.md `figures`).
+_FIGURES_SQL = """
+    SELECT CAST(p_partkey AS BIGINT) AS fig_key,
+           'doc_' || CAST(p_partkey % 50 AS VARCHAR) AS filename,
+           CAST(p_partkey % 30 + 1 AS INT) AS page,
+           CAST((p_partkey * 37) % 500 AS DOUBLE) AS x0,
+           CAST((p_partkey * 73) % 700 AS DOUBLE) AS y0,
+           CAST((p_partkey * 37) % 500 + 40 + p_partkey % 60 AS DOUBLE) AS x1,
+           CAST((p_partkey * 73) % 700 + 30 + p_partkey % 45 AS DOUBLE) AS y1,
+           CASE WHEN p_partkey % 5 < 2 THEN 'Figure ' || CAST(p_partkey AS VARCHAR) END AS caption
+    FROM part
+"""
+
+_FIGURES_SPARK = _FIGURES_SQL.replace("VARCHAR", "STRING")
+
+
+def _figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_FIGURES_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# q_figure_enumeration — W1: FIG_{page:03d}_{idx:02d} ids via ordered
+# window (image_manager.py:211-216), plus T8 alt-text fallback.
+# ---------------------------------------------------------------------------
+
+_ENUM_ORACLE = f"""
+WITH figures AS ({_FIGURES_SQL}),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY filename, page
+                                 ORDER BY y0, x0, fig_key) AS idx
+    FROM figures
+)
+SELECT filename, page,
+       'FIG_' || lpad(CAST(page AS VARCHAR), 3, '0') || '_' || lpad(CAST(idx AS VARCHAR), 2, '0') AS fig_id,
+       x0, y0, x1, y1,
+       coalesce(caption, 'image') AS alt_text
+FROM r
+"""
+
+
+@register("q_figure_enumeration", oracle=_ENUM_ORACLE, tags=("phase2", "figures"))
+def q_figure_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page figure enumeration W1 + alt-text sanitize fallback T8."""
+    f = _figures(spark, sf_dir)
+    w = W.partitionBy("filename", "page").orderBy("y0", "x0", "fig_key")
+    return f.withColumn("idx", F.row_number().over(w)).select(
+        "filename",
+        "page",
+        F.concat(
+            F.lit("FIG_"),
+            F.lpad(F.col("page").cast("string"), 3, "0"),
+            F.lit("_"),
+            F.lpad(F.col("idx").cast("string"), 2, "0"),
+        ).alias("fig_id"),
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        F.coalesce("caption", F.lit("image")).alias("alt_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_page_bounds — W3 (lead) + W4 (monotone running-max clamp) over
+# synthetic page anchors (markdown_conversion_manager.py:167-172,
+# markdown_manager.py:245-249).
+# ---------------------------------------------------------------------------
+
+_ANCHORS_SQL = """
+    SELECT 'doc_' || CAST(o_orderkey % 50 AS VARCHAR) AS filename,
+           CAST(o_orderkey % 30 + 1 AS INT) AS page,
+           CAST(min((o_orderkey * 17) % 10000) AS BIGINT) AS raw_offset
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+_BOUNDS_ORACLE = f"""
+WITH page_anchors AS ({_ANCHORS_SQL}),
+clamped AS (
+    SELECT filename, page,
+           max(raw_offset) OVER (PARTITION BY filename ORDER BY page
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_offset
+    FROM page_anchors
+)
+SELECT filename, page, start_offset,
+       lead(start_offset, 1, 100000) OVER (PARTITION BY filename ORDER BY page) AS end_offset
+FROM clamped
+"""
+
+
+@register("q_page_bounds", oracle=_BOUNDS_ORACLE, tags=("phase2", "figures"))
+def q_page_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page [start,end) bounds: running-max clamp W4 then lead W3."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    anchors = spark.sql(_ANCHORS_SQL.replace("VARCHAR", "STRING"))
+    w_clamp = (
+        W.partitionBy("filename").orderBy("page").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lead = W.partitionBy("filename").orderBy("page")
+    return anchors.select(
+        "filename",
+        "page",
+        F.max("raw_offset").over(w_clamp).alias("start_offset"),
+    ).withColumn(
+        "end_offset", F.lead("start_offset", 1, 100000).over(w_lead)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_figure_caption_asof — J2: ordered first-fit caption claiming as a
+# rank-equality join; unmatched figures take the content-break fallback
+# O7 (markdown_conversion_manager.py:178-200, markdown_manager.py:123-137).
+# ---------------------------------------------------------------------------
+
+_SPOTS_SQL = """
+    SELECT 'doc_' || CAST(p_partkey % 50 AS VARCHAR) AS filename,
+           CAST(p_partkey % 30 + 1 AS INT) AS page,
+           CAST((p_partkey * 91) % 5000 AS BIGINT) AS cap_offset
+    FROM part
+    WHERE p_partkey % 3 = 0
+"""
+
+_ASOF_ORACLE = f"""
+WITH figures AS ({_FIGURES_SQL}),
+caption_spots AS ({_SPOTS_SQL}),
+fr AS (
+    SELECT filename, page, fig_key, y0,
+           row_number() OVER (PARTITION BY filename, page ORDER BY y0, x0, fig_key) AS rnk
+    FROM figures
+),
+sr AS (
+    SELECT filename, page, cap_offset,
+           row_number() OVER (PARTITION BY filename, page ORDER BY cap_offset) AS rnk
+    FROM caption_spots
+)
+SELECT f.filename, f.page, f.fig_key, f.rnk,
+       coalesce(s.cap_offset, 90000 + f.page * 100 + f.rnk) AS placed_offset,
+       CAST(s.cap_offset IS NULL AS INT) AS used_fallback
+FROM fr f LEFT JOIN sr s
+  ON f.filename = s.filename AND f.page = s.page AND f.rnk = s.rnk
+"""
+
+
+@register("q_figure_caption_asof", oracle=_ASOF_ORACLE, tags=("phase2", "figures"))
+def q_figure_caption_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-fit figure->caption matching (as-of rank join J2)."""
+    f = _figures(spark, sf_dir)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    spots = spark.sql(_SPOTS_SQL.replace("VARCHAR", "STRING"))
+    fr = f.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("filename", "page").orderBy("y0", "x0", "fig_key")
+        ),
+    ).select("filename", "page", "fig_key", "rnk")
+    sr = spots.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("filename", "page").orderBy("cap_offset"))
+    )
+    j = fr.join(sr, ["filename", "page", "rnk"], "left")
+    return j.select(
+        "filename",
+        "page",
+        "fig_key",
+        "rnk",
+        F.coalesce(
+            F.col("cap_offset"), F.lit(90000) + F.col("page") * 100 + F.col("rnk")
+        ).alias("placed_offset"),
+        F.col("cap_offset").isNull().cast("int").alias("used_fallback"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bbox_union — A5: bbox min/max union per (filename, page).
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = f"""
+WITH figures AS ({_FIGURES_SQL})
+SELECT filename, page,
+       min(x0) AS ux0, min(y0) AS uy0, max(x1) AS ux1, max(y1) AS uy1,
+       count(*) AS n_figures
+FROM figures
+GROUP BY filename, page
+"""
+
+
+@register("q_bbox_union", oracle=_UNION_ORACLE, tags=("phase2", "figures"))
+def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page bbox union (A5 rect_union as a min/max aggregate)."""
+    f = _figures(spark, sf_dir)
+    return f.groupBy("filename", "page").agg(
+        F.min("x0").alias("ux0"),
+        F.min("y0").alias("uy0"),
+        F.max("x1").alias("ux1"),
+        F.max("y1").alias("uy1"),
+        F.count("*").alias("n_figures"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rect_merge — J4 fixpoint merge via applyInPandas (no SQL oracle:
+# iterative connected components; unit-tested against a brute-force
+# reference in tests/test_rects.py).
+# ---------------------------------------------------------------------------
+
+
+@register("q_rect_merge", oracle=None, tags=("phase2", "figures"))
+def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component rect merge with tol=40 (image_manager.py:103-142).
+
+    Rows-only check by design: the fixpoint loop is not SQL-expressible;
+    correctness is covered by the pure-python property test.
+    """
+    from ..operators.rects import merge_rects
+
+    f = _figures(spark, sf_dir).select("filename", "page", "x0", "y0", "x1", "y1")
+    return merge_rects(f, tol=40.0)

@@ -188,3 +188,117 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(TX.normalize_text(F.col("text"))).alias("content_md5"),
         F.array_min(shingle_hashes).alias("winnow_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf — sparse scoring (V2 analog) with a rational idf,
+# (N+1)/(df+1), so every score is an exact integer ratio in doubles —
+# deterministic without trusting ln() across libms. The ln-based BM25
+# lives in q_bm25 (rows-only for exactly that reason).
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH wc AS (
+    SELECT doc_id, w AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS doc_freq FROM wc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT wc.doc_id, wc.term, wc.tf, df.doc_freq,
+           (CAST(wc.tf AS DOUBLE) * (n.n_docs + 1)) / (df.doc_freq + 1) AS tfidf
+    FROM wc JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, tfidf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("q_tfidf", oracle=_TFIDF_ORACLE, tags=("phase3", "textstats", "sparse"))
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc (sparse-vector pipeline, V2 analog)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = wc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        wc.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            ((F.col("tf").cast("double") * (F.col("n_docs") + 1)) / (F.col("doc_freq") + 1)).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+    )
+
+
+@register("q_bm25", oracle=None, tags=("phase3", "textstats", "sparse"))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term scores (k1=1.2, b=0.75). Rows-only: idf uses ln(), whose
+    last-ulp behavior differs across libm implementations (SURVEY.md §7
+    float-drift rule), so no cross-engine hash is attempted."""
+    from pyspark.sql import Window as W
+
+    k1, b = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = wc.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    df_ = wc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+    )
+    avgdl = dl.agg((F.sum("doc_len") / F.count("*")).alias("avg_dl"))
+    idf = (
+        df_.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_freq",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        wc.join(dl, "doc_id")
+        .join(idf, "term")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avg_dl")))
+            ).alias("bm25"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "bm25")
+    )

@@ -1,0 +1,58 @@
+"""Streaming / incremental layer tests: foreachBatch + merge_by_key
+idempotent ingestion (N3) against a tmp parquet table, and the
+AvailableNow drain used by q_streaming_tumbling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_etl_spark.operators.merge import merge_by_key
+
+
+def test_foreachbatch_merge_idempotent(spark, tmp_path):
+    target = str(tmp_path / "index_table")
+
+    base = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("version")
+    )
+    base.write.mode("overwrite").parquet(target)
+
+    batch = spark.range(3, 6).select(
+        F.col("id").alias("doc_id"), F.lit("v2").alias("version")
+    )
+
+    def upsert(batch_df):
+        old = spark.read.parquet(target)
+        merged = merge_by_key(old, batch_df, keys=["doc_id"])
+        merged.write.mode("overwrite").parquet(target + "_next")
+        # swap via re-write (a lakehouse MERGE in production)
+        spark.read.parquet(target + "_next").write.mode("overwrite").parquet(target)
+
+    # apply twice: idempotent re-ingestion (J6 semantics)
+    upsert(batch)
+    upsert(batch)
+
+    final = spark.read.parquet(target).toPandas().sort_values("doc_id")
+    assert len(final) == 10
+    v2 = final[final.version == "v2"].doc_id.tolist()
+    assert v2 == [3, 4, 5]
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from data_etl_spark.plans import REGISTRY
+
+    stream_pdf = (
+        REGISTRY["q_streaming_tumbling"].fn(spark, sf_dir).toPandas().sort_values("window_start")
+    )
+    batch_pdf = (
+        REGISTRY["q_tumbling_window"]
+        .fn(spark, sf_dir)
+        .groupBy("window_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("window_start")
+    )
+    assert stream_pdf.n_events.sum() == batch_pdf.n_events.sum()
+    assert list(stream_pdf.window_start) == list(batch_pdf.window_start)
