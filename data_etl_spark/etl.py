@@ -1,0 +1,230 @@
+"""End-to-end ETL orchestrator: the reference's public API surface
+re-expressed Spark-first.
+
+Mirrors `/root/reference/src/etl_processor.py` (E1 `perform_etl`,
+E2 `process_file`) and `/root/reference/src/managers/index_manager.py`
+(E3 `add_document`/`delete_document`) as ONE lazy DataFrame dataflow:
+
+    documents -> extension gate (F1) -> normalize (T1,T3-T7)
+              -> chunk + enumerate (U3/W2) -> token counts (A7)
+              -> embed (V1, pluggable; deterministic hash-embedding
+                 default so the correctness path needs no model)
+              -> keyed delete-then-add upsert into the index table (J6)
+
+The "vector store" is a partitioned Parquet table — no external index
+server (SURVEY.md §3: the only process boundaries are Spark's own).
+Search (V4) is exact cosine top-k against the same table.
+
+Scale posture: ingest batches broadcast in the anti-join side of the
+upsert (the 100 TB index never shuffles on ingest); the index table is
+written partitioned by a stable bucket of the document key so a
+delete/search touches a bounded file set. On a lakehouse table the
+rewrite below compiles to ``MERGE WHEN MATCHED DELETE ... INSERT``; the
+atomic staging-dir swap here is the plain-Parquet equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import text as TX
+from .operators import chunking as CH
+from .operators.merge import merge_by_key
+
+#: Dimension of the deterministic fallback embedding (md5-nibble based).
+FAKE_EMBED_DIM = 8
+
+#: Index-table schema (D5 analog: one row per chunk + vector).
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("chunk_text", T.StringType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def fake_embedding(col: Column) -> Column:
+    """Deterministic 8-dim embedding from md5 nibble pairs of the text.
+
+    Stands in for the reference's Jina/Ollama dense embedding (V1,
+    `index_manager.py:114-119`) on the correctness path: pure column
+    expression, model-free, identical across engines and retries.
+    """
+    h = F.md5(col)
+    parts = [
+        (F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("double") / F.lit(65535.0))
+        for i in range(FAKE_EMBED_DIM)
+    ]
+    return F.array(*parts)
+
+
+@dataclass
+class ETLConfig:
+    """Job config (ETLConfigManager analog, `config/manager.py:164-188`)."""
+
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+    allowed_extensions: Sequence[str] = ("pdf", "txt", "md")
+    n_buckets: int = 64  # index-table partition buckets over filename
+    extra: dict = field(default_factory=dict)
+
+
+class ETLPipeline:
+    """Ingest/search/delete over a Parquet-backed chunk+vector index.
+
+    The reference drives one file at a time through a Python loop
+    (`etl_processor.py:200-204`); here the same per-document logic is a
+    single lazy plan over *all* documents, parallel by construction.
+    """
+
+    def __init__(self, spark: SparkSession, index_path: str, config: ETLConfig | None = None):
+        self.spark = spark
+        self.index_path = index_path
+        self.config = config or ETLConfig()
+
+    # -- index-table plumbing ------------------------------------------------
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.index_path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" or f.startswith("bucket=")
+            for f in os.listdir(self.index_path)
+        )
+
+    def index_table(self) -> DataFrame:
+        """Current index contents (empty-but-typed if never written)."""
+        if not self._exists():
+            return self.spark.createDataFrame([], INDEX_SCHEMA)
+        df = self.spark.read.parquet(self.index_path)
+        return df.select([f.name for f in INDEX_SCHEMA.fields])
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Atomically replace the index table (stage -> swap).
+
+        Parquet stand-in for a lakehouse MERGE: Spark cannot overwrite a
+        path it is lazily reading, so write to a staging dir and rename.
+        `bucket` partitioning keeps per-document deletes/search file-local.
+        """
+        staging = self.index_path + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        (
+            df.withColumn(
+                "bucket", F.pmod(F.crc32(F.col("filename")), F.lit(self.config.n_buckets))
+            )
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        if os.path.exists(self.index_path):
+            shutil.rmtree(self.index_path)
+        os.replace(staging, self.index_path)
+
+    # -- the dataflow --------------------------------------------------------
+
+    def gate_extensions(self, docs: DataFrame, filename_col: str = "filename") -> DataFrame:
+        """F1 extension whitelist (`document_processor.py:51-60`)."""
+        ext = F.lower(F.element_at(F.split(F.col(filename_col), r"\."), -1))
+        return docs.filter(ext.isin(*self.config.allowed_extensions))
+
+    def chunk_documents(
+        self, docs: DataFrame, filename_col: str = "filename", text_col: str = "text"
+    ) -> DataFrame:
+        """normalize -> overlapping chunks -> token counts -> embeddings."""
+        norm = docs.select(
+            F.col(filename_col).alias("filename"),
+            TX.normalize_text(F.col(text_col)).alias("__ntext"),
+        )
+        chunks = CH.chunk_text(
+            norm,
+            text_col="__ntext",
+            size=self.config.chunk_size,
+            overlap=self.config.chunk_overlap,
+        )
+        return chunks.select(
+            "filename",
+            F.col("chunk_idx").cast("int"),
+            "chunk_text",
+            TX.ws_token_count(F.col("chunk_text")).cast("long").alias("n_tokens"),
+            fake_embedding(F.col("chunk_text")).alias("embedding"),
+        )
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        filename_col: str = "filename",
+        text_col: str = "text",
+        force: bool = True,
+        gate: bool = True,
+    ) -> dict:
+        """Idempotent document ingestion (E1/E3: delete-then-add per filename).
+
+        ``force=False`` = the reference's skip-processed incremental mode
+        (N1, `document_processor.py:146-202`): documents already indexed
+        are anti-joined away before any work happens.
+        Returns {"n_documents", "n_chunks"} for the batch actually ingested
+        (A1 success-count analog).
+        """
+        batch = self.gate_extensions(docs, filename_col) if gate else docs
+        if not force and self._exists():
+            seen = self.index_table().select("filename").distinct()
+            batch = batch.join(
+                F.broadcast(seen), batch[filename_col] == seen["filename"], "left_anti"
+            )
+        new_chunks = self.chunk_documents(batch, filename_col, text_col)
+        old = self.index_table()
+        merged = merge_by_key(old, new_chunks, keys=["filename"])
+        self._rewrite(merged)
+        stats = (
+            self.index_table()
+            .groupBy()
+            .agg(
+                F.countDistinct("filename").alias("n_documents"),
+                F.count("*").alias("n_chunks"),
+            )
+            .collect()[0]
+        )
+        return {"n_documents": stats["n_documents"], "n_chunks": stats["n_chunks"]}
+
+    def delete_documents(self, filenames: Sequence[str]) -> None:
+        """E3 delete_document: drop every chunk of the named documents."""
+        if not self._exists():
+            return
+        kept = self.index_table().filter(~F.col("filename").isin(*filenames))
+        self._rewrite(kept)
+
+    def documents_metadata(self) -> DataFrame:
+        """D2 DocumentMetadata analog: per-document chunk/token stats
+        (K4 sink's content, `etl_processor.py:113-140`)."""
+        return self.index_table().groupBy("filename").agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+
+    def search(self, queries: Sequence[str], k: int = 5) -> DataFrame:
+        """Exact cosine top-k over the index (V4; query side broadcast).
+
+        At 100 TB the same call runs against the bucketed table with an
+        IVF/LSH cell restriction (plans/similarity.py q_ivf_knn is that
+        path); exact scan is the correctness baseline.
+        """
+        from .operators.knn import exact_knn
+
+        qdf = self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)], "q_vec_id long, query_text string"
+        ).select("q_vec_id", fake_embedding(F.col("query_text")).alias("q_emb"))
+        corpus = self.index_table().select(
+            F.concat_ws("#", "filename", F.col("chunk_idx").cast("string")).alias("c_vec_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        return exact_knn(F.broadcast(qdf), corpus, k=k)

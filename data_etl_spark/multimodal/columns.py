@@ -74,3 +74,61 @@ def with_asset_meta(
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: video-style 1->N decode (UDTF shape, U2 analog). The
+# real frame decoder is stubbed like decode_image; the deterministic
+# stand-in slices fixed-size byte windows so the exploding mapInPandas
+# plumbing (schema, batch shape, ordering) is fully testable.
+# ---------------------------------------------------------------------------
+
+FRAME_SIZE = 16
+MAX_FRAMES = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def decode_frames(payload: bytes):
+    """Real video frame extraction — needs a media library not present here."""
+    raise NotImplementedError(
+        "video decode requires a media library not installed in this "
+        "environment; use fake_frames for the deterministic test path"
+    )
+
+
+def fake_frames(payload: bytes) -> list[bytes]:
+    """Deterministic stand-in: up to MAX_FRAMES fixed-size byte windows."""
+    n = min(MAX_FRAMES, len(payload) // FRAME_SIZE)
+    return [payload[i * FRAME_SIZE : (i + 1) * FRAME_SIZE] for i in range(n)]
+
+
+def sample_frames(df: DataFrame, binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Explode each binary payload into frame rows via mapInPandas (1->N)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, md5s = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                for i, fr in enumerate(fake_frames(bytes(payload))):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    md5s.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -43,3 +43,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
     )
     return with_asset_meta(assets, binary_col="content", key_cols=("doc_id",))
+
+
+# ---------------------------------------------------------------------------
+# q_frame_sample — 1->N frame sampling through mapInPandas (UDTF shape).
+# Fake payload = utf8 bytes of the first 80 chars of text; frames are
+# 16-byte windows, so the oracle is substring arithmetic + md5.
+# ---------------------------------------------------------------------------
+
+_FRAME_ORACLE = """
+WITH p AS (
+    SELECT doc_id, substring(text, 1, 80) AS payload FROM documents
+),
+f AS (
+    SELECT doc_id, payload,
+           unnest(generate_series(0, CAST(least(4, octet_length(encode(payload)) // 16) AS INT) - 1)) AS frame_idx
+    FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(octet_length(encode(substring(payload, frame_idx * 16 + 1, 16))) AS BIGINT) AS frame_bytes,
+       md5(substring(payload, frame_idx * 16 + 1, 16)) AS frame_md5
+FROM f
+"""
+
+
+@register("q_frame_sample", oracle=_FRAME_ORACLE, tags=("phase5", "multimodal"))
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: binary column -> exploded frame rows."""
+    from ..multimodal.columns import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 80), "UTF-8").alias("content")
+    )
+    return sample_frames(assets)

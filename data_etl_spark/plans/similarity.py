@@ -217,3 +217,69 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_vec_id", "rank", "c_vec_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rp_lsh_pairs — random-hyperplane (SimHash-for-vectors) LSH near-dup:
+# the scale path for embedding-cosine dedup when no trusted blocking
+# label exists. Hyperplane coefficients are a deterministic integer grid
+# generated once in Python and inlined as literals in BOTH dialects, so
+# the signature (sign of each integer-coefficient dot product) is
+# bit-identical and the oracle stays exact.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    # integer grid in [-9, 9]; no RNG (determinism across engines/retries)
+    return [float((i * 37 + j * 53 + 11) % 19 - 9) for i in range(_DIM)]
+
+
+_PLANES = [_plane(j) for j in range(_N_PLANES)]
+
+
+def _sig_sql() -> str:
+    bits = []
+    for j, p in enumerate(_PLANES):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in p) + "]"
+        bits.append(f"CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN {2**j} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_RP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+sig AS (SELECT vec_id, emb, {_sig_sql()} AS signature FROM e)
+SELECT a.signature, a.vec_id AS vec1, b.vec_id AS vec2,
+       {V.cosine_sql('a.emb', 'b.emb')} AS cos_sim
+FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+"""
+
+
+@register("q_rp_lsh_pairs", oracle=_RP_ORACLE, tags=("phase3", "similarity", "dedup"))
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH candidate pairs, scored by exact cosine.
+
+    100 TB shape: signature is the shuffle/partition key, so candidate
+    generation is one bounded-bucket self-join — never all-pairs. More
+    planes -> smaller buckets -> higher precision, lower recall; banding
+    (OR over several signature groups) recovers recall.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    sig_col = None
+    for j, p in enumerate(_PLANES):
+        lit = F.array(*[F.lit(v) for v in p])
+        bit = F.when(V.dot(F.col("emb"), lit) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig_col = bit if sig_col is None else sig_col + bit
+    sig = e.withColumn("signature", sig_col)
+    a = sig.select("signature", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"))
+    b = sig.select("signature", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"))
+    cos = V.cosine(F.col("emb1"), F.col("emb2"))
+    return (
+        a.join(b, "signature")
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("signature", "vec1", "vec2", cos.alias("cos_sim"))
+    )

@@ -51,3 +51,41 @@ def q_incremental_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     processed = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     return d.join(F.broadcast(processed), "doc_id", "left_anti").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_sessionize — custom stateful operator through
+# applyInPandasWithState; single AvailableNow batch => output equals
+# batch gaps-and-islands sessionization (exact integer oracle).
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = f"""
+WITH {EVENTS_US},
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events_us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("q_streaming_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("phase4", "streaming", "stateful"))
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState)."""
+    from ..streaming.jobs import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)

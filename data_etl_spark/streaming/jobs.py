@@ -75,3 +75,93 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_timestamp("w.start").alias("window_start"), "n_events", "sum_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user sessionization via
+# applyInPandasWithState (north-star "custom stateful operators" item).
+# Integer-only outputs (counts + epoch-µs bounds) keep it oracle-exact.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: carried across micro-batches: the currently-open session per user.
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_fn(key, pdf_iter, state):
+    """Stateful per-user sessionizer (update-mode semantics).
+
+    Emits every session closed by this batch's events plus a snapshot of
+    the still-open session; the open session is kept in GroupState so the
+    next micro-batch extends it instead of restarting. With a single
+    AvailableNow batch the emitted set equals batch gaps-and-islands
+    sessionization — which is what the DuckDB oracle checks.
+    """
+    import pandas as pd  # local: runs on executors
+
+    (user_id,) = key
+    if state.exists:
+        start_us, end_us, n = state.get
+        open_sess = [start_us, end_us, n]
+    else:
+        open_sess = None
+
+    sessions = []
+    for pdf in pdf_iter:
+        ts = pdf["ts_us"].sort_values().to_numpy()
+        for t in ts:
+            t = int(t)
+            if open_sess is None:
+                open_sess = [t, t, 1]
+            elif t >= open_sess[1] + SESSION_GAP_US:
+                sessions.append(open_sess)
+                open_sess = [t, t, 1]
+            else:
+                open_sess[1] = max(open_sess[1], t)
+                open_sess[2] += 1
+
+    if open_sess is not None:
+        state.update(tuple(open_sess))
+        sessions.append(open_sess)  # update-mode snapshot of the open session
+
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(sessions),
+            "session_start_us": [s[0] for s in sessions],
+            "session_end_us": [s[1] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+        }
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions through applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(sessions, output_mode="update")

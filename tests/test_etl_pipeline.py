@@ -1,0 +1,98 @@
+"""End-to-end tests for the ETLPipeline orchestrator (E1/E2/E3 parity):
+ingest -> idempotent re-ingest -> incremental skip -> upsert -> delete ->
+search, against a tmp Parquet index table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_etl_spark.etl import ETLConfig, ETLPipeline
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (f"doc_{i}.{ext}", f"word{i} " * (40 + i * 7))
+        for i, ext in enumerate(["pdf", "txt", "md", "exe", "pdf", "md"])
+    ]
+    return spark.createDataFrame(rows, "filename string, text string")
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    cfg = ETLConfig(chunk_size=100, chunk_overlap=20, n_buckets=4)
+    return ETLPipeline(spark, str(tmp_path / "index"), cfg)
+
+
+def test_ingest_gates_extensions_and_chunks(pipe, docs):
+    stats = pipe.ingest(docs)
+    # doc_3.exe is gated out (F1 whitelist)
+    assert stats["n_documents"] == 5
+    idx = pipe.index_table()
+    names = {r.filename for r in idx.select("filename").distinct().collect()}
+    assert "doc_3.exe" not in names and len(names) == 5
+    # chunk identity: contiguous 0-based chunk_idx per doc (W2)
+    per = idx.groupBy("filename").agg(
+        F.min("chunk_idx").alias("lo"), F.max("chunk_idx").alias("hi"), F.count("*").alias("n")
+    )
+    for r in per.collect():
+        assert r.lo == 0 and r.n == r.hi + 1
+    # embeddings present and fixed-dim
+    dims = idx.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [d.d for d in dims] == [8]
+
+
+def test_reingest_is_idempotent(pipe, docs):
+    first = pipe.ingest(docs)
+    second = pipe.ingest(docs)  # delete-then-add J6: same result
+    assert first == second
+
+
+def test_incremental_skip_and_upsert(pipe, docs, spark):
+    pipe.ingest(docs)
+    before = pipe.index_table().filter(F.col("filename") == "doc_0.pdf").count()
+
+    # force=False skips already-indexed documents entirely (N1)
+    longer = spark.createDataFrame(
+        [("doc_0.pdf", "completely new text " * 100)], "filename string, text string"
+    )
+    pipe.ingest(longer, force=False)
+    assert pipe.index_table().filter(F.col("filename") == "doc_0.pdf").count() == before
+
+    # force=True replaces the document's chunks (upsert J5/J6)
+    pipe.ingest(longer, force=True)
+    after = pipe.index_table().filter(F.col("filename") == "doc_0.pdf")
+    assert after.count() > before
+    txt = after.filter(F.col("chunk_idx") == 0).collect()[0].chunk_text
+    assert txt.startswith("completely new text")
+
+
+def test_delete_documents(pipe, docs):
+    pipe.ingest(docs)
+    pipe.delete_documents(["doc_0.pdf", "doc_2.md"])
+    names = {r.filename for r in pipe.index_table().select("filename").distinct().collect()}
+    assert names == {"doc_1.txt", "doc_4.pdf", "doc_5.md"}
+
+
+def test_metadata_and_search(pipe, docs):
+    pipe.ingest(docs)
+    meta = pipe.documents_metadata().collect()
+    assert all(m.n_chunks > 0 and m.total_tokens > 0 for m in meta)
+
+    hits = pipe.search(["word0 word0 word0", "word5"], k=3).collect()
+    assert len(hits) == 6  # 2 queries x top-3
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h.q_vec_id, []).append(h)
+    for q, hs in by_q.items():
+        ranks = sorted(h.rank for h in hs)
+        assert ranks == [1, 2, 3]
+        scores = [h.score for h in sorted(hs, key=lambda x: x.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_empty_index_reads_typed_empty(pipe):
+    idx = pipe.index_table()
+    assert idx.count() == 0
+    assert "embedding" in idx.columns
