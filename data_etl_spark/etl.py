@@ -196,6 +196,24 @@ class ETLPipeline:
         )
         return {"n_documents": stats["n_documents"], "n_chunks": stats["n_chunks"]}
 
+    def process_folder(self, input_dir: str, force: bool = True) -> dict:
+        """E1 perform_etl: scan a folder, convert to markdown, ingest.
+
+        binaryFile scan (S1/S2, extension-pruned at listing time) ->
+        mapInPandas conversion (U1, error-tolerant) -> the ingest
+        dataflow. Failed conversions are dropped like the reference's
+        per-file try/except (`etl_processor.py:109-111`), not raised.
+        """
+        from .operators.convert import to_markdown
+        from .sources.files import scan_binary_files
+
+        files = scan_binary_files(
+            self.spark, input_dir, extensions=self.config.allowed_extensions
+        )
+        converted = to_markdown(files)
+        good = converted.filter(F.col("ok")).select("filename", F.col("markdown").alias("text"))
+        return self.ingest(good, force=force, gate=False)
+
     def delete_documents(self, filenames: Sequence[str]) -> None:
         """E3 delete_document: drop every chunk of the named documents."""
         if not self._exists():
