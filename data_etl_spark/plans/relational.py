@@ -829,3 +829,41 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_salted_join — skew-mitigated equi-join: hot user_ids in `events` are
+# split across 8 deterministic salts before joining a per-user dim. The
+# oracle is the PLAIN join: salting must be invisible in the result.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+WITH dim AS (
+    SELECT user_id, count(*) AS user_events
+    FROM events GROUP BY user_id
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d.user_events) AS BIGINT) AS sum_user_events
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+"""
+
+
+@register("q_salted_join", oracle=_SALTED_ORACLE, tags=("phase1", "join", "skew"))
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.py): same result, bounded tasks."""
+    from ..operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    joined = salted_join(
+        e.select("event_id", "user_id", "event_type"),
+        dim,
+        keys=["user_id"],
+        salt_src="event_id",
+        n_salts=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_events").alias("sum_user_events"),
+    )
