@@ -283,3 +283,34 @@ def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.withColumn("file_extension", ext)
         .filter(F.col("file_extension").isin("pdf", "txt", "md"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_anchor_search — J8 + T11 + W4: per-document anchor as-of search over
+# synthetic page snippets, then a fence-aware content break at each
+# anchor. Sequential forward-cursor kernels => rows-only driver check
+# (not SQL-expressible); semantics are property-tested in
+# tests/test_anchors.py against brute-force references.
+# ---------------------------------------------------------------------------
+
+
+@register("q_anchor_search", oracle=None, tags=("phase2", "anchors"))
+def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone anchor search (markdown_manager.py:196-250) + content break."""
+    from ..operators.anchors import find_page_anchors, with_content_breaks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
+        F.col("text"),
+    )
+    pages = docs.select(
+        "filename",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("page"),
+    ).withColumn(
+        "snippet", F.expr("substring(text, (page - 1) * 200 + 1, 60)")
+    )
+    anchors = find_page_anchors(pages)
+    with_text = anchors.join(docs, "filename").withColumnRenamed("anchor", "start")
+    out = with_content_breaks(with_text.select("filename", "page", "found", "text", "start"))
+    return out.select("filename", "page", F.col("start").alias("anchor"), "found", "break_offset")

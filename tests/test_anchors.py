@@ -1,0 +1,115 @@
+"""Property tests for the J8 anchor-search and T11 content-break kernels
+against brute-force references, plus the distributed wrappers."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pandas as pd
+
+from data_etl_spark.operators.anchors import (
+    build_anchor_pattern,
+    find_page_anchors,
+    find_page_anchors_pandas,
+    next_content_break,
+    with_content_breaks,
+)
+
+
+def _make_doc(rng: random.Random, n_pages: int = 6):
+    """Document = concatenated page bodies; snippets = page prefixes with
+    noise (punctuation drift) so the \\W+ join in the pattern matters."""
+    words = [f"w{rng.randrange(200)}" for _ in range(n_pages * 60)]
+    pages, offsets, pos = [], [], 0
+    text_parts = []
+    for p in range(n_pages):
+        body = " ".join(words[p * 60 : (p + 1) * 60])
+        offsets.append(pos)
+        text_parts.append(body)
+        pos += len(body) + 2
+        # snippet: first ~12 words, with commas injected (drift)
+        snip = ", ".join(body.split(" ")[:12])
+        pages.append(snip)
+    return "\n\n".join(text_parts), pages, offsets
+
+
+def test_anchor_pattern_tolerates_punctuation_drift():
+    pat = build_anchor_pattern("alpha, beta. gamma")
+    assert re.search(pat, "alpha beta\n gamma rest") is not None
+    assert build_anchor_pattern("?!...") is None
+
+
+def test_find_anchors_monotone_and_correct():
+    rng = random.Random(3)
+    text, pages, offsets = _make_doc(rng)
+    pdf = pd.DataFrame(
+        {
+            "filename": "d",
+            "text": text,
+            "page": range(1, len(pages) + 1),
+            "snippet": pages,
+        }
+    )
+    got = find_page_anchors_pandas(pdf)
+    anchors = list(got.anchor)
+    assert anchors == sorted(anchors)  # W4 monotone
+    assert all(got.found == 1)
+    # each anchor lands at its page's true start (unique word ids)
+    assert anchors == offsets
+
+
+def test_find_anchors_missing_page_carries_previous():
+    pdf = pd.DataFrame(
+        {
+            "filename": "d",
+            "text": "hello world\n\nsecond page here",
+            "page": [1, 2, 3],
+            "snippet": ["hello world", "NOPE MISSING SNIPPET", "second page here"],
+        }
+    )
+    got = find_page_anchors_pandas(pdf).sort_values("page")
+    assert list(got.found) == [1, 0, 1]
+    assert got.anchor.iloc[1] == got.anchor.iloc[0]  # carries clamp value
+    assert got.anchor.iloc[2] == 13
+
+
+def test_next_content_break_skips_fences():
+    text = "intro\n```\ncode\n\nstill code\n```\nafter\n\ntail"
+    # the blank line at offset 14 is inside the fence -> skipped;
+    # first real break is the blank line before "tail"
+    b = next_content_break(text, 6)
+    assert text[b:].startswith("\n\ntail")
+    # no break after the last blank line -> len(text)
+    assert next_content_break(text, b + 2) == len(text)
+
+
+def test_next_content_break_prefers_earliest_kind():
+    text = "para one\n## Header\nmore\n\nend"
+    b = next_content_break(text, 0)
+    assert text[b:].startswith("\n## Header") or b == text.index("## Header")
+
+
+def test_distributed_anchor_search(spark):
+    rng = random.Random(11)
+    rows = []
+    for d in range(4):
+        text, pages, _ = _make_doc(rng)
+        for p, snip in enumerate(pages, start=1):
+            rows.append((f"doc_{d}", text, p, snip))
+    df = spark.createDataFrame(rows, "filename string, text string, page int, snippet string")
+    got = find_page_anchors(df).toPandas()
+    assert len(got) == 4 * 6
+    for _, grp in got.groupby("filename"):
+        a = list(grp.sort_values("page").anchor)
+        assert a == sorted(a)
+
+
+def test_with_content_breaks_distributed(spark):
+    df = spark.createDataFrame(
+        [("a", "one\n\ntwo\n\nthree", 0), ("b", "```\nx\n\ny\n```\nz\n\nw", 0)],
+        "doc string, text string, start long",
+    )
+    got = {r.doc: r.break_offset for r in with_content_breaks(df).collect()}
+    assert got["a"] == 3
+    assert got["b"] == 14  # the in-fence blank line is skipped
