@@ -867,3 +867,69 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("user_events").alias("sum_user_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_percentiles — exact interpolated percentiles (Spark `percentile` ==
+# DuckDB `quantile_cont`: both sort and linearly interpolate, and the
+# interpolation arithmetic on doubles is identical). Median/p25/p75 of
+# l_quantity per returnflag.
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_percentiles", oracle=_PCT_ORACLE, tags=("phase1", "agg"))
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based, no sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_map_funcs — MapType surface (F5 header-key projection analog,
+# chunking_manager.py:161-164): build a headers map, map_filter to the
+# "Header N" keys, serialize entries sorted. The oracle constructs the
+# same string directly (DuckDB MAPs don't hash-compare with Spark's, so
+# the comparison surface is the serialized entry list).
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT doc_id,
+       'Header 1=' || substring(text, 1, 8) || '|Header 2=' || upper(lang) AS headers,
+       2 AS n_header_keys
+FROM documents
+"""
+
+
+@register("q_map_funcs", oracle=_MAP_ORACLE, tags=("phase1", "scalar", "map"))
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_filter/map_entries/transform over a MapType column (F5)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("Header 1"), F.substring("text", 1, 8),
+        F.lit("Header 2"), F.upper("lang"),
+        F.lit("source"), F.col("source"),
+    )
+    filtered = F.map_filter(m, lambda k, v: k.startswith("Header "))
+    entries = F.transform(
+        F.map_entries(filtered), lambda e: F.concat(e.key, F.lit("="), e.value)
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(entries), "|").alias("headers"),
+        F.size(F.map_keys(filtered)).cast("int").alias("n_header_keys"),
+    )

