@@ -200,3 +200,49 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hv.groupBy("doc_id").agg(
         F.expr(_simhash_select("spark")).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — connected components over the MinHash-LSH candidate
+# graph: the canonical-assignment step of a full dedup pipeline
+# (candidates -> clusters -> keep min doc_id). Spark side is iterative
+# hash-min label propagation (operators/components.py); the oracle is a
+# recursive-CTE transitive closure — both deterministic.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sig AS ({_MINHASH_ORACLE}),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT doc1 AS src, doc2 AS dst FROM pairs
+    UNION
+    SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+    SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+"""
+
+
+@register("q_dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("phase3", "dedup", "components"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidates -> connected components."""
+    from ..operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
+    return dedup_clusters(pairs)

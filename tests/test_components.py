@@ -1,0 +1,38 @@
+"""Connected-components operator: known graphs + clustering semantics."""
+
+from __future__ import annotations
+
+from data_etl_spark.operators.components import connected_components, dedup_clusters
+
+
+def test_components_known_graph(spark):
+    # two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_components_long_path_converges(spark):
+    # path of length 12: worst case for min propagation (diameter rounds)
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc1 long, doc2 long"
+    )
+    got = {r.doc_id: (r.canonical_id, r.cluster_size) for r in dedup_clusters(pairs).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
