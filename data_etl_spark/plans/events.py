@@ -181,3 +181,85 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_join — time as-of join: for every 'click' event, the latest
+# 'purchase' (<= ts) by the same user. Implemented as the union-stream
+# + carry-forward window (ONE shuffle on user_id, no range blow-up —
+# the 100 TB as-of strategy); oracle is DuckDB's native ASOF JOIN.
+# The purchase side is pre-aggregated to one row per (user_id, ts) so
+# the as-of match is unique and both engines agree on ties.
+# ---------------------------------------------------------------------------
+
+_ASOF_JOIN_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT event_id, user_id, ts FROM events_us WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events_us WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("q_asof_join", oracle=_ASOF_JOIN_ORACLE, tags=("phase4", "join", "asof", "events"))
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + last(ignorenulls) carry-forward window."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    unioned = purchases.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts_us").alias("p_ts_us"),
+        "purchase_value",
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("is_probe"),
+            "event_id",
+            F.lit(None).cast("long").alias("p_ts_us"),
+            F.lit(None).cast("double").alias("purchase_value"),
+        )
+    )
+    # build rows (is_probe=0) sort before probes at equal ts => '>=' semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ts_us",
+        "is_probe",
+        "event_id",
+        F.last("p_ts_us", ignorenulls=True).over(w).alias("purchase_ts_us"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        "purchase_ts_us",
+        "purchase_value",
+    )
