@@ -34,8 +34,11 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_minhash_lsh_pairs",
     "q_knn_exact",
+    "q_rp_lsh_pairs",
     "q_tumbling_window",
     "q_session_window",
+    "q_asof_join",
+    "q_salted_join",
 ]
 
 

@@ -59,6 +59,19 @@ def cosine_sql(a: str, b: str) -> str:
     return f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
 
 
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed norms: dot/(na*nb).
+
+    Identical IEEE result to :func:`cosine` (same expression tree, the
+    norm subexpressions just evaluated earlier) — but the O(pairs) side
+    of a similarity join only pays one fold per pair instead of three.
+    Precompute norms per VECTOR before the join; at 100 TB this is the
+    difference between 1x and 3x the interpreted-HOF cost on the blown-up
+    pair set.
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

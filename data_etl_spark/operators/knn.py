@@ -34,8 +34,12 @@ def exact_knn(
     Inputs must carry double-cast embedding arrays (functions.vectors
     .as_double) so scores are bit-identical with the SQL oracle.
     """
-    score = V.cosine(F.col(q_vec), F.col(c_vec))
-    scored = queries.crossJoin(corpus).select(
+    # norms once per vector (not per pair): same IEEE doubles, 1/3 the
+    # higher-order-function folds on the queries x corpus blow-up.
+    q = queries.withColumn("__qn", V.l2_norm(F.col(q_vec)))
+    c = corpus.withColumn("__cn", V.l2_norm(F.col(c_vec)))
+    score = V.cosine_pre(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn"))
+    scored = q.crossJoin(c).select(
         q_id, c_id, score.alias("score")
     )
     w = W.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))

@@ -76,14 +76,22 @@ LIMIT 100
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 most-similar same-label vector pairs (near-dup by cosine)."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", V.as_double(F.col("embedding")).alias("emb")
+        "vec_id",
+        "label",
+        V.as_double(F.col("embedding")).alias("emb"),
     )
-    a = e.select("label", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"))
-    b = e.select("label", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"))
+    e = e.withColumn("nrm", V.l2_norm(F.col("emb")))  # once per vector, not per pair
+    a = e.select(
+        "label", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"), F.col("nrm").alias("n1")
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
+    )
+    cos = V.cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
     return (
         a.join(b, "label")
         .filter(F.col("vec1") < F.col("vec2"))
-        .select("label", "vec1", "vec2", V.cosine(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+        .select("label", "vec1", "vec2", cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec1", "vec2")
         .limit(100)
     )
@@ -274,10 +282,14 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit = F.array(*[F.lit(v) for v in p])
         bit = F.when(V.dot(F.col("emb"), lit) >= 0, F.lit(2**j)).otherwise(F.lit(0))
         sig_col = bit if sig_col is None else sig_col + bit
-    sig = e.withColumn("signature", sig_col)
-    a = sig.select("signature", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"))
-    b = sig.select("signature", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"))
-    cos = V.cosine(F.col("emb1"), F.col("emb2"))
+    sig = e.withColumn("signature", sig_col).withColumn("nrm", V.l2_norm(F.col("emb")))
+    a = sig.select(
+        "signature", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"), F.col("nrm").alias("n1")
+    )
+    b = sig.select(
+        "signature", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
+    )
+    cos = V.cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
     return (
         a.join(b, "signature")
         .filter(F.col("vec1") < F.col("vec2"))
