@@ -302,3 +302,80 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_deterministic_sample — reproducible sampling for training pipelines:
+# hash-mod row sampling (10%) + stratified top-2-per-lang by doc_id.
+# rand()/TABLESAMPLE are banned (retries fork results — SURVEY.md §1.3);
+# hash-mod gives the same sample on every engine, every run.
+# ---------------------------------------------------------------------------
+
+def _hex1_sql(h: str) -> str:
+    """int value of the first hex char of expr h (portable instr parse)."""
+    return f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1)"
+
+
+_SAMPLE_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id, lang, source, n_chars,
+           {_hex1_sql("md5(CAST(doc_id AS VARCHAR))")} AS h
+    FROM documents
+),
+sampled AS (SELECT * FROM hashed WHERE h < 2),
+strat AS (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM sampled
+)
+SELECT doc_id, lang, source, n_chars, CAST(rn AS BIGINT) AS rn
+FROM strat WHERE rn <= 2
+"""
+
+
+@register("q_deterministic_sample", oracle=_SAMPLE_ORACLE, tags=("phase3", "sampling"))
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod 12.5% sample then stratified top-2 per lang (reproducible)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_hex1_sql("md5(CAST(doc_id AS STRING))"))
+    sampled = d.select("doc_id", "lang", "source", "n_chars").filter(h < 2)
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        sampled.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_profile — data-quality profiling aggregate (training-data hygiene):
+# per-source row counts, null/empty rates, distincts, length stats.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_profile", oracle=_PROFILE_ORACLE, tags=("phase3", "textstats", "profiling"))
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile aggregate per source (nulls, distincts, ranges)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.trim("text") == "", 1).otherwise(0)).cast("bigint").alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )

@@ -1,0 +1,52 @@
+"""Physical-plan regression guards: the scale properties claimed in
+README (pushdown, pruning, broadcast dims, no accidental cartesian
+products) asserted on actual executed plans so refactors can't silently
+lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_etl_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_shipping_priority")
+    assert "PushedFilters: [" in plan
+    # pruned scan: lineitem read must not include irrelevant wide columns
+    assert "l_comment" not in plan
+    assert "PushedFilters: []" not in plan.split("lineitem")[1].split("]")[0] + "]"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_knn_exact")
+    # the deliberate cross join must be the broadcast nested-loop form
+    # (query side broadcast), never a shuffled cartesian product
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_pricing_summary", "q_chunk_pipeline", "q_exact_dedup", "q_tumbling_window"],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    assert "CartesianProduct" not in _plan(spark, sf_dir, name)
+
+
+def test_chunking_is_shuffle_free_before_agg(spark, sf_dir):
+    # chunk explosion itself must not shuffle; the only exchange in the
+    # chunk pipeline is the final per-doc aggregate
+    plan = _plan(spark, sf_dir, "q_chunks")
+    assert "Exchange" not in plan
