@@ -214,6 +214,35 @@ class ETLPipeline:
         good = converted.filter(F.col("ok")).select("filename", F.col("markdown").alias("text"))
         return self.ingest(good, force=force, gate=False)
 
+    def ingest_stream(self, input_dir: str) -> None:
+        """Continuous ingestion: new text files are discovered by the
+        Structured Streaming file source and upserted via foreachBatch
+        (N1 exactly-once new-file processing + N3 idempotent merge in
+        one mechanism). Drains whatever is new with Trigger.AvailableNow;
+        the checkpoint remembers processed files across calls — the
+        streaming-native form of ``ingest(force=False)``.
+        """
+        raw = (
+            self.spark.readStream.format("text")
+            .option("wholetext", "true")
+            .load(input_dir)
+        )
+        docs = raw.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+            F.col("value").alias("text"),
+        )
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest(batch_df, force=True, gate=True)
+
+        q = (
+            docs.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", self.index_path + ".checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     def delete_documents(self, filenames: Sequence[str]) -> None:
         """E3 delete_document: drop every chunk of the named documents."""
         if not self._exists():

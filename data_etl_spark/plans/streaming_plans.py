@@ -89,3 +89,23 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_sessionize
 
     return streaming_sessionize(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_dedup — watermarked dropDuplicates through the streaming
+# engine; one AvailableNow drain == batch DISTINCT (exact oracle).
+# ---------------------------------------------------------------------------
+
+_SDEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_streaming_dedup", oracle=_SDEDUP_ORACLE, tags=("phase4", "streaming", "dedup"))
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (withWatermark + dropDuplicates)."""
+    from ..streaming.jobs import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, sf_dir)

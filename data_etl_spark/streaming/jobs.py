@@ -165,3 +165,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(sessions, output_mode="update")
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup through the streaming engine:
+    watermark + dropDuplicates on the event key, then counts per type.
+
+    With a static source drained in one AvailableNow pass the result
+    equals batch DISTINCT — the streaming dedup state machinery itself
+    is what's under test (N1's skip-processed semantic, applied to
+    events instead of files)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+    return run_to_memory(agg, output_mode="complete")

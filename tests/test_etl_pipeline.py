@@ -96,3 +96,23 @@ def test_empty_index_reads_typed_empty(pipe):
     idx = pipe.index_table()
     assert idx.count() == 0
     assert "embedding" in idx.columns
+
+
+def test_ingest_stream_incremental(pipe, spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "a.txt").write_text("streaming alpha " * 30)
+    (src / "b.md").write_text("# B\nstreaming beta " * 30)
+
+    pipe.ingest_stream(str(src))
+    names = {r.filename for r in pipe.index_table().select("filename").distinct().collect()}
+    assert names == {"a.txt", "b.md"}
+    a_chunks = pipe.index_table().filter(F.col("filename") == "a.txt").count()
+
+    # add one file; re-drain: only the new file is processed (checkpoint
+    # remembers a.txt/b.md), existing chunks unchanged
+    (src / "c.txt").write_text("streaming gamma " * 30)
+    pipe.ingest_stream(str(src))
+    names = {r.filename for r in pipe.index_table().select("filename").distinct().collect()}
+    assert names == {"a.txt", "b.md", "c.txt"}
+    assert pipe.index_table().filter(F.col("filename") == "a.txt").count() == a_chunks
