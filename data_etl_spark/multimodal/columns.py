@@ -132,3 +132,46 @@ def sample_frames(df: DataFrame, binary_col: str = "content", id_col: str = "doc
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: binary payload -> numeric feature vector (the
+# "feature-extract" slot of the multimodal pipeline). The real extractor
+# (CNN embedding / mel spectrogram) is stubbed like decode_image; the
+# deterministic stand-in computes integer byte statistics (4-bin
+# histogram + sum), so the numpy-in-Arrow-batches plumbing is verified
+# by an exact integer oracle.
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("bin0", T.LongType(), False),
+        T.StructField("bin1", T.LongType(), False),
+        T.StructField("bin2", T.LongType(), False),
+        T.StructField("bin3", T.LongType(), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Byte-statistics features via mapInPandas + numpy (vectorized)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> 6, minlength=4)
+                rows.append(
+                    (int(did), len(b), int(b.sum()), *(int(h) for h in hist))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "byte_sum", "bin0", "bin1", "bin2", "bin3"],
+            )
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)

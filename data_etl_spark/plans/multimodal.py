@@ -77,3 +77,38 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.substring("text", 1, 80), "UTF-8").alias("content")
     )
     return sample_frames(assets)
+
+
+# ---------------------------------------------------------------------------
+# q_binary_features — numpy feature extraction over binary columns
+# (integer byte histogram => exact oracle via ascii() arithmetic).
+# ---------------------------------------------------------------------------
+
+_FEAT_ORACLE = """
+WITH p AS (SELECT doc_id, substring(text, 1, 64) AS payload FROM documents),
+v AS (
+    SELECT doc_id, ascii(substring(payload, CAST(i AS INT), 1)) AS byte
+    FROM p, unnest(generate_series(1, length(payload))) AS t(i)
+)
+SELECT doc_id,
+       count(*) AS n_bytes,
+       CAST(sum(byte) AS BIGINT) AS byte_sum,
+       CAST(sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+       CAST(sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+       CAST(sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+       CAST(sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3
+FROM v
+GROUP BY doc_id
+"""
+
+
+@register("q_binary_features", oracle=_FEAT_ORACLE, tags=("phase5", "multimodal"))
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction (numpy byte histogram via mapInPandas)."""
+    from ..multimodal.columns import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
+    )
+    return extract_features(assets)

@@ -295,3 +295,46 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec1") < F.col("vec2"))
         .select("signature", "vec1", "vec2", cos.alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_text — the V1 dense-embedding slot, oracle-checked: the
+# model-free hash embedding (etl.py fake_embedding) maps text -> 8-dim
+# double vector via md5 nibble-pair integers / 65535. A real model
+# drops into the same column contract (mapInPandas, ArrayType(Double)).
+# ---------------------------------------------------------------------------
+
+
+def _hexval4_sql(h: str, start: int) -> str:
+    nib = lambda p: f"(instr('0123456789abcdef', substring({h}, {p}, 1)) - 1)"  # noqa: E731
+    v = nib(start)
+    for p in range(start + 1, start + 4):
+        v = f"({v} * 16 + {nib(p)})"
+    return v
+
+
+_EMBED_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+SELECT doc_id,
+       {', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0 AS e{i}" for i in range(8))},
+       sqrt(list_dot_product(
+           [{', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0" for i in range(8))}],
+           [{', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0" for i in range(8))}])) AS nrm
+FROM h
+"""
+
+
+@register("q_embed_text", oracle=_EMBED_ORACLE, tags=("phase3", "similarity", "embedding"))
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text->vector embedding (V1 slot) + L2 norm."""
+    from ..etl import fake_embedding
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = fake_embedding(F.col("text"))
+    # dims as scalar columns: the driver's value-hash compares scalars
+    # exactly, while raw array columns stringify differently per engine
+    return d.select(
+        "doc_id",
+        *[F.element_at(emb, i + 1).alias(f"e{i}") for i in range(8)],
+        V.l2_norm(emb).alias("nrm"),
+    )
