@@ -30,7 +30,15 @@ def word_shingles(df: DataFrame, key: str = "doc_id", text_col: str = "text", n:
     (O(words²) per doc — measured 4x slower at sf0.1). Slices evaluate
     the array once per row.
     """
-    ws_df = df.select(key, TX.words(F.col(text_col)).alias("__ws"))
+    # Repartition by key before the tokenize+explode flatMap: the test
+    # files are single-row-group parquet (one scan task), so without
+    # this the heavy per-row work runs on one core. Shuffling the raw
+    # docs is cheap (bytes ~ input size); the explode output (10-100x
+    # larger) is what must be born parallel. On splittable 100 TB input
+    # the scan already parallelizes and this spreads per-doc skew.
+    ws_df = df.select(key, F.col(text_col)).repartition(F.col(key)).select(
+        key, TX.words(F.col(text_col)).alias("__ws")
+    )
     cnt = F.greatest(F.size(F.col("__ws")) - (n - 1), F.lit(0))
     slices = [F.slice(F.col("__ws"), j + 1, cnt) for j in range(n)]
     z = slices[0]

@@ -236,7 +236,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical and the oracle stays exact.
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 6
+_N_PLANES = 8
 _DIM = 64
 
 
