@@ -234,3 +234,62 @@ def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f = _figures(spark, sf_dir).select("filename", "page", "x0", "y0", "x1", "y1")
     return merge_rects(f, tol=40.0)
+
+
+# ---------------------------------------------------------------------------
+# q_figure_placement — O4: apply figure-reference insertions at quartile
+# offsets of each document, largest offset first. The kernel is generic
+# string surgery (applyInPandas); the oracle reconstructs the same
+# string with pure substring concatenation (3 fixed insertions), so the
+# md5 check proves byte-exact placement.
+# ---------------------------------------------------------------------------
+
+_INS = ["\n![image 1](FIG_001.png)\n", "\n![image 2](FIG_002.png)\n", "\n![image 3](FIG_003.png)\n"]
+
+_PLACE_SQL_INS = [
+    "chr(10) || '![image 1](FIG_001.png)' || chr(10)",
+    "chr(10) || '![image 2](FIG_002.png)' || chr(10)",
+    "chr(10) || '![image 3](FIG_003.png)' || chr(10)",
+]
+
+_PLACE_ORACLE = f"""
+WITH d AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS filename, text,
+           length(text) AS n
+    FROM documents
+)
+SELECT filename,
+       length(text) + {sum(len(s) for s in _INS)} AS placed_len,
+       md5(substring(text, 1, n // 4)
+           || {_PLACE_SQL_INS[0]}
+           || substring(text, n // 4 + 1, (n * 2) // 4 - n // 4)
+           || {_PLACE_SQL_INS[1]}
+           || substring(text, (n * 2) // 4 + 1, (n * 3) // 4 - (n * 2) // 4)
+           || {_PLACE_SQL_INS[2]}
+           || substring(text, (n * 3) // 4 + 1)) AS placed_md5
+FROM d
+"""
+
+
+@register("q_figure_placement", oracle=_PLACE_ORACLE, tags=("phase2", "figures"))
+def q_figure_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-stable insertion apply (O4) with byte-exact md5 oracle."""
+    from ..operators.placement import apply_insertions
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
+        "text",
+    )
+    ins = docs.select(
+        "filename",
+        "text",
+        F.posexplode(F.array(*[F.lit(s) for s in _INS])).alias("k", "insertion"),
+    ).withColumn(
+        "offset", F.expr("(length(text) * (k + 1)) div 4").cast("long")
+    ).drop("k")
+    placed = apply_insertions(ins)
+    return placed.select(
+        "filename",
+        F.length("placed_text").cast("bigint").alias("placed_len"),
+        F.md5("placed_text").alias("placed_md5"),
+    )

@@ -113,3 +113,15 @@ def test_with_content_breaks_distributed(spark):
     got = {r.doc: r.break_offset for r in with_content_breaks(df).collect()}
     assert got["a"] == 3
     assert got["b"] == 14  # the in-fence blank line is skipped
+
+
+def test_apply_insertions_offset_stability():
+    from data_etl_spark.operators.placement import apply_insertions_text
+
+    # inserting at ascending offsets must not shift later insertion points
+    out = apply_insertions_text("abcdef", [(2, "[X]"), (4, "[Y]")])
+    assert out == "ab[X]cd[Y]ef"
+    # clamped: beyond-end goes to the end, negative to the start
+    assert apply_insertions_text("abc", [(99, "[E]"), (-5, "[S]")]) == "[S]abc[E]"
+    # tie at the same offset: deterministic (descending snippet order)
+    assert apply_insertions_text("ab", [(1, "1"), (1, "2")]) == "a12b"
