@@ -246,3 +246,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
     pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_banded_pairs — LSH with 2-row bands (b=4 bands x r=2 rows):
+# the precision knob vs q_minhash_lsh_pairs's 1-row bands. A pair is a
+# candidate only if BOTH minhashes of some band collide — candidate
+# probability drops from 1-(1-s)^k to 1-(1-s^2)^4 (steeper S-curve).
+# ---------------------------------------------------------------------------
+
+_BANDED_ORACLE = f"""
+WITH sig AS ({_MINHASH_ORACLE}),
+banded AS (
+    SELECT doc_id, seed // 2 AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // 2
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("q_minhash_banded_pairs", oracle=_BANDED_ORACLE, tags=("phase3", "dedup"))
+def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with 2-row bands (band key = joined minhash pair)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.word_shingles(d))
+    banded = (
+        sig.withColumn("band", F.expr("seed div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash").cast("string").alias("minhash")))
+                    ),
+                    lambda s: s.minhash,
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc1"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )

@@ -1015,3 +1015,96 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_window_range_frame — RANGE frames + percent_rank/cume_dist (the
+# window features SURVEY.md §2.6 lists as absent from the reference):
+# 30-day trailing revenue per customer over order event-time, ranked
+# within market segment.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS od_s,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY od_s
+                             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY od_s, o_orderkey) AS pr,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY od_s, o_orderkey) AS cd
+FROM o
+"""
+
+
+@register("q_window_range_frame", oracle=_RANGE_FRAME_ORACLE, tags=("phase1", "window"))
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame trailing sum + percent_rank/cume_dist analytics."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("od_s"),
+        _dec("o_totalprice").alias("price"),
+    )
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("od_s").rangeBetween(-2592000, 0)
+    )
+    w_rank = W.partitionBy("o_custkey").orderBy("od_s", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("price").over(w_range).cast("double").alias("trailing_30d"),
+        F.percent_rank().over(w_rank).alias("pr"),
+        F.cume_dist().over(w_rank).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_moments — mean/variance/stddev via EXPLICIT decimal sums (never the
+# engines' streaming variance aggregates, whose accumulation order
+# varies): var = (n*sum(x^2) - sum(x)^2) / n^2, from two exact decimal
+# sums. Values are quantized to scale 3 BEFORE squaring so every sum is
+# exactly representable as a double (sum*10^6 < 2^53) — the
+# decimal->double conversion is then exact in both engines (at scale 12
+# DuckDB's hugeint->double path rounds differently in the last ulp).
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s2
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean_value,
+       (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n) AS var_pop,
+       sqrt((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n)) AS std_pop
+FROM s
+"""
+
+
+@register("q_moments", oracle=_MOMENTS_ORACLE, tags=("phase1", "agg", "stats"))
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mean/variance/stddev from exact decimal sums."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,3)")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (n * s2 - s1 * s1) / (n.cast("double") * n)
+    return s.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean_value"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("std_pop"),
+    )
