@@ -1108,3 +1108,67 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_pop"),
         F.sqrt(var).alias("std_pop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_unpivot — wide->long melt (stack): per-lang doc counts by source
+# pivoted wide, then unpivoted back to (source, lang, n). Exercises the
+# inverse of q_pivot.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT source,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr
+    FROM documents GROUP BY source
+)
+SELECT source, lang, CAST(n AS BIGINT) AS n
+FROM wide UNPIVOT (n FOR lang IN (en, de, fr))
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT_ORACLE, tags=("phase1", "agg"))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack() — inverse of q_pivot."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("lang") == lang, 1).otherwise(0)).alias(lang)
+            for lang in ("en", "de", "fr")
+        ]
+    )
+    return wide.select(
+        "source",
+        F.expr("stack(3, 'en', en, 'de', de, 'fr', fr) AS (lang, n)"),
+    ).select("source", "lang", F.col("n").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# q_minmax_by — min_by/max_by (argmin/argmax) aggregates: each user's
+# first and last event value/type keyed by event_id (unique => fully
+# deterministic; DuckDB spells them arg_min/arg_max).
+# ---------------------------------------------------------------------------
+
+_MINMAX_BY_ORACLE = """
+SELECT user_id,
+       arg_min(value, event_id) AS first_value,
+       arg_max(value, event_id) AS last_value,
+       arg_min(event_type, event_id) AS first_type,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_minmax_by", oracle=_MINMAX_BY_ORACLE, tags=("phase1", "agg"))
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates over a unique ordering key."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.count("*").alias("n_events"),
+    )
