@@ -338,3 +338,54 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.element_at(emb, i + 1).alias(f"e{i}") for i in range(8)],
         V.l2_norm(emb).alias("nrm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark ML LSH variants (SURVEY.md §2.9 V4 scale path): MinHashLSH over
+# hashed token sets and BucketedRandomProjectionLSH over embeddings.
+# Rows-only by necessity — Spark ML hashes with murmur3/seeded families
+# DuckDB cannot reproduce — but fully deterministic (fixed seeds), and
+# the exact hand-rolled counterparts (q_minhash_lsh_pairs,
+# q_rp_lsh_pairs) carry the oracle burden for the same semantics.
+# ---------------------------------------------------------------------------
+
+
+@register("q_ml_minhash_join", oracle=None, tags=("phase3", "dedup", "sparkml"))
+def q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML MinHashLSH approxSimilarityJoin on token sets (d < 0.6)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(tok.transform(d)).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc1"),
+            F.col("datasetB.doc_id").alias("doc2"),
+            "jaccard_dist",
+        )
+    )
+
+
+@register("q_ml_brp_neighbors", oracle=None, tags=("phase3", "similarity", "sparkml"))
+def q_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML BucketedRandomProjectionLSH top-5 neighbors of vec 0."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(V.as_double(F.col("embedding"))).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=7
+    )
+    model = brp.fit(e)
+    key = e.filter(F.col("vec_id") == 0).head().features
+    corpus = e.filter(F.col("vec_id") > 0)
+    nn = model.approxNearestNeighbors(corpus, key, 5, distCol="l2_dist")
+    return nn.select("vec_id", "l2_dist")
