@@ -1,0 +1,60 @@
+"""Per-document kernels on a large single document (the 100 TB risk for
+applyInPandas operators is per-GROUP size, not corpus size): a multi-MB
+doc must flow through chunking, anchor search, and insertion placement
+in seconds, and outputs must stay consistent."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_etl_spark.operators.anchors import find_page_anchors_pandas
+from data_etl_spark.operators.chunking import chunk_text
+from data_etl_spark.operators.placement import apply_insertions_text
+
+
+def _big_text(n_mb: float = 2.0) -> str:
+    unit = " ".join(f"tok{i}" for i in range(200)) + "\n\n"
+    reps = int(n_mb * 1_000_000 / len(unit)) + 1
+    return unit * reps
+
+
+def test_chunking_scales_linearly(spark):
+    text = _big_text(2.0)
+    df = spark.createDataFrame([("big", text)], "doc_id string, text string")
+    t0 = time.perf_counter()
+    n = chunk_text(df, text_col="text", size=1000, overlap=200).count()
+    dt = time.perf_counter() - t0
+    assert n == 1 + (len(text) - 1000 + 799) // 800
+    assert dt < 30, f"chunking 2MB took {dt:.1f}s"
+
+
+def test_anchor_search_on_big_doc():
+    text = _big_text(1.0)
+    # snippets drawn from real offsets spread through the doc
+    pages, step = [], len(text) // 8
+    for p in range(8):
+        pages.append(text[p * step : p * step + 80])
+    pdf = pd.DataFrame(
+        {"filename": "big", "text": text, "page": range(1, 9), "snippet": pages}
+    )
+    t0 = time.perf_counter()
+    got = find_page_anchors_pandas(pdf)
+    dt = time.perf_counter() - t0
+    assert list(got.anchor) == sorted(got.anchor)
+    assert dt < 20, f"anchor search on 1MB doc took {dt:.1f}s"
+
+
+def test_placement_many_insertions_on_big_doc():
+    text = _big_text(1.0)
+    ins = [(i * 10_000, f"[fig{i}]") for i in range(100)]
+    t0 = time.perf_counter()
+    placed = apply_insertions_text(text, ins)
+    dt = time.perf_counter() - t0
+    assert len(placed) == len(text) + sum(len(s) for _, s in ins)
+    # insertions landed in ascending offset order
+    order = [placed.index(f"[fig{i}]") for i in (0, 50, 99)]
+    assert order == sorted(order)
+    assert dt < 20, f"100 insertions on 1MB doc took {dt:.1f}s"
