@@ -258,6 +258,39 @@ class ETLPipeline:
             F.sum("n_tokens").alias("total_tokens"),
         )
 
+    def build_ann_index(self, n_cells: int = 16, kmeans_iter: int = 4) -> str:
+        """Train centroids on the index embeddings (k-means) and write a
+        cell-partitioned IVF copy next to the index table. Returns its
+        path. At 100 TB this is the search-scale path: a probe reads one
+        cell's partition instead of the full table."""
+        from .operators.ivf import build_ivf_index
+        from .operators.kmeans import kmeans_fit
+
+        vec = self.index_table().select(
+            F.concat_ws("#", "filename", F.col("chunk_idx").cast("string")).alias("c_vec_id"),
+            F.col("embedding").alias("cemb2"),
+        )
+        cent = kmeans_fit(
+            vec.select(F.col("c_vec_id").alias("vec_id"), F.col("cemb2").alias("emb")),
+            k=n_cells,
+            max_iter=kmeans_iter,
+        )
+        path = self.index_path + ".ivf"
+        build_ivf_index(vec, cent, path, id_col="c_vec_id", vec_col="cemb2")
+        self._ann_centroids = cent.localCheckpoint(eager=True)
+        return path
+
+    def ann_search(self, queries: Sequence[str], k: int = 5) -> DataFrame:
+        """Approximate top-k via the IVF index (build_ann_index first)."""
+        from .operators.ivf import ivf_search
+
+        qdf = self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)], "q_vec_id long, query_text string"
+        ).select("q_vec_id", fake_embedding(F.col("query_text")).alias("qemb"))
+        return ivf_search(
+            self.spark, self.index_path + ".ivf", qdf, self._ann_centroids, k=k
+        )
+
     def search(self, queries: Sequence[str], k: int = 5) -> DataFrame:
         """Exact cosine top-k over the index (V4; query side broadcast).
 

@@ -1172,3 +1172,30 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "event_id").alias("first_type"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_histogram — fixed-width value binning (the width_bucket shape):
+# events.value distribution in 10 bins of width 10 over [0, 100).
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(greatest(floor(value / 10), 0), 9) AS INT) AS bin,
+       count(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q_histogram", oracle=_HISTOGRAM_ORACLE, tags=("phase1", "agg"))
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over event values (10 clamped bins)."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(9)).cast("int")
+    return e.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -116,3 +116,16 @@ def test_ingest_stream_incremental(pipe, spark, tmp_path):
     names = {r.filename for r in pipe.index_table().select("filename").distinct().collect()}
     assert names == {"a.txt", "b.md", "c.txt"}
     assert pipe.index_table().filter(F.col("filename") == "a.txt").count() == a_chunks
+
+
+def test_ann_index_build_and_search(pipe, docs):
+    pipe.ingest(docs)
+    path = pipe.build_ann_index(n_cells=3, kmeans_iter=2)
+    import os
+    assert os.path.isdir(path)
+    # cell-partitioned layout on disk
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    hits = pipe.ann_search(["word1 word1", "word5"], k=2).collect()
+    assert 1 <= len(hits) <= 4  # <= 2 queries x top-2 (cells may hold < k)
+    for h in hits:
+        assert h.score <= 1.000001
