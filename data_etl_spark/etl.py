@@ -196,6 +196,32 @@ class ETLPipeline:
         )
         return {"n_documents": stats["n_documents"], "n_chunks": stats["n_chunks"]}
 
+    def save_config(self, index_type: str, model_name: str, distance: str = "cosine") -> dict:
+        """K5 index-config persistence (`index_manager.py:263-286`): a
+        one-row JSON manifest; when the same (name, distance, model)
+        is saved again with a new type, the type LIST merges
+        distinct-union style (A6) instead of being replaced."""
+        import json
+
+        path = self.index_path + ".config.json"
+        cfg = {
+            "name": os.path.basename(self.index_path),
+            "distance": distance,
+            # T13 model-name mangling for filesystem safety
+            "model": model_name.replace("/", "_"),
+            "types": [index_type],
+            "embedding_dim": FAKE_EMBED_DIM,
+        }
+        if os.path.exists(path):
+            old = json.load(open(path))
+            if (old["name"], old["distance"], old["model"]) == (
+                cfg["name"], cfg["distance"], cfg["model"]
+            ):
+                cfg["types"] = sorted(set(old["types"]) | {index_type})
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        return cfg
+
     def process_folder(self, input_dir: str, force: bool = True) -> dict:
         """E1 perform_etl: scan a folder, convert to markdown, ingest.
 

@@ -26,7 +26,7 @@ _FIGURES_SQL = """
            CAST((p_partkey * 73) % 700 AS DOUBLE) AS y0,
            CAST((p_partkey * 37) % 500 + 40 + p_partkey % 60 AS DOUBLE) AS x1,
            CAST((p_partkey * 73) % 700 + 30 + p_partkey % 45 AS DOUBLE) AS y1,
-           CASE WHEN p_partkey % 5 < 2 THEN 'Figure ' || CAST(p_partkey AS VARCHAR) END AS caption
+           CASE WHEN p_partkey % 5 < 2 THEN '[Figure  ' || CAST(p_partkey AS VARCHAR) || ']   (detail)' END AS caption
     FROM part
 """
 
@@ -53,7 +53,7 @@ r AS (
 SELECT filename, page,
        'FIG_' || lpad(CAST(page AS VARCHAR), 3, '0') || '_' || lpad(CAST(idx AS VARCHAR), 2, '0') AS fig_id,
        x0, y0, x1, y1,
-       coalesce(caption, 'image') AS alt_text
+       coalesce(nullif(trim(regexp_replace(regexp_replace(caption, '[\\[\\]()]', '', 'g'), '\\s+', ' ', 'g')), ''), 'image') AS alt_text
 FROM r
 """
 
@@ -76,7 +76,19 @@ def q_figure_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y0",
         "x1",
         "y1",
-        F.coalesce("caption", F.lit("image")).alias("alt_text"),
+        # T8 alt-text sanitize (image_manager.py:22-33): strip markdown
+        # link/bracket chars, collapse whitespace, default "image"
+        F.coalesce(
+            F.nullif(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace("caption", r"[\[\]()]", ""), r"\s+", " "
+                    )
+                ),
+                F.lit(""),
+            ),
+            F.lit("image"),
+        ).alias("alt_text"),
     )
 
 

@@ -129,3 +129,13 @@ def test_ann_index_build_and_search(pipe, docs):
     assert 1 <= len(hits) <= 4  # <= 2 queries x top-2 (cells may hold < k)
     for h in hits:
         assert h.score <= 1.000001
+
+
+def test_save_config_merges_types(pipe):
+    c1 = pipe.save_config("qdrant", "jina/jina-embeddings-v2-small-en")
+    assert c1["types"] == ["qdrant"] and c1["model"] == "jina_jina-embeddings-v2-small-en"
+    c2 = pipe.save_config("faiss", "jina/jina-embeddings-v2-small-en")
+    assert c2["types"] == ["faiss", "qdrant"]  # A6 distinct-set merge
+    # different model => fresh config, no merge
+    c3 = pipe.save_config("qdrant", "other/model")
+    assert c3["types"] == ["qdrant"]
