@@ -314,3 +314,113 @@ def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_text = anchors.join(docs, "filename").withColumnRenamed("anchor", "start")
     out = with_content_breaks(with_text.select("filename", "page", "found", "text", "start"))
     return out.select("filename", "page", F.col("start").alias("anchor"), "found", "break_offset")
+
+
+# ---------------------------------------------------------------------------
+# q_first_long_line — O7's get_first_long_line (markdown_manager.py:72-94):
+# first line with >= 50 chars per document, with its line number.
+# ---------------------------------------------------------------------------
+
+_FIRST_LONG_ORACLE = r"""
+WITH lines AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_no
+    FROM documents
+),
+long AS (
+    SELECT doc_id, line_no, length(line) AS line_len,
+           row_number() OVER (PARTITION BY doc_id ORDER BY line_no) AS rn
+    FROM lines WHERE length(line) >= 50
+)
+SELECT doc_id, line_no, line_len FROM long WHERE rn = 1
+"""
+
+
+@register("q_first_long_line", oracle=_FIRST_LONG_ORACLE, tags=("phase2",))
+def q_first_long_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First line >= 50 chars per doc (earliest-candidate min O7)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).withColumn("line_no", F.col("pos") + 1)
+    long = lines.filter(F.length("line") >= 50).withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("line_no"))
+    )
+    return long.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("line_no").cast("bigint"),
+        F.length("line").cast("bigint").alias("line_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sentence_chunks — U3's sentence-based splitter, native deterministic
+# form: sentence segmentation (marker-split on [.!?] + space — no
+# lookbehind, works in RE2) then greedy ~200-char grouping via a
+# windowed cumulative sum. The model-backed SemanticChunker drops into
+# the same contract as a pandas UDF; this is the oracle-checkable half.
+# ---------------------------------------------------------------------------
+
+_SENT_ORACLE = r"""
+WITH punct AS (
+    -- the corpus has no punctuation; synthesize a period every 8 words
+    -- (deterministic, same regex in both engines) so sentence logic is real
+    SELECT doc_id,
+           regexp_replace(text, '((?:\w+ ){7}\w+) ', '\1. ', 'g') AS ptext
+    FROM documents
+),
+marked AS (
+    SELECT doc_id,
+           string_split(regexp_replace(ptext, '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS sents
+    FROM punct
+),
+s AS (
+    SELECT doc_id,
+           unnest(sents) AS sentence,
+           unnest(generate_series(1, len(sents))) AS sent_idx
+    FROM marked
+),
+g AS (
+    SELECT doc_id, sent_idx, length(sentence) AS sent_len,
+           CAST(floor((sum(length(sentence)) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 200) AS BIGINT) AS chunk_id
+    FROM s WHERE sentence <> ''
+)
+SELECT doc_id, chunk_id,
+       count(*) AS n_sentences,
+       CAST(sum(sent_len) AS BIGINT) AS chunk_chars,
+       min(sent_idx) AS first_sentence
+FROM g
+GROUP BY doc_id, chunk_id
+"""
+
+
+@register("q_sentence_chunks", oracle=_SENT_ORACLE, tags=("phase2", "chunking"))
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + cumulative-sum chunk grouping (U3 native)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ptext = F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. ")
+    marked = F.regexp_replace(ptext, r"([.!?]) ", "$1\x01")
+    s = (
+        d.select("doc_id", F.posexplode(F.split(marked, "\x01")).alias("pos", "sentence"))
+        .withColumn("sent_idx", F.col("pos") + 1)
+        .filter(F.col("sentence") != "")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = s.withColumn(
+        "chunk_id",
+        F.floor((F.sum(F.length("sentence")).over(w) - 1) / 200).cast("bigint"),
+    )
+    return g.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.length("sentence")).cast("bigint").alias("chunk_chars"),
+        F.min("sent_idx").cast("bigint").alias("first_sentence"),
+    )
