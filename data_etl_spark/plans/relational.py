@@ -1199,3 +1199,416 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# ===========================================================================
+# TPC-H query-shape breadth (adapted to the driver's reduced schemas: no
+# partsupp, no l_commitdate/l_receiptdate/l_shipmode, no c_phone).  These
+# cover the canonical plan shapes the reference lacks entirely (SURVEY.md
+# §2.4 "Absent join types"): EXISTS semi-join + agg (Q4), two-sided
+# nation-pair join (Q7), market-share ratio (Q8), outer-join distribution
+# (Q13), conditional-percentage (Q14), argmax-equality (Q15), correlated
+# avg subquery (Q17), having-IN (Q18), disjunctive pushdown (Q19), and
+# NOT EXISTS + scalar subquery (Q22).
+# ===========================================================================
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_order_priority", oracle=_ORDER_PRIORITY_ORACLE, tags=("phase1", "join", "agg"))
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join then count per priority.
+
+    Scale: the semi-join shuffles both sides on l_orderkey/o_orderkey with
+    map-side distinct on the lineitem side; the final agg is 5 groups.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q_volume_shipping", oracle=_VOLUME_SHIPPING_ORACLE, tags=("phase1", "join", "agg"))
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by ship year.
+
+    Scale: nation (25 rows) and the nation-filtered supplier/customer dims
+    broadcast; the only big shuffle is lineitem ⋈ orders on orderkey.
+    The disjunctive nation-pair predicate is applied after both dim joins,
+    on already-broadcast-joined columns (no extra shuffle).
+    """
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sup = F.broadcast(
+        s.join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = F.broadcast(
+        c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    ep, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(sup, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(ep * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q_market_share", oracle=_MARKET_SHARE_ORACLE, tags=("phase1", "join", "agg"))
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional order volume per year.
+
+    Scale: part/customer/supplier/nation/region dims all broadcast after
+    their filters; the big shuffle is lineitem ⋈ orders on orderkey. The
+    ratio divides two exact decimal sums as a final double step.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cust_in_region = F.broadcast(
+        c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sup = F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == n1.s_nk).select("s_suppkey", "supp_nation"))
+    ep, disc = _dec("l_extendedprice"), _dec("l_discount")
+    vol = (ep * (F.lit(1) - disc)).alias("volume")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
+        .join(sup, li.l_suppkey == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0)))
+    return joined.groupBy("o_year").agg(
+        (nation_vol.cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+_CUSTOMER_DISTRIBUTION_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q_customer_distribution", oracle=_CUSTOMER_DISTRIBUTION_ORACLE, tags=("phase1", "join", "agg"))
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving zero-order customers, then a
+    two-level count-of-counts distribution.
+
+    Scale: shuffle on custkey for the outer join + first agg (same key, so
+    AQE coalesces into one exchange); second agg is tiny.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q_promo_revenue", oracle=_PROMO_REVENUE_ORACLE, tags=("phase1", "join", "agg"))
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-percentage aggregate over a broadcast join.
+
+    Scale: part broadcasts (small dim); lineitem scan is date-pruned by a
+    pushed-down predicate; single scalar out — no meaningful shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep, disc = _dec("l_extendedprice"), _dec("l_discount")
+    vol = ep * (F.lit(1) - disc)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).cast("double")
+    total = F.sum(vol).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * promo / total).cast("double").alias("promo_revenue"))
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+@register("q_top_supplier", oracle=_TOP_SUPPLIER_ORACLE, tags=("phase1", "join", "agg"))
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax via exact-decimal max-equality (ties kept).
+
+    Scale: revenue agg shuffles on suppkey; the max is a 1-row broadcast
+    back; decimal arithmetic keeps the equality exact (doubles would not).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    ep, disc = _dec("l_extendedprice"), _dec("l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(ep * (F.lit(1) - disc)).alias("total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_rev == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+_SMALL_QTY_REVENUE_ORACLE = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(sum(l_quantity) AS DOUBLE) / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+@register("q_small_qty_revenue", oracle=_SMALL_QTY_REVENUE_ORACLE, tags=("phase1", "join", "subquery"))
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average-quantity subquery.
+
+    Decorrelated as groupBy(partkey).agg(sum/count) joined back — the
+    idiomatic Spark rewrite; avg computed as exact-sum / count so both
+    engines produce the identical double threshold.
+
+    Scale: the per-part avg agg and the join shuffle on the same key
+    (partkey) so AQE reuses the exchange; brand filter broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * (F.sum("l_quantity").cast("double") / F.count("*"))).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
+
+
+_LARGE_ORDERS_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register("q_large_orders", oracle=_LARGE_ORDERS_ORACLE, tags=("phase1", "join", "agg"))
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN subquery (large-volume orders).
+
+    Scale: the HAVING agg and the semi-join and the lineitem re-join all
+    shuffle on orderkey — one exchange reused three times under AQE; the
+    surviving order set is small, so the customer join broadcasts it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 100)
+        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, li.l_orderkey == F.col("big_ok"), "inner")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+_DISJUNCTIVE_PRED_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q_disjunctive_pred", oracle=_DISJUNCTIVE_PRED_ORACLE, tags=("phase1", "join"))
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    Scale: Catalyst extracts the common-key equi-join and keeps the
+    disjunction as a post-join filter; part side broadcasts. The derivable
+    single-side conjuncts (brand ∈ {1,2,3}, size ≤ 35, qty ≤ 30) push to
+    the scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    ep, disc = _dec("l_extendedprice"), _dec("l_discount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(F.sum(ep * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+_DORMANT_CUSTOMERS_ORACLE = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_dormant_customers", oracle=_DORMANT_CUSTOMERS_ORACLE, tags=("phase1", "join", "subquery"))
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti-join.
+
+    The global average is computed as exact-decimal-sum / count (one
+    deterministic double division) so the > threshold is bit-identical in
+    both engines.
+
+    Scale: the 1-row average broadcasts; the anti-join shuffles on custkey
+    (orders side map-side-distinct'd by Spark's left_anti).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
