@@ -12,5 +12,6 @@ from . import textstats  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import streaming_plans  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import sinks  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,116 @@
+"""Sink round-trip queries (SURVEY.md §2.2 K-group, generalized).
+
+The reference's sinks are files-on-disk (markdown K1, PNG K2, JSON
+catalog K3/K4, vector store K6-K8). The engine's write discipline is
+tables, but the file formats still need correct write+read round-trips:
+each query here writes a test table to a scratch directory under the
+repo's ``spark-warehouse/`` in one format, reads it back, and returns
+the re-read rows. The oracle is a plain SELECT over the original
+parquet — so any loss of fidelity in the sink (type coercion, float
+formatting, partition-column reconstruction) fails the hash match.
+
+Scale notes: every write here is a distributed ``df.write`` (one file
+per task, no driver collect); the partitioned-write query additionally
+proves partition *pruning* on the read path — the scan touches only the
+selected partition directory.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+_SCRATCH = Path(__file__).resolve().parents[2] / "spark-warehouse" / "roundtrip"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    # per-sf subdir: queries run at several scale factors; overwrite mode
+    # keeps each idempotent, the sf key keeps them from clobbering each other
+    sf_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return str(_SCRATCH / sf_key / name)
+
+
+_CSV_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@register("q_csv_roundtrip", oracle=_CSV_ORACLE, tags=("phase2", "sink"))
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (K4-style text sink, lossless).
+
+    Doubles survive because Spark writes shortest-roundtrip decimal
+    strings and the read-back uses the explicit original schema (never
+    inferSchema — §1.2).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "customer_csv")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(c.schema).option("header", "true").csv(path)
+
+
+_JSON_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("q_json_roundtrip", oracle=_JSON_ORACLE, tags=("phase2", "sink"))
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip (the reference's catalog/metadata
+    sink K3/K4 at `/root/reference/src/etl_processor.py:113-140`), with
+    the explicit-schema read standing in for Pydantic revalidation."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_json")
+    s.write.mode("overwrite").json(path)
+    return spark.read.schema(s.schema).json(path)
+
+
+_ORC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+"""
+
+
+@register("q_orc_roundtrip", oracle=_ORC_ORACLE, tags=("phase2", "sink"))
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip incl. µs timestamps (columnar sink
+    alternative to parquet; exercises a second writer/reader codepath)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    path = _scratch(sf_dir, "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    return spark.read.schema(li.schema).orc(path)
+
+
+_PARTITIONED_ORACLE = """
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_type IN ('click', 'purchase')
+"""
+
+
+@register("q_partitioned_write", oracle=_PARTITIONED_ORACLE, tags=("phase2", "sink", "pruning"))
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read.
+
+    The filter on the partition column prunes directories at planning
+    time (the scan lists only event_type=click/purchase) — the layout
+    that makes per-key deletes/scans O(partition) instead of O(table) at
+    100 TB. Partition values come back as strings, so they are cast
+    back to the original type for the hash match.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = _scratch(sf_dir, "events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
+    )

@@ -109,3 +109,38 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_dedup_counts
 
     return streaming_dedup_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_interval_join — stream-stream inner join with watermarked
+# state eviction (the missing join family in §2.10: the reference has no
+# streaming runtime at all). Static source + AvailableNow drain == batch
+# interval join, so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+_SS_JOIN_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events_us WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events_us WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM purchases p
+JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts > p.purchase_ts - INTERVAL 10 MINUTE
+"""
+
+
+@register("q_streaming_interval_join", oracle=_SS_JOIN_ORACLE, tags=("phase4", "streaming", "join"))
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ⋈ prior same-user clicks)."""
+    from ..streaming.jobs import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)

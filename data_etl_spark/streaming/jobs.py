@@ -179,3 +179,56 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
     return run_to_memory(agg, output_mode="complete")
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ same-user clicks within
+    the preceding 10 minutes.
+
+    Both sides carry watermarks so the join state is bounded: Spark
+    evicts buffered clicks once the purchase-side watermark passes
+    click_ts + 10 min. Inner stream-stream joins emit matches eagerly,
+    so one AvailableNow drain over a static source produces exactly the
+    batch interval-join result (oracle-checkable).
+
+    100 TB shape: state per key is bounded by the interval width x event
+    rate, not stream length — the watermark is what makes an unbounded
+    join feasible at all.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts > purchase_ts - INTERVAL 10 MINUTES
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return run_to_memory(joined, output_mode="append")
