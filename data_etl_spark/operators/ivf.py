@@ -31,10 +31,17 @@ def assign_cells(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment: adds ``cell``. Centroids broadcast
-    (they are tiny); ties break on cent_id for determinism."""
-    w = W.partitionBy(id_col).orderBy(_l2(vec_col, "cemb").asc(), F.col("cent_id").asc())
+    (they are tiny); ties break on cent_id for determinism.
+
+    Distance runs on the Arrow path (seq_l2sq, the O(n_vectors x
+    n_centroids) hot loop), projected to a column first so the window
+    can order by it; sqrt is kept so tie behavior matches the oracle's
+    sqrt-distance ordering bit-for-bit."""
+    d = F.sqrt(V.seq_l2sq(F.col(vec_col), F.col("cemb")))
+    w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cent_id").asc())
     return (
         vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("__d", d)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, F.col("cent_id").alias("cell"))
@@ -78,9 +85,7 @@ def ivf_search(
     q_assign = assign_cells(probes, centroids, q_id, q_vec).withColumnRenamed("cell", "cell_q")
     index = spark.read.parquet(path)
     joined = q_assign.join(index, q_assign["cell_q"] == index["cell"])
-    qn = V.l2_norm(F.col(q_vec))
-    cn = V.l2_norm(F.col(vec_col))
-    score = V.cosine_pre(F.col(q_vec), F.col(vec_col), qn, cn)
+    score = V.seq_cosine(F.col(q_vec), F.col(vec_col))
     w = W.partitionBy(q_id).orderBy(F.desc("score"), F.asc(id_col))
     return (
         joined.select(q_id, F.col(id_col).alias("c_vec_id"), score.alias("score"))

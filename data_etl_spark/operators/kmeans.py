@@ -75,9 +75,5 @@ def kmeans_inertia(
     joined = assigned.join(
         centroids.select(F.col("cent_id").alias("cell"), "cemb"), "cell"
     )
-    d2 = (
-        V.dot(F.col(vec_col), F.col(vec_col))
-        + V.dot(F.col("cemb"), F.col("cemb"))
-        - F.lit(2) * V.dot(F.col(vec_col), F.col("cemb"))
-    )
+    d2 = V.seq_l2sq(F.col(vec_col), F.col("cemb"))
     return joined.agg(F.sum(d2).alias("i")).collect()[0]["i"]

@@ -87,7 +87,7 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "label", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
     )
-    cos = V.cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
+    cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
     return (
         a.join(b, "label")
         .filter(F.col("vec1") < F.col("vec2"))
@@ -198,17 +198,12 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
     )
 
-    def dist(a: str, b: str):
-        return F.sqrt(
-            V.dot(F.col(a), F.col(a))
-            + V.dot(F.col(b), F.col(b))
-            - F.lit(2) * V.dot(F.col(a), F.col(b))
-        )
-
     def assign(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        w = W.partitionBy(id_col).orderBy(dist(vec_col, "cemb").asc(), F.col("cent_id").asc())
+        d = F.sqrt(V.seq_l2sq(F.col(vec_col), F.col("cemb")))
+        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cent_id").asc())
         return (
             df.crossJoin(F.broadcast(cent))
+            .withColumn("__d", d)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(id_col, vec_col, F.col("cent_id").alias("cell"))
@@ -216,7 +211,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c_assign = assign(corpus, "c_vec_id", "cemb2")
     q_assign = assign(probe, "q_vec_id", "qemb")
-    score = V.cosine(F.col("qemb"), F.col("cemb2"))
+    score = V.seq_cosine(F.col("qemb"), F.col("cemb2"))
     w = W.partitionBy("q_vec_id").orderBy(F.desc("score"), F.asc("c_vec_id"))
     return (
         q_assign.join(c_assign, "cell")
@@ -289,7 +284,7 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(
         "signature", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
     )
-    cos = V.cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
+    cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
     return (
         a.join(b, "signature")
         .filter(F.col("vec1") < F.col("vec2"))
