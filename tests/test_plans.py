@@ -50,3 +50,41 @@ def test_chunking_is_shuffle_free_before_agg(spark, sf_dir):
     # chunk pipeline is the final per-doc aggregate
     plan = _plan(spark, sf_dir, "q_chunks")
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_volume_shipping", "q_market_share", "q_promo_revenue", "q_disjunctive_pred"],
+)
+def test_tpch_shapes_broadcast_dims(spark, sf_dir, name):
+    # every dim side (part/nation/supplier/customer-after-filter) must
+    # broadcast; the only shuffle join allowed is fact-to-fact on orderkey
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_stay_joins(spark, sf_dir):
+    # Q4's EXISTS and Q22's NOT EXISTS must plan as semi/anti joins,
+    # never as aggregated subquery materialization through the driver
+    assert "LeftSemi" in _plan(spark, sf_dir, "q_order_priority")
+    assert "LeftAnti" in _plan(spark, sf_dir, "q_dormant_customers")
+
+
+def test_partitioned_write_prunes_read(spark, sf_dir):
+    # the event_type filter must reach the partitioned scan as partition
+    # pruning (PartitionFilters), not a post-scan row filter only
+    df = REGISTRY["q_partitioned_write"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg
+
+
+def test_arrow_scoring_stays_vectorized(spark, sf_dir):
+    # the similarity pair loops must run as ArrowEvalPython (pandas UDF,
+    # Arrow batches), never BatchEvalPython (row-at-a-time pickling)
+    for name in ("q_knn_exact", "q_rp_lsh_pairs", "q_cosine_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "ArrowEvalPython" in plan, name
+        assert "BatchEvalPython" not in plan, name
