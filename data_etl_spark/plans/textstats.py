@@ -379,3 +379,51 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("doc_id").alias("n_distinct_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_top_bigrams — corpus-wide word-bigram counts (collocation analysis):
+# tokenize -> adjacent-pair explode -> count -> deterministic top-20.
+# Same slice+zip_with shape as the dedup shingler (n=2, non-distinct).
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_ORACLE = f"""
+WITH ws AS (SELECT doc_id, {TX.words_sql('text')} AS w FROM documents),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM ws
+)
+SELECT bigram, count(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register("q_top_bigrams", oracle=_BIGRAMS_ORACLE, tags=("phase3", "textstats"))
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus (collocation counts).
+
+    Scale: partial (map-side) counts make the shuffle carry one row per
+    distinct bigram per partition, not one per occurrence; top-k is a
+    TakeOrdered, never a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.col("doc_id"), TX.words(F.col("text")).alias("w"))
+    cnt = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = w.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, cnt), F.slice("w", 2, cnt),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
