@@ -1612,3 +1612,72 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+_WINDOW_ANALYTIC_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS cust_first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cust_last_price,
+       nth_value(o_totalprice, 2) OVER w AS cust_second_price,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_pct_rank,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("q_window_analytics", oracle=_WINDOW_ANALYTIC_ORACLE, tags=("phase1", "window"))
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + percent_rank/cume_dist window analytics
+    (the remaining analytic-function family absent from the reference —
+    SURVEY.md §2.6 'Absent').
+
+    Total orderings everywhere (ties broken by o_orderkey) keep every
+    value deterministic for the hash compare. One shuffle on o_custkey
+    serves all five functions (same partition spec).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cust_first_price"),
+        F.last("o_totalprice").over(w_full).alias("cust_last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("cust_second_price"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
+    )
+
+
+_STRING_AGG_ORACLE = """
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("q_string_agg", oracle=_STRING_AGG_ORACLE, tags=("phase1", "agg"))
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg family).
+
+    collect_list alone is order-nondeterministic under parallelism;
+    array_sort before array_join pins the result regardless of task
+    arrival order — the only safe way to emit concatenated groups at
+    scale.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
