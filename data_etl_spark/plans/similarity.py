@@ -384,3 +384,131 @@ def q_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") > 0)
     nn = model.approxNearestNeighbors(corpus, key, 5, distCol="l2_dist")
     return nn.select("vec_id", "l2_dist")
+
+
+# ---------------------------------------------------------------------------
+# q_hybrid_rrf — hybrid dense+lexical retrieval with reciprocal-rank
+# fusion: the reference's Qdrant collections hold BOTH a dense vector and
+# a BM25 sparse vector per point (index_manager.py:112-126) and defer
+# hybrid search to a sibling repo; this is that search, Spark-native.
+# Dense leg = exact cosine top-20; lexical leg = distinct-word-overlap
+# top-20 (integer counts, so ranks are bit-exact across engines — the
+# log()-based BM25 variant stays rows-only in q_bm25); fusion =
+# sum(1/(60+rank)) over the legs where the candidate appears.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+_HYBRID_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+d AS (SELECT doc_id, text FROM documents),
+q AS (SELECT e.vec_id AS q_id, e.emb AS qemb, d.text AS qtext
+      FROM e JOIN d ON e.vec_id = d.doc_id WHERE e.vec_id < 5),
+c AS (SELECT e.vec_id AS c_id, e.emb AS cemb, d.text AS ctext
+      FROM e JOIN d ON e.vec_id = d.doc_id WHERE e.vec_id >= 5),
+dense AS (
+    SELECT q_id, c_id, rd FROM (
+        SELECT q.q_id, c.c_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {V.cosine_sql('q.qemb', 'c.cemb')} DESC, c.c_id) AS rd
+        FROM q CROSS JOIN c
+    ) WHERE rd <= {_RRF_TOPN}
+),
+qw AS (SELECT DISTINCT q_id, unnest({{ws}}) AS word FROM (SELECT q_id, qtext AS text FROM q)),
+cw AS (SELECT DISTINCT c_id, unnest({{ws}}) AS word FROM (SELECT c_id, ctext AS text FROM c)),
+lex AS (
+    SELECT q_id, c_id, rl FROM (
+        SELECT ov.q_id, ov.c_id,
+               row_number() OVER (PARTITION BY ov.q_id ORDER BY ov.overlap DESC, ov.c_id) AS rl
+        FROM (SELECT qw.q_id, cw.c_id, count(*) AS overlap
+              FROM qw JOIN cw ON qw.word = cw.word
+              GROUP BY qw.q_id, cw.c_id) ov
+    ) WHERE rl <= {_RRF_TOPN}
+),
+fused AS (
+    SELECT coalesce(dense.q_id, lex.q_id) AS q_id,
+           coalesce(dense.c_id, lex.c_id) AS c_id,
+           coalesce(1.0 / ({_RRF_K} + dense.rd), 0.0)
+             + coalesce(1.0 / ({_RRF_K} + lex.rl), 0.0) AS rrf
+    FROM dense FULL OUTER JOIN lex
+      ON dense.q_id = lex.q_id AND dense.c_id = lex.c_id
+)
+SELECT q_id, rank, c_id, rrf FROM (
+    SELECT q_id, c_id, rrf,
+           row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rank
+    FROM fused
+) WHERE rank <= 10
+"""
+
+
+def _hybrid_oracle() -> str:
+    from ..functions import text as TX
+
+    return _HYBRID_ORACLE.format(ws=TX.words_sql("text"))
+
+
+@register("q_hybrid_rrf", oracle=_hybrid_oracle(), tags=("phase3", "similarity", "hybrid"))
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF over dense-cosine and lexical-overlap ranks.
+
+    Scale: the dense leg broadcasts the query set (linear corpus scan,
+    Arrow-path scoring); the lexical leg is an inverted-index join on
+    word (never all-pairs text comparison); fusion joins two top-N lists
+    — O(queries x N), trivially broadcastable.
+    """
+    from ..functions import text as TX
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = e.join(d, e.vec_id == d.doc_id)
+    q = both.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("qemb"), F.col("text").alias("qtext")
+    )
+    c = both.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("cemb"), F.col("text").alias("ctext")
+    )
+
+    wd = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    dense = (
+        F.broadcast(q.select("q_id", "qemb"))
+        .crossJoin(c.select("c_id", "cemb"))
+        .select("q_id", "c_id", V.seq_cosine(F.col("qemb"), F.col("cemb")).alias("score"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _RRF_TOPN)
+        .select("q_id", "c_id", "rd")
+    )
+
+    qw = q.select("q_id", F.explode(TX.words(F.col("qtext"))).alias("word")).distinct()
+    cw = c.select("c_id", F.explode(TX.words(F.col("ctext"))).alias("word")).distinct()
+    wl = W.partitionBy("q_id").orderBy(F.desc("overlap"), F.asc("c_id"))
+    lex = (
+        F.broadcast(qw)
+        .join(cw, "word")
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("overlap"))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= _RRF_TOPN)
+        .select("q_id", "c_id", "rl")
+    )
+
+    fused = (
+        dense.join(lex, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rd")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("c_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "rank", "c_id", "rrf")
+    )
