@@ -175,3 +175,63 @@ def extract_features(df: DataFrame, binary_col: str = "content", id_col: str = "
             )
 
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("target_w", T.IntegerType(), False),
+        T.StructField("target_h", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Real image resize — requires an imaging library not present here.
+
+    Deliberately stubbed (see module docstring): callers on the
+    correctness path must use fake_resize instead.
+    """
+    raise NotImplementedError(
+        "image resize requires an imaging library not installed in this "
+        "environment; use fake_resize for the deterministic test path"
+    )
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for resize: clamp-or-pad to w*h bytes.
+
+    Truncates long payloads and right-pads short ones with 0x20 so the
+    output length is exactly the target pixel count — shape-correct
+    plumbing (fixed-size output per asset) without a codec. Oracle:
+    rpad + substring arithmetic in SQL.
+    """
+    target = w * h
+    return (bytes(payload) + b" " * target)[:target]
+
+
+def resize_assets(
+    df: DataFrame, w: int = 8, h: int = 8, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch resize through mapInPandas: binary in -> fixed-shape binary out.
+
+    The real-codec version swaps fake_resize for resize_image with the
+    same signature/schema; partitioning, Arrow batching, and the binary
+    output column are production-shaped either way.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                out = fake_resize(payload, w, h)
+                rows.append(
+                    (int(did), w, h, out, hashlib.md5(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_w", "target_h", "resized", "resized_md5"]
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)

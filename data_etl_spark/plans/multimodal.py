@@ -112,3 +112,43 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
     )
     return extract_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# q_resize_assets — the resize verb of the multimodal quartet
+# (decode / feature-extract / resize / frame-sample): binary in,
+# fixed-shape binary out through mapInPandas. Fake-resize = clamp-or-pad
+# to 8x8=64 bytes, so the oracle is rpad/substring + md5. The binary
+# column itself is returned as its md5 (drivers hash scalar columns).
+# ---------------------------------------------------------------------------
+
+_RESIZE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, substring(text, 1, 48) AS payload FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS target_w,
+       CAST(8 AS INT) AS target_h,
+       CAST(64 AS BIGINT) AS n_bytes,
+       md5(substring(rpad(payload, 64, ' '), 1, 64)) AS resized_md5
+FROM p
+"""
+
+
+@register("q_resize_assets", oracle=_RESIZE_ORACLE, tags=("phase5", "multimodal"))
+def q_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary column -> fixed 8x8 payload per asset."""
+    from ..multimodal.columns import resize_assets
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 48), "UTF-8").alias("content")
+    )
+    out = resize_assets(assets, w=8, h=8)
+    return out.select(
+        "doc_id",
+        "target_w",
+        "target_h",
+        F.length("resized").cast("bigint").alias("n_bytes"),
+        "resized_md5",
+    )
