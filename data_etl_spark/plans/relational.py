@@ -1681,3 +1681,63 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_suppliers"),
         )
     )
+
+
+_SOLE_FAULT_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("q_sole_fault_supplier", oracle=_SOLE_FAULT_ORACLE, tags=("phase1", "join", "subquery"))
+def q_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against the
+    same fact (suppliers solely at fault in multi-supplier orders),
+    adapted to l_returnflag (no receipt/commit dates in this schema).
+
+    Scale: both correlated subqueries become semi/anti joins on
+    l_orderkey with a residual suppkey-inequality condition — three
+    scans of lineitem shuffled on the same key, one exchange reused
+    under AQE; nation-filtered supplier broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    sup = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    return (
+        l1.join(sup, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
