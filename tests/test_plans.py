@@ -88,3 +88,19 @@ def test_arrow_scoring_stays_vectorized(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "ArrowEvalPython" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_sole_fault_plans_semi_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sole_fault_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_broadcasts_query_legs(spark, sf_dir):
+    # dense leg: broadcast query set x corpus; lexical leg: broadcast
+    # query words into the inverted-index join — never a shuffled
+    # cartesian or a shuffle of the corpus words against 5 queries
+    plan = _plan(spark, sf_dir, "q_hybrid_rrf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
