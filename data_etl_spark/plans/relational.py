@@ -1741,3 +1741,34 @@ def q_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+_SET_OPS_ALL_ORACLE = """
+SELECT 'both' AS tag, l_suppkey FROM (
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+)
+UNION ALL
+SELECT 'r_extra' AS tag, l_suppkey FROM (
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+)
+"""
+
+
+@register("q_set_ops_all", oracle=_SET_OPS_ALL_ORACLE, tags=("phase1", "setop"))
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity kept).
+
+    Scale: both plan as a single count-per-key aggregate on each side
+    plus a generate/min — one shuffle on the key, no row-by-row
+    matching.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    both = r.intersectAll(a).select(F.lit("both").alias("tag"), "l_suppkey")
+    extra = r.exceptAll(a).select(F.lit("r_extra").alias("tag"), "l_suppkey")
+    return both.unionByName(extra)
