@@ -298,3 +298,86 @@ def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_estimate — sketch-quality evaluation: for every LSH candidate
+# pair, the MinHash Jaccard ESTIMATE (fraction of agreeing signature
+# slots) next to the EXACT shingle Jaccard and the signed error. All
+# integer arithmetic until two final divisions -> exact oracle. This is
+# the measurement loop a production dedup pipeline runs when tuning
+# k/bands against recall.
+# ---------------------------------------------------------------------------
+
+_MH_EST_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sig AS ({DD.minhash_signatures_sql("sh_named")}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cand AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           count(*) AS n_agree
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.doc_id < b.doc_id
+                          AND a.minhash = b.minhash
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(c.n_agree AS DOUBLE) / 8 AS jaccard_est,
+       CAST(e.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - e.n_common) AS jaccard_exact,
+       CAST(c.n_agree AS DOUBLE) / 8
+         - CAST(e.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - e.n_common) AS est_error
+FROM cand c
+JOIN exact e ON e.doc1 = c.doc1 AND e.doc2 = c.doc2
+JOIN sizes s1 ON s1.doc_id = c.doc1
+JOIN sizes s2 ON s2.doc_id = c.doc2
+""".replace("(sh_named)", "(SELECT * FROM sh)")
+
+
+@register("q_minhash_estimate", oracle=_MH_EST_ORACLE, tags=("phase3", "dedup"))
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimate vs exact Jaccard per LSH candidate pair.
+
+    Scale: candidates come from the signature buckets (never all-pairs);
+    the exact leg only runs on the candidate set — the standard
+    verify-after-LSH pattern, here emitting the tuning metric.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d).persist()
+    sig = DD.minhash_signatures(sh)
+    a = sig.select(F.col("doc_id").alias("doc1"), "seed", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc2"), "seed", "minhash")
+    cand = (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    exact = (
+        sha.join(shb, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    est = F.col("n_agree").cast("double") / F.lit(8)
+    ex = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        cand.join(exact, ["doc1", "doc2"])
+        .join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            est.alias("jaccard_est"),
+            ex.alias("jaccard_exact"),
+            (est - ex).alias("est_error"),
+        )
+    )
