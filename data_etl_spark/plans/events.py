@@ -263,3 +263,108 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts_us",
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_retention_cohort — classic daily cohort retention: users grouped by
+# their first-event day, counted on each subsequent active day. Both
+# shuffles (first-day agg, distinct active days) key on user_id, so AQE
+# co-locates the join; the final agg is over ~cohorts×days rows (tiny).
+# Days are emitted as INT days-since-epoch — never raw DATE — to keep
+# the value hash engine-agnostic.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = f"""
+WITH {EVENTS_US},
+firsts AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+    FROM events_us GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us
+)
+SELECT CAST(date_diff('day', DATE '1970-01-01', f.cohort_day) AS INT) AS cohort_epoch_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("q_retention_cohort", oracle=_RETENTION_ORACLE, tags=("phase4", "events", "analytics"))
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (cohort day × day offset × users)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.datediff("cohort_day", F.lit("1970-01-01")).alias("cohort_epoch_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_funnel — ordered conversion funnel view → click → purchase: each
+# stage only counts events at-or-after the user's previous stage time.
+# Three stage DataFrames, each one groupBy(user_id) + a join back to the
+# previous stage — all keyed on user_id (one shuffle partitioning reused
+# across stages); stage frames shrink monotonically so the later joins
+# are broadcast-able at any scale.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH {EVENTS_US},
+s1 AS (
+    SELECT user_id, min(ts) AS v_ts FROM events_us
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events_us e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= s1.v_ts
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events_us e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.c_ts
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_click_after_view,
+       (SELECT count(*) FROM s3) AS n_purchase_after_click
+"""
+
+
+@register("q_funnel", oracle=_FUNNEL_ORACLE, tags=("phase4", "events", "analytics"))
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users reaching each stage."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
+    )
