@@ -368,3 +368,62 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
         .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gap_fill — dense hourly time series: every hour bucket between the
+# corpus min and max appears, zero-filled where no events landed. The
+# bucket spine is sequence()+explode() over ONE broadcast row (min/max
+# agg), so the left join is a broadcast-hash join of spine × hourly agg
+# — no shuffle scales with the spine, and the hourly agg is map-side
+# partial. This is the standard gap-fill shape for training-data
+# time-series features.
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = f"""
+WITH {EVENTS_US},
+bounds AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+           time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+    FROM events_us
+),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+),
+hourly AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           count(*) AS cnt,
+           CAST(sum({_DEC}) AS DOUBLE) AS sum_v
+    FROM events_us GROUP BY 1
+)
+SELECT CAST(epoch(s.bucket) AS BIGINT) AS bucket_start,
+       coalesce(h.cnt, 0) AS n_events,
+       coalesce(h.sum_v, 0.0) AS sum_value
+FROM spine s LEFT JOIN hourly h USING (bucket)
+"""
+
+
+@register("q_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("phase4", "events", "analytics"))
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled dense hourly series via sequence() spine + left join."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+    )
+    spine = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+    )
+    return spine.join(hourly, "bucket", "left").select(
+        F.unix_timestamp("bucket").alias("bucket_start"),
+        F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_v", F.lit(0.0)).alias("sum_value"),
+    )
