@@ -104,3 +104,20 @@ def test_hybrid_rrf_broadcasts_query_legs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_hybrid_rrf")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir):
+    # the hour spine explodes from ONE aggregated row, so its join to
+    # the hourly agg must be broadcast — a shuffled join here would
+    # scale the spine side with shuffle partitions for no reason
+    plan = _plan(spark, sf_dir, "q_gap_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_and_retention_no_cartesian(spark, sf_dir):
+    # funnel's final three 1-row counts cross-join via broadcast nested
+    # loop (fine: 1x1x1); the stage joins themselves are keyed on
+    # user_id and must never degrade to CartesianProduct
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "q_funnel")
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "q_retention_cohort")
