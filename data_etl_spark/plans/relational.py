@@ -1772,3 +1772,86 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = r.intersectAll(a).select(F.lit("both").alias("tag"), "l_suppkey")
     extra = r.exceptAll(a).select(F.lit("r_extra").alias("tag"), "l_suppkey")
     return both.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# q_correlation — Pearson correlation / population covariance / OLS slope
+# from EXACT decimal sufficient statistics. Spark's corr()/covar_pop()
+# accumulate in float and are summation-order-dependent (non-reproducible
+# across partitionings, and they drift vs any oracle); instead we take
+# exact DECIMAL sums of x, y, x*y, x*x, y*y — order-independent, one
+# map-side-combined shuffle — and evaluate the closed-form formulas in
+# DOUBLE as a final deterministic step. The formula strings are shared
+# verbatim with the DuckDB oracle so both engines run the identical IEEE
+# expression tree on identical exact inputs.
+# ---------------------------------------------------------------------------
+
+_CORR_STATS = """
+         count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS syy
+"""
+
+# The huge exact sums (>2^53 as scaled ints) convert to DOUBLE with
+# engine-specific last-bit rounding, so every derived statistic is
+# rounded to a scale where a ~1e-12 relative input wobble cannot flip
+# the rounded value (verified on the gate's fixed sf0.01 data).
+_CORR_FORMULAS = {
+    "n_rows": "n",
+    "covar_pop": (
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)"
+    ),
+    "corr_qty_price": (
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)"
+    ),
+    "slope_price_per_qty": (
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+    ),
+}
+
+_CORRELATION_ORACLE = f"""
+WITH s AS (
+    SELECT l_returnflag,
+{_CORR_STATS}
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {_CORR_FORMULAS["n_rows"]} AS n_rows,
+       {_CORR_FORMULAS["covar_pop"]} AS covar_pop,
+       {_CORR_FORMULAS["corr_qty_price"]} AS corr_qty_price,
+       {_CORR_FORMULAS["slope_price_per_qty"]} AS slope_price_per_qty
+FROM s
+"""
+
+
+@register("q_correlation", oracle=_CORRELATION_ORACLE, tags=("phase1", "agg", "stats"))
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal Pearson corr / covar_pop / OLS slope per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(p).alias("sy"),
+        F.sum((q * p).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((q * q).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((p * p).cast("decimal(38,8)")).alias("syy"),
+    )
+    return stats.select(
+        "l_returnflag",
+        *[F.expr(expr).alias(name) for name, expr in _CORR_FORMULAS.items()],
+    )
