@@ -1855,3 +1855,61 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         *[F.expr(expr).alias(name) for name, expr in _CORR_FORMULAS.items()],
     )
+
+
+# ---------------------------------------------------------------------------
+# q_key_skew — join/shuffle-key skew profiler: per candidate key, the
+# group-size distribution (key count, max, p50/p99, max/avg skew ratio).
+# This is the operational input to the 100 TB partitioning decisions in
+# README "100 TB posture" (when to salt, when AQE skew-split kicks in).
+# Each leg is one map-side-combined groupBy + a 1-row agg; all counts
+# stay integer-exact (< 2^53) so the ratio needs no rounding guard.
+# ---------------------------------------------------------------------------
+
+_KEY_SKEW_LEG = """
+SELECT '{label}' AS key_label,
+       count(*) AS n_keys,
+       max(cnt) AS max_group,
+       quantile_cont(cnt, 0.5) AS p50_group,
+       quantile_cont(cnt, 0.99) AS p99_group,
+       CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
+FROM (SELECT {key}, count(*) AS cnt FROM {table} GROUP BY {key})
+"""
+
+_KEY_SKEW_ORACLE = " UNION ALL ".join(
+    _KEY_SKEW_LEG.format(label=f"{t}.{k}", key=k, table=t)
+    for t, k in [
+        ("events", "user_id"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]
+)
+
+
+@register("q_key_skew", oracle=_KEY_SKEW_ORACLE, tags=("phase1", "agg", "profile"))
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size skew stats for the candidate shuffle keys."""
+    out = None
+    for table, key in [
+        ("events", "user_id"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]:
+        sizes = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("cnt"))
+        )
+        leg = sizes.agg(
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("max_group"),
+            F.percentile("cnt", F.lit(0.5)).alias("p50_group"),
+            F.percentile("cnt", F.lit(0.99)).alias("p99_group"),
+            (
+                F.max("cnt").cast("double")
+                * F.count("*").cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("skew_ratio"),
+        ).select(F.lit(f"{table}.{key}").alias("key_label"), "*")
+        out = leg if out is None else out.unionByName(leg)
+    return out
