@@ -21,10 +21,29 @@ def test_queries_and_oracles_consistent():
     # rows-only checks stay a small, documented minority
     rows_only = set(qs) - set(os_)
     assert len(rows_only) <= 6, rows_only
-    assert len(qs) >= 80
+    # driver records <=50 correctness rows per round: window must fit
+    assert len(qs) <= 50
     # all callables, all non-empty SQL
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in os_.values())
+
+
+def test_driver_window_rotation():
+    """Window = round-1-unchecked oracle queries (+ flagship); deferred names
+    exist in the registry and have local oracle coverage via test_oracle."""
+    from data_etl_spark.plans import REGISTRY
+
+    qs = entry_mod.queries()
+    assert entry_mod._DEFERRED <= set(REGISTRY), entry_mod._DEFERRED - set(REGISTRY)
+    assert set(qs) <= set(REGISTRY)
+    # everything in this round's window except the flagship was unchecked in r1
+    for name in qs:
+        if name != entry_mod.FLAGSHIP:
+            assert name > entry_mod._R1_CHECKED_LAST, name
+    # every windowed query carries an oracle (no wasted rows-only slots)
+    assert all(REGISTRY[n].oracle is not None for n in qs)
+    # full surface stays large even though the window is capped
+    assert len(REGISTRY) >= 117
 
 
 def test_flagship_is_registered():
