@@ -27,7 +27,8 @@ from __future__ import annotations
 
 import os
 import shutil
-from collections.abc import Sequence
+import zlib
+from collections.abc import Iterable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -107,28 +108,98 @@ class ETLPipeline:
         df = self.spark.read.parquet(self.index_path)
         return df.select([f.name for f in INDEX_SCHEMA.fields])
 
-    def _rewrite(self, df: DataFrame) -> None:
-        """Atomically replace the index table (stage -> swap).
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("filename")), F.lit(self.config.n_buckets)).cast("int"),
+        )
 
-        Parquet stand-in for a lakehouse MERGE: Spark cannot overwrite a
-        path it is lazily reading, so write to a staging dir and rename.
-        `bucket` partitioning keeps per-document deletes/search file-local.
+    def _buckets_of(self, filenames: Iterable[str]) -> set[int]:
+        """Driver-side twin of the `bucket` partition expression.
+
+        zlib.crc32 is the same CRC-32 (IEEE) Spark's F.crc32 computes, so
+        a Python filename list maps to partition dirs without a Spark job.
+        """
+        return {zlib.crc32(f.encode("utf-8")) % self.config.n_buckets for f in filenames}
+
+    def _read_buckets(self, buckets: set[int]) -> DataFrame:
+        """Partition-pruned read: only `bucket=` dirs in ``buckets``.
+
+        The filter is on the partition column, so Spark lists/reads just
+        those directories — at 100 TB an ingest touches |batch buckets|
+        files, not the table.
+        """
+        if not self._exists() or not buckets:
+            return self.spark.createDataFrame([], INDEX_SCHEMA)
+        df = self.spark.read.parquet(self.index_path).filter(
+            F.col("bucket").isin(*[int(b) for b in buckets])
+        )
+        return df.select([f.name for f in INDEX_SCHEMA.fields])
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Atomically replace the WHOLE index table (stage -> swap).
+
+        Bootstrap/compaction path only — incremental ingest/delete go
+        through :meth:`_swap_buckets`. Spark cannot overwrite a path it is
+        lazily reading, so write to a staging dir, rename the old table
+        aside, move staging into place, and delete the old copy last: a
+        crash at any point leaves a recoverable index (live or `.old`).
         """
         staging = self.index_path + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)
         (
-            df.withColumn(
-                "bucket", F.pmod(F.crc32(F.col("filename")), F.lit(self.config.n_buckets))
-            )
+            self._with_bucket(df)
             .repartition("bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(staging)
         )
+        old = self.index_path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(self.index_path):
-            shutil.rmtree(self.index_path)
+            os.replace(self.index_path, old)
         os.replace(staging, self.index_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def _swap_buckets(self, df: DataFrame, buckets: set[int]) -> None:
+        """Replace ONLY the named `bucket=` partition dirs with ``df``.
+
+        The plain-Parquet form of a partition-overwrite MERGE
+        (`spark.sql.sources.partitionOverwriteMode=dynamic` semantics,
+        done by hand so the swap is crash-safe): stage the affected
+        buckets, rename each live bucket dir aside, move the staged dir
+        in, and delete the aside copies only after every bucket swapped.
+        Untouched buckets are never listed, read, or rewritten — ingest
+        cost scales with the batch, not the table (reference
+        delete-then-add: `index_manager.py:347-368`).
+        """
+        staging = self.index_path + ".staging"
+        aside = self.index_path + ".old"
+        for p in (staging, aside):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        # Materializes the merged plan (which lazily reads the live
+        # affected buckets) BEFORE any live dir is touched.
+        (
+            self._with_bucket(df)
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        os.makedirs(aside, exist_ok=True)
+        for b in sorted(buckets):
+            live_b = os.path.join(self.index_path, f"bucket={b}")
+            stage_b = os.path.join(staging, f"bucket={b}")
+            if os.path.exists(live_b):
+                os.replace(live_b, os.path.join(aside, f"bucket={b}"))
+            if os.path.exists(stage_b):
+                os.replace(stage_b, live_b)
+        shutil.rmtree(aside)
+        shutil.rmtree(staging)
 
     # -- the dataflow --------------------------------------------------------
 
@@ -181,10 +252,24 @@ class ETLPipeline:
             batch = batch.join(
                 F.broadcast(seen), batch[filename_col] == seen["filename"], "left_anti"
             )
+        # Tiny action (<= n_buckets rows) over the raw batch (pre-chunking,
+        # pre-embedding): which partition dirs does this ingest touch?
+        buckets = {
+            int(r.b)
+            for r in batch.select(
+                F.pmod(F.crc32(F.col(filename_col)), F.lit(self.config.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
         new_chunks = self.chunk_documents(batch, filename_col, text_col)
-        old = self.index_table()
-        merged = merge_by_key(old, new_chunks, keys=["filename"])
-        self._rewrite(merged)
+        if not self._exists():
+            self._rewrite(new_chunks)
+        elif buckets:
+            merged = merge_by_key(self._read_buckets(buckets), new_chunks, keys=["filename"])
+            self._swap_buckets(merged, buckets)
         stats = (
             self.index_table()
             .groupBy()
@@ -270,11 +355,17 @@ class ETLPipeline:
         q.awaitTermination()
 
     def delete_documents(self, filenames: Sequence[str]) -> None:
-        """E3 delete_document: drop every chunk of the named documents."""
-        if not self._exists():
+        """E3 delete_document: drop every chunk of the named documents.
+
+        Bucket-pruned: reads and rewrites only the partition dirs that can
+        contain the named files (driver-side crc32 twin of the partition
+        expression) — every other bucket is untouched on disk.
+        """
+        if not self._exists() or not filenames:
             return
-        kept = self.index_table().filter(~F.col("filename").isin(*filenames))
-        self._rewrite(kept)
+        buckets = self._buckets_of(filenames)
+        kept = self._read_buckets(buckets).filter(~F.col("filename").isin(*filenames))
+        self._swap_buckets(kept, buckets)
 
     def documents_metadata(self) -> DataFrame:
         """D2 DocumentMetadata analog: per-document chunk/token stats

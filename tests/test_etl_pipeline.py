@@ -75,6 +75,69 @@ def test_delete_documents(pipe, docs):
     assert names == {"doc_1.txt", "doc_4.pdf", "doc_5.md"}
 
 
+def _bucket_files(index_path):
+    """{bucket-dir/file: (mtime, inode)} for every live bucket data file."""
+    import os
+
+    snap = {}
+    for d in os.listdir(index_path):
+        if d.startswith("bucket="):
+            full = os.path.join(index_path, d)
+            for f in os.listdir(full):
+                st = os.stat(os.path.join(full, f))
+                snap[f"{d}/{f}"] = (st.st_mtime_ns, st.st_ino)
+    return snap
+
+
+def test_upsert_rewrites_only_affected_buckets(pipe, docs, spark):
+    import zlib
+
+    pipe.ingest(docs)
+    before = _bucket_files(pipe.index_path)
+    target = "doc_0.pdf"
+    b = zlib.crc32(target.encode()) % pipe.config.n_buckets
+    assert any(not k.startswith(f"bucket={b}/") for k in before), "fixture needs >1 bucket"
+
+    upd = spark.createDataFrame([(target, "fresh text " * 50)], "filename string, text string")
+    pipe.ingest(upd, force=True)
+    after = _bucket_files(pipe.index_path)
+
+    # every file outside the target's bucket is bit-identical on disk:
+    # same path, same mtime, same inode (never rewritten, never moved)
+    for k, v in before.items():
+        if not k.startswith(f"bucket={b}/"):
+            assert after[k] == v, k
+    # the target's bucket WAS rewritten (fresh files)
+    tb_before = {(k, v) for k, v in before.items() if k.startswith(f"bucket={b}/")}
+    tb_after = {(k, v) for k, v in after.items() if k.startswith(f"bucket={b}/")}
+    assert tb_before and tb_after and tb_before != tb_after
+    # and the upsert took effect
+    txt = (
+        pipe.index_table()
+        .filter((F.col("filename") == target) & (F.col("chunk_idx") == 0))
+        .collect()[0]
+        .chunk_text
+    )
+    assert txt.startswith("fresh text")
+
+
+def test_delete_rewrites_only_affected_buckets(pipe, docs):
+    import zlib
+
+    pipe.ingest(docs)
+    before = _bucket_files(pipe.index_path)
+    target = "doc_1.txt"
+    b = zlib.crc32(target.encode()) % pipe.config.n_buckets
+
+    pipe.delete_documents([target])
+    after = _bucket_files(pipe.index_path)
+    for k, v in before.items():
+        if not k.startswith(f"bucket={b}/"):
+            assert after[k] == v, k
+    names = {r.filename for r in pipe.index_table().select("filename").distinct().collect()}
+    assert target not in names
+
+
 def test_metadata_and_search(pipe, docs):
     pipe.ingest(docs)
     meta = pipe.documents_metadata().collect()
