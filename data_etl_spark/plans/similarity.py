@@ -11,7 +11,7 @@ the *same* expression tree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -229,10 +229,20 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generated once in Python and inlined as literals in BOTH dialects, so
 # the signature (sign of each integer-coefficient dot product) is
 # bit-identical and the oracle stays exact.
+#
+# Banded form (AND within a band, OR across bands): each 16-plane band
+# gives 2^16 buckets, so in-bucket occupancy — and the quadratic
+# candidate blow-up a narrow signature causes — shrinks by 256x vs the
+# old single 8-plane signature; OR-ing the bands recovers recall. Band
+# width scales as ~log2(corpus) + margin at larger corpora. Output is
+# additionally gated by cos_sim >= _RP_TAU so emitted volume is bounded
+# by true near-dups, not by candidate count.
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 8
+_N_BANDS = 2
+_BAND_W = 16  # planes per band; buckets per band = 2^16
 _DIM = 64
+_RP_TAU = 0.25
 
 
 def _plane(j: int) -> list[float]:
@@ -240,55 +250,82 @@ def _plane(j: int) -> list[float]:
     return [float((i * 37 + j * 53 + 11) % 19 - 9) for i in range(_DIM)]
 
 
-_PLANES = [_plane(j) for j in range(_N_PLANES)]
+_PLANES = [_plane(j) for j in range(_N_BANDS * _BAND_W)]
 
 
-def _sig_sql() -> str:
+def _band_sql(band: int) -> str:
     bits = []
-    for j, p in enumerate(_PLANES):
+    for k in range(_BAND_W):
+        p = _PLANES[band * _BAND_W + k]
         lit = "[" + ", ".join(f"{v:.1f}" for v in p) + "]"
-        bits.append(f"CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN {2**j} ELSE 0 END")
+        bits.append(f"CASE WHEN list_dot_product(emb, {lit}) >= 0 THEN {2**k} ELSE 0 END")
     return " + ".join(bits)
 
 
 _RP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
-sig AS (SELECT vec_id, emb, {_sig_sql()} AS signature FROM e)
-SELECT a.signature, a.vec_id AS vec1, b.vec_id AS vec2,
-       {V.cosine_sql('a.emb', 'b.emb')} AS cos_sim
-FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+sig AS (SELECT vec_id, emb, {_band_sql(0)} AS s0, {_band_sql(1)} AS s1 FROM e),
+cand AS (
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.emb AS emb1, b.emb AS emb2
+    FROM sig a JOIN sig b ON a.s0 = b.s0 AND a.vec_id < b.vec_id
+    UNION
+    SELECT a.vec_id, b.vec_id, a.emb, b.emb
+    FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2, cos_sim
+FROM (SELECT vec1, vec2, {V.cosine_sql('emb1', 'emb2')} AS cos_sim FROM cand)
+WHERE cos_sim >= {_RP_TAU}
 """
+
+
+def _band_col(band: int) -> Column:
+    sig_col = None
+    for k in range(_BAND_W):
+        lit = F.array(*[F.lit(v) for v in _PLANES[band * _BAND_W + k]])
+        bit = F.when(V.dot(F.col("emb"), lit) >= 0, F.lit(2**k)).otherwise(F.lit(0))
+        sig_col = bit if sig_col is None else sig_col + bit
+    return sig_col
 
 
 @register("q_rp_lsh_pairs", oracle=_RP_ORACLE, tags=("phase3", "similarity", "dedup"))
 def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-projection LSH candidate pairs, scored by exact cosine.
+    """Banded random-projection LSH near-dup pairs, exact-cosine scored.
 
-    100 TB shape: signature is the shuffle/partition key, so candidate
-    generation is one bounded-bucket self-join — never all-pairs. More
-    planes -> smaller buckets -> higher precision, lower recall; banding
-    (OR over several signature groups) recovers recall.
+    100 TB shape: each band signature is the shuffle key of its own
+    bounded-bucket self-join (never all-pairs); bands are OR-combined
+    with a pair-level dedup, then candidates below _RP_TAU are dropped
+    so output volume tracks true near-dups. Widen _BAND_W with corpus
+    size (>= log2(n) + margin) to keep per-bucket occupancy O(1).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
-    sig_col = None
-    for j, p in enumerate(_PLANES):
-        lit = F.array(*[F.lit(v) for v in p])
-        bit = F.when(V.dot(F.col("emb"), lit) >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig_col = bit if sig_col is None else sig_col + bit
-    sig = e.withColumn("signature", sig_col).withColumn("nrm", V.l2_norm(F.col("emb")))
-    a = sig.select(
-        "signature", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"), F.col("nrm").alias("n1")
+    sig = (
+        e.withColumn("s0", _band_col(0))
+        .withColumn("s1", _band_col(1))
+        .withColumn("nrm", V.l2_norm(F.col("emb")))
     )
-    b = sig.select(
-        "signature", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
-    )
+
+    def pairs_on(key: str) -> DataFrame:
+        a = sig.select(
+            F.col(key).alias("k"),
+            F.col("vec_id").alias("vec1"),
+            F.col("emb").alias("emb1"),
+            F.col("nrm").alias("n1"),
+        )
+        b = sig.select(
+            F.col(key).alias("k"),
+            F.col("vec_id").alias("vec2"),
+            F.col("emb").alias("emb2"),
+            F.col("nrm").alias("n2"),
+        )
+        return a.join(b, "k").filter(F.col("vec1") < F.col("vec2")).drop("k")
+
+    cand = pairs_on("s0").unionByName(pairs_on("s1")).dropDuplicates(["vec1", "vec2"])
     cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
     return (
-        a.join(b, "signature")
-        .filter(F.col("vec1") < F.col("vec2"))
-        .select("signature", "vec1", "vec2", cos.alias("cos_sim"))
+        cand.select("vec1", "vec2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
     )
 
 
