@@ -8,8 +8,10 @@ md5 exists identically in DuckDB — minhashes compare lexicographically
 as hex strings, which preserves the uniform-min property.
 
 Scale posture: the shingle inverted index is the classic MapReduce dedup
-layout — pair generation is bounded per shingle (hot shingles would be
-capped/salted at 100 TB; noted inline), never an O(n²) cross join.
+layout — pair generation is bounded per shingle, never an O(n²) cross
+join — and ubiquitous shingles are document-frequency-capped BEFORE any
+self-join (see ``word_shingles``), so no single inverted-index bucket
+grows with corpus size.
 """
 
 from __future__ import annotations
@@ -19,8 +21,23 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 
+#: Drop shingles appearing in more documents than this before any
+#: self-join. Boilerplate shingles ("terms of service apply") put a
+#: corpus-fraction of docs into ONE inverted-index bucket; the bucketed
+#: self-join then emits O(DF²) pairs from that bucket — the classic
+#: dedup skew-killer at 100 TB. Pairs whose entire overlap is such
+#: ubiquitous text are exactly the pairs near-dup detection should not
+#: emit, so the cap trades no useful recall.
+DEFAULT_MAX_SHINGLE_DF = 1000
 
-def word_shingles(df: DataFrame, key: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+
+def word_shingles(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
     """Distinct n-word shingles per document: (key, shingle).
 
     Built as zip_with over n shifted array slices rather than
@@ -44,18 +61,47 @@ def word_shingles(df: DataFrame, key: str = "doc_id", text_col: str = "text", n:
     z = slices[0]
     for s in slices[1:]:
         z = F.zip_with(z, s, lambda a, b: F.concat_ws(" ", a, b))
-    return ws_df.select(key, F.explode(z).alias("shingle")).distinct()
+    sh = ws_df.select(key, F.explode(z).alias("shingle")).distinct()
+    if max_df is None:
+        return sh
+    # DF cap: count per shingle (map-side partial agg — the shuffle
+    # carries (shingle, count) partials, not rows), keep the HOT set
+    # (small by construction: shingles in >max_df docs), broadcast
+    # anti-join it away. Persist the raw set so the tokenize+explode
+    # subtree runs once for both the count and the probe side.
+    sh = sh.persist()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def word_shingles_sql(table: str, key: str = "doc_id", text_col: str = "text", n: int = 3) -> str:
-    """DuckDB CTE body for distinct (key, shingle) pairs."""
+def word_shingles_sql(
+    table: str,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB CTE body for distinct (key, shingle) pairs (same DF cap)."""
     ws = TX.words_sql(text_col)
     parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
-    return f"""
+    base = f"""
         SELECT DISTINCT {key}, unnest(
             list_transform(generate_series(1, greatest(len(ws) - {n - 1}, 0)),
                            i -> {parts})) AS shingle
         FROM (SELECT {key}, {ws} AS ws FROM {table})
+    """
+    if max_df is None:
+        return base
+    return f"""
+        SELECT * FROM ({base}) shraw
+        WHERE shingle NOT IN (
+            SELECT shingle FROM ({base}) shdf
+            GROUP BY shingle HAVING count(*) > {max_df})
     """
 
 

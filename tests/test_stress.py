@@ -58,3 +58,38 @@ def test_placement_many_insertions_on_big_doc():
     order = [placed.index(f"[fig{i}]") for i in (0, 50, 99)]
     assert order == sorted(order)
     assert dt < 20, f"100 insertions on 1MB doc took {dt:.1f}s"
+
+
+def test_shingle_df_cap_bounds_hot_buckets(spark):
+    """A corpus where every doc shares a boilerplate paragraph: without
+    the DF cap the boilerplate shingles put ALL docs in one inverted-index
+    bucket (candidate pairs ~ n²); with the cap the hot shingles are
+    dropped before the self-join, so pair volume is driven by true
+    near-dup overlap only."""
+    from data_etl_spark.operators.dedup import word_shingles
+
+    boiler = "all rights reserved see terms of service for details"
+    rows = [
+        (f"d{i}", f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = word_shingles(df, max_df=5)
+    # every surviving shingle's document frequency is within the cap
+    max_df_after = (
+        capped.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert max_df_after <= 5
+    # and the n² boilerplate bucket is gone: the capped self-join emits no
+    # pairs at all here (docs share ONLY boilerplate), vs ~40²/2 without
+    a = capped.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc2"), "shingle")
+    n_pairs = a.join(b, "shingle").filter(F.col("doc1") < F.col("doc2")).count()
+    assert n_pairs == 0
+
+    uncapped = word_shingles(df, max_df=None)
+    a0 = uncapped.select(F.col("doc_id").alias("doc1"), "shingle")
+    b0 = uncapped.select(F.col("doc_id").alias("doc2"), "shingle")
+    n_pairs0 = a0.join(b0, "shingle").filter(F.col("doc1") < F.col("doc2")).count()
+    assert n_pairs0 >= 40 * 39 / 2  # quadratic blow-up the cap prevents
