@@ -69,6 +69,10 @@ def fake_embedding(col: Column) -> Column:
     return F.array(*parts)
 
 
+#: Env var pointing at a JSON config file (ETLConfig.from_json default).
+CONFIG_PATH_ENV = "DATA_ETL_CONFIG_PATH"
+
+
 @dataclass
 class ETLConfig:
     """Job config (ETLConfigManager analog, `config/manager.py:164-188`)."""
@@ -77,7 +81,49 @@ class ETLConfig:
     chunk_overlap: int = 200
     allowed_extensions: Sequence[str] = ("pdf", "txt", "md")
     n_buckets: int = 64  # index-table partition buckets over filename
+    nfkc: bool = False  # T2 unicode NFKC in the normalize chain
     extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, path: str | None = None, app_id: str | None = None) -> "ETLConfig":
+        """S6 config-manager parity (`config/manager.py:191-206`): load a
+        JSON config — explicit ``path``, else ``$DATA_ETL_CONFIG_PATH`` —
+        optionally selecting an app-scoped section keyed by ``app_id``.
+        Unknown keys and wrong-typed values raise ValueError (the
+        reference's pydantic validation analog).
+        """
+        import json
+
+        path = path or os.environ.get(CONFIG_PATH_ENV)
+        if not path:
+            raise ValueError(
+                f"no config path given and ${CONFIG_PATH_ENV} is unset"
+            )
+        with open(path) as f:
+            raw = json.load(f)
+        if app_id is not None:
+            if not isinstance(raw, dict) or app_id not in raw:
+                raise ValueError(f"app_id {app_id!r} not found in {path}")
+            raw = raw[app_id]
+        if not isinstance(raw, dict):
+            raise ValueError(f"config root must be a JSON object, got {type(raw).__name__}")
+        fields_ = {f_.name for f_ in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+        unknown = set(raw) - fields_
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        checks = {
+            "chunk_size": int,
+            "chunk_overlap": int,
+            "n_buckets": int,
+            "nfkc": bool,
+            "allowed_extensions": (list, tuple),
+            "extra": dict,
+        }
+        for k, v in raw.items():
+            want = checks[k]
+            if not isinstance(v, want) or (want is int and isinstance(v, bool)):
+                raise ValueError(f"config key {k!r}: expected {want}, got {type(v).__name__}")
+        return cls(**raw)
 
 
 class ETLPipeline:
@@ -214,7 +260,7 @@ class ETLPipeline:
         """normalize -> overlapping chunks -> token counts -> embeddings."""
         norm = docs.select(
             F.col(filename_col).alias("filename"),
-            TX.normalize_text(F.col(text_col)).alias("__ntext"),
+            TX.normalize_text(F.col(text_col), nfkc=self.config.nfkc).alias("__ntext"),
         )
         chunks = CH.chunk_text(
             norm,

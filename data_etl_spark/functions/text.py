@@ -22,14 +22,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def normalize_text(c: Column) -> Column:
-    """T1,T3-T7 chain (markdown_manager.py:55-69), NFKC excluded.
+def normalize_text(c: Column, nfkc: bool = False) -> Column:
+    """T1-T7 chain (markdown_manager.py:55-69); NFKC (T2) opt-in.
 
-    Order matches the reference: drop bracketed-ellipsis lines, CRLF->LF,
-    collapse space/tab runs, cap blank lines at 2, strip soft hyphens,
-    join hyphen-split words, trim.
+    Order matches the reference: drop bracketed-ellipsis lines, NFKC
+    unicode normalization (when ``nfkc=True`` — off by default and kept
+    out of oracle-checked paths, SURVEY.md §7), CRLF->LF, collapse
+    space/tab runs, cap blank lines at 2, strip soft hyphens, join
+    hyphen-split words, trim.
     """
     x = F.regexp_replace(c, r"(?m)^[^\n]*\[\.+\][^\n]*\n?", "")  # T1
+    if nfkc:
+        x = nfkc_normalize()(x)  # T2 (Arrow-vectorized pandas UDF)
     x = F.regexp_replace(x, "\r\n", "\n")  # T3
     x = F.regexp_replace(x, "[ \t]+", " ")  # T4
     x = F.regexp_replace(x, "\n{3,}", "\n\n")  # T5
