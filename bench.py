@@ -23,7 +23,8 @@ from data_etl_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: The headline set: one per operator family (scan-agg, multiway join,
-#: window, chunk pipeline, dedup x3, knn, event windows).
+#: window, chunk pipeline, dedup x4 incl. clustering, knn, event windows
+#: + retention analytics).
 HEADLINE = [
     "q_pricing_summary",
     "q_shipping_priority",
@@ -33,12 +34,14 @@ HEADLINE = [
     "q_exact_dedup",
     "q_ngram_jaccard",
     "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
     "q_knn_exact",
     "q_rp_lsh_pairs",
     "q_tumbling_window",
     "q_session_window",
     "q_asof_join",
     "q_salted_join",
+    "q_retention_cohort",
 ]
 
 
@@ -58,8 +61,8 @@ def main() -> None:
         for name in HEADLINE:
             try:
                 materialize(REGISTRY[name].fn(spark, warm_dir))
-            except Exception:
-                pass
+            except Exception as exc:  # surface broken queries before timing
+                print(f"warmup FAILED {name}: {exc!r}", file=sys.stderr)
     else:
         spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 

@@ -1,18 +1,29 @@
-"""Distributed connected components via hash-min label propagation —
-the canonical-assignment step after near-dup candidate generation
-(cluster the pair graph, pick min doc id per cluster), and the
+"""Distributed connected components via hash-min label propagation with
+pointer doubling — the canonical-assignment step after near-dup candidate
+generation (cluster the pair graph, pick min doc id per cluster), and the
 cross-partition scale path for the J4 rect merge (SURVEY.md §2.4:
 "GraphFrames connectedComponents + min/max agg per component" — done
 here with plain DataFrames, no extra dependency).
 
-Algorithm: every node starts labeled with itself; each round, a node's
-label becomes the min of its own and its neighbors' labels; converged
-when no label changes. Rounds = O(component diameter) — near-dup
-clusters are shallow (stars/cliques), so 3-5 rounds in practice. Each
-round is one shuffle (join + groupBy-min on the node key); labels are
-persisted per round and the previous round unpersisted, keeping lineage
-bounded. At cluster scale, checkpoint every ~10 rounds to a reliable
-store to truncate lineage entirely.
+Algorithm: every node starts labeled with itself; each round a node's
+label becomes (a) the min of its own and its neighbors' labels (1-hop
+propagation), then (b) the min of its label and its *label's* label
+(pointer doubling / path compression, a self-join on the label table).
+Plain 1-hop propagation needs O(component diameter) rounds — fatal on a
+chain graph; the doubling step roughly squares the propagation distance
+per round, giving O(log diameter): a 10k-node chain converges in ~15
+rounds (tests/test_components.py stress-tests exactly that).
+
+Per round: one shuffle for the neighbor groupBy-min, one for the
+doubling self-join. The 1-hop result is localCheckpoint'ed *before* the
+doubling self-join so the join's two legs read materialized blocks
+instead of recomputing the hop plan twice, and the previous label rides
+along as a ``prev`` column so the convergence probe is a limit-1 scan
+over the final checkpoint — no extra join and no recompute/count job.
+At cluster scale pass ``checkpoint_interval`` to also write a reliable
+checkpoint every K rounds (requires
+``spark.sparkContext.setCheckpointDir``), bounding recovery cost under
+executor loss.
 """
 
 from __future__ import annotations
@@ -25,50 +36,80 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 40,
+    checkpoint_interval: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Deterministic (min-label), so oracle-checkable.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — partial (unconverged) labels are silently
+    wrong, never returned.
     """
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
-    # localCheckpoint (not persist): truncates the logical plan each
-    # round, so round N's plan does not embed rounds 1..N-1 — without it
-    # the growing lineage blows up analysis memory in small drivers. On
-    # a cluster with executor loss concerns, use reliable checkpoint().
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
+        # (a) 1-hop min propagation over the edge set.
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("component"))
             .groupBy("node")
             .agg(F.min("component").alias("neighbor_component"))
         )
-        new_labels = (
+        # ``prev`` rides along so the convergence probe never needs a
+        # join back to the old label table.
+        hop = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce("neighbor_component", F.col("component")),
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            labels.alias("a")
-            .join(new_labels.alias("b"), "node")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        # (b) pointer doubling: component := min(component,
+        # component's component). Every label value is itself a node, so
+        # the lookup is a self-join on the (checkpointed) hop table.
+        looked_up = hop.select(
+            F.col("node").alias("l_node"), F.col("component").alias("l_component")
+        )
+        new_labels = hop.join(
+            looked_up, hop["component"] == looked_up["l_node"], "left"
+        ).select(
+            "node",
+            "prev",
+            F.least(
+                F.col("component"),
+                F.coalesce("l_component", F.col("component")),
+            ).alias("component"),
+        )
+
+        if checkpoint_interval and round_no % checkpoint_interval == 0:
+            new_labels = new_labels.checkpoint(eager=True)  # reliable store
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        # Convergence probe: limit-1 scan over the blocks the eager
+        # checkpoint just materialized — no recompute job.
+        converged = new_labels.where(F.col("component") != F.col("prev")).limit(1).isEmpty()
+        labels = new_labels.select("node", "component")
+        if converged:
+            return labels
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter too large for the iteration budget); "
+        "raise max_iter"
+    )
 
 
 def dedup_clusters(pairs: DataFrame, id1: str = "doc1", id2: str = "doc2") -> DataFrame:

@@ -15,7 +15,8 @@ though it runs through the streaming engine.
 
 from __future__ import annotations
 
-import uuid
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,19 +45,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Drain a streaming DataFrame with Trigger.AvailableNow into an
-    in-memory table and return it as a batch DataFrame."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
+def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow through a
+    foreachBatch parquet sink and read the result back as a batch
+    DataFrame.
+
+    This is the production drain shape — the same foreachBatch pattern
+    as ``ETLPipeline.ingest_stream`` (etl.py) — so no result row ever
+    materializes on the driver, unlike a memory sink whose complete-mode
+    state lives in driver memory. Complete mode overwrites the table per
+    micro-batch; append/update modes append each batch's delta. The
+    tmpdir checkpoint is test-scoped; production passes a durable path.
+    """
+    spark = df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="stream_drain_")
+    data_dir = os.path.join(out_dir, "data")
+    mode = "overwrite" if output_mode == "complete" else "append"
+
+    def drain(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(data_dir)
+
     q = (
-        df.writeStream.format("memory")
-        .queryName(name)
+        df.writeStream.foreachBatch(drain)
         .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    return spark.read.parquet(data_dir)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +88,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
-    out = run_to_memory(agg, output_mode="complete")
+    out = run_to_table(agg, output_mode="complete")
     return out.select(
         F.unix_timestamp("w.start").alias("window_start"), "n_events", "sum_value"
     )
@@ -164,7 +181,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(sessions, output_mode="update")
+    return run_to_table(sessions, output_mode="update")
 
 
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +195,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_table(agg, output_mode="complete")
 
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,4 +248,4 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    return run_to_memory(joined, output_mode="append")
+    return run_to_table(joined, output_mode="append")

@@ -30,6 +30,30 @@ def test_components_long_path_converges(spark):
     assert len(got) == n + 1
 
 
+def test_components_chain_10k_converges(spark):
+    # 10k-node chain: diameter 10k. Plain 1-hop propagation would need
+    # ~10k rounds; pointer doubling converges in O(log n) ~= 15, well
+    # inside the default max_iter.
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    ).repartition(8)
+    labels = connected_components(edges)
+    assert labels.select("component").distinct().count() == 1
+    assert labels.count() == n + 1
+    assert labels.agg({"component": "max"}).collect()[0][0] == 0
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_dedup_clusters_sizes(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], "doc1 long, doc2 long"
