@@ -45,9 +45,12 @@ CONVERT_SCHEMA = T.StructType(
 def _convert_one(filename: str, payload: bytes) -> tuple[str | None, int | None, bool, str | None]:
     """(markdown, n_pages, ok, err) for one document's bytes."""
     if HAVE_PDF and filename.lower().endswith(".pdf"):  # pragma: no cover
-        doc = fitz.open(stream=payload, filetype="pdf")
-        md = pymupdf4llm.to_markdown(doc, write_images=False)
-        return md, doc.page_count, True, None
+        try:
+            doc = fitz.open(stream=payload, filetype="pdf")
+            md = pymupdf4llm.to_markdown(doc, write_images=False)
+            return md, doc.page_count, True, None
+        except Exception as exc:  # E2: per-record failure -> error row
+            return None, None, False, f"pdf convert failed: {exc}"
     # Fallback: text-like payloads decode as UTF-8; page = fixed window.
     try:
         text = payload.decode("utf-8")
