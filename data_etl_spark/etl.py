@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from .functions import text as TX
 from .operators import chunking as CH
+from .operators.export import export_files
 from .operators.merge import merge_by_key
 
 #: Dimension of the deterministic fallback embedding (md5-nibble based).
@@ -326,6 +327,24 @@ class ETLPipeline:
             .collect()[0]
         )
         return {"n_documents": stats["n_documents"], "n_chunks": stats["n_chunks"]}
+
+    def export_markdown(
+        self,
+        docs: DataFrame,
+        out_dir: str,
+        filename_col: str = "filename",
+        text_col: str = "text",
+    ) -> None:
+        """K1 optional file sink: one normalized ``<stem>.md`` per document
+        (`markdown_conversion_manager.py:106-108`), written distributed via
+        ``foreachPartition`` — the table column stays the primary sink."""
+        norm = docs.select(
+            F.concat(
+                F.regexp_replace(F.col(filename_col), r"\.[^.]*$", ""), F.lit(".md")
+            ).alias("relpath"),
+            TX.normalize_text(F.col(text_col), nfkc=self.config.nfkc).alias("content"),
+        )
+        export_files(norm, out_dir, "relpath", "content")
 
     def save_config(self, index_type: str, model_name: str, distance: str = "cosine") -> dict:
         """K5 index-config persistence (`index_manager.py:263-286`): a
