@@ -54,7 +54,12 @@ _DEFERRED = {
     "q_rect_merge",
     "q_anchor_search",
     "q_approx_distinct",
+    # oracle-backed in round 2 (bm25 ln-drift fixed via 6-decimal
+    # quantization; simhash pairs + rect CC are new) but the round-2
+    # window was already full — rotate into the r3 window:
     "q_bm25",
+    "q_simhash_pairs",
+    "q_rect_components",
 }
 
 

@@ -203,6 +203,84 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_simhash_pairs — SimHash near-dup pair generation: band the signature,
+# self-join on (band, band_value), keep pairs with Hamming distance <= 3.
+# The banded join is the 100 TB shape (candidates come from equality
+# buckets, never an all-pairs scan); Hamming via bit_count(xor) is exact
+# integer arithmetic, so the oracle is a full value-hash check.
+#
+# Fixture-scale constants: the 16-bit SimHash splits into 2 bands x 8
+# bits (256 values/band — bucket occupancy n/256). At production scale
+# this becomes a 64-bit SimHash with band width >= log2(n_docs) bits so
+# expected bucket size stays O(1); the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+
+# Band extraction by portable arithmetic (floor-div / mod work in both
+# dialects; bit-shift syntax does not): hi = simhash div 256, lo = mod.
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH wc AS ({_SIMHASH_WORDCOUNT_SQL}),
+hv AS (SELECT doc_id, cnt, {_hexval_sql('md5(word)')} AS v FROM wc),
+sh AS (
+    SELECT doc_id, {_simhash_select('duckdb')} AS simhash
+    FROM hv
+    GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, simhash, 0 AS band,
+           CAST(floor(simhash / 256.0) AS BIGINT) AS band_val FROM sh
+    UNION ALL
+    SELECT doc_id, simhash, 1, simhash % 256 FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.simhash AS h1, b.simhash AS h2
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, bit_count(xor(h1, h2)) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= 3
+"""
+
+
+@register("q_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("phase3", "dedup"))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded LSH candidates + Hamming <= 3."""
+    sh = q_simhash(spark, sf_dir)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.floor(F.col("simhash") / 256.0).cast("bigint"),
+                F.col("simhash") % 256,
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("doc1", "doc2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_clusters — connected components over the MinHash-LSH candidate
 # graph: the canonical-assignment step of a full dedup pipeline
 # (candidates -> clusters -> keep min doc_id). Spark side is iterative

@@ -249,6 +249,93 @@ def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_rect_components — the SQL-expressible core of the rect merge: one
+# round of connected components over the ORIGINAL pairwise overlap graph
+# (tol=40 theta self-join, J3) + bbox union per component (A5), labels
+# via the iterative CC operator (J4 machinery). This is the candidate-
+# grouping step of q_rect_merge; the full fixpoint (merged bboxes can
+# newly overlap) is NOT SQL-expressible and stays rows-only above. Here
+# the overlap graph is fixed, so a recursive-CTE transitive closure is
+# an exact oracle — giving the rect family a driver-checkable hash row.
+# All coordinates are integer-valued doubles, so the +tol comparisons
+# are exact in both engines.
+# ---------------------------------------------------------------------------
+
+_RECT_CC_ORACLE = f"""
+WITH RECURSIVE figures AS ({_FIGURES_SQL}),
+edges0 AS (
+    SELECT a.fig_key AS src, b.fig_key AS dst
+    FROM figures a
+    JOIN figures b
+      ON a.filename = b.filename AND a.page = b.page
+     AND a.fig_key < b.fig_key
+     AND a.x0 <= b.x1 + 40 AND b.x0 <= a.x1 + 40
+     AND a.y0 <= b.y1 + 40 AND b.y0 <= a.y1 + 40
+),
+edges AS (
+    SELECT src, dst FROM edges0
+    UNION
+    SELECT dst, src FROM edges0
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+labeled AS (
+    SELECT f.filename, f.page, f.x0, f.y0, f.x1, f.y1,
+           coalesce(c.component, f.fig_key) AS component
+    FROM figures f LEFT JOIN comp c ON f.fig_key = c.node
+)
+SELECT filename, page, component,
+       min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1,
+       count(*) AS n_members
+FROM labeled
+GROUP BY filename, page, component
+"""
+
+
+@register("q_rect_components", oracle=_RECT_CC_ORACLE, tags=("phase2", "figures"))
+def q_rect_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-graph CC + bbox union (J3+J4+A5, hash-checkable round)."""
+    from ..operators.components import connected_components
+
+    f = _figures(spark, sf_dir).select(
+        "fig_key", "filename", "page", "x0", "y0", "x1", "y1"
+    )
+    tol = 40.0
+    a, b = f.alias("a"), f.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.filename") == F.col("b.filename"))
+        & (F.col("a.page") == F.col("b.page"))
+        & (F.col("a.fig_key") < F.col("b.fig_key"))
+        & (F.col("a.x0") <= F.col("b.x1") + tol)
+        & (F.col("b.x0") <= F.col("a.x1") + tol)
+        & (F.col("a.y0") <= F.col("b.y1") + tol)
+        & (F.col("b.y0") <= F.col("a.y1") + tol),
+    ).select(F.col("a.fig_key").alias("src"), F.col("b.fig_key").alias("dst"))
+    cc = connected_components(edges)
+    labeled = f.join(cc, f["fig_key"] == cc["node"], "left").select(
+        "filename",
+        "page",
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        F.coalesce("component", "fig_key").alias("component"),
+    )
+    return labeled.groupBy("filename", "page", "component").agg(
+        F.min("x0").alias("x0"),
+        F.min("y0").alias("y0"),
+        F.max("x1").alias("x1"),
+        F.max("y1").alias("y1"),
+        F.count("*").alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_figure_placement — O4: apply figure-reference insertions at quartile
 # offsets of each document, largest offset first. The kernel is generic
 # string surgery (applyInPandas); the oracle reconstructs the same

@@ -251,11 +251,51 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bm25", oracle=None, tags=("phase3", "textstats", "sparse"))
+# BM25's idf uses ln(), whose last-ulp behavior differs across libm
+# implementations (measured: 4/20 distinct doc_freq inputs at sf0.01
+# disagree in the final bit between the JVM and DuckDB). The score is
+# therefore quantized to 6 decimals in BOTH engines — a cross-engine
+# mismatch then requires the unrounded double to sit within ~1 ulp
+# (~1e-17) of a 0.5e-6 rounding boundary, ~1e-11 per value — and the
+# top-5 rank orders by the QUANTIZED score (ties broken by term) so row
+# selection is stable under last-ulp drift too. SURVEY.md §7's
+# "round aggregates in both engine and oracle" rule, applied to a
+# transcendental instead of a sum.
+_BM25_ORACLE = """
+WITH wc AS (
+    SELECT doc_id, w AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM wc GROUP BY doc_id),
+df AS (SELECT term, count(*) AS doc_freq FROM wc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_dl FROM dl),
+idf AS (
+    SELECT term, doc_freq,
+           ln(1.0 + (n.n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) AS idf
+    FROM df CROSS JOIN n
+),
+scored AS (
+    SELECT wc.doc_id, wc.term, wc.tf, idf.doc_freq,
+           round(
+               idf.idf * (wc.tf * (1.2 + 1))
+               / (wc.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / avgdl.avg_dl)),
+               6) AS bm25
+    FROM wc JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN avgdl
+)
+SELECT doc_id, term, tf, doc_freq, bm25 FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("q_bm25", oracle=_BM25_ORACLE, tags=("phase3", "textstats", "sparse"))
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 term scores (k1=1.2, b=0.75). Rows-only: idf uses ln(), whose
-    last-ulp behavior differs across libm implementations (SURVEY.md §7
-    float-drift rule), so no cross-engine hash is attempted."""
+    """Top-5 BM25 term scores per doc (k1=1.2, b=0.75), quantized to 6
+    decimals in both engines so the ln()-based idf stays hash-checkable
+    despite last-ulp libm drift (see _BM25_ORACLE note)."""
     from pyspark.sql import Window as W
 
     k1, b = 1.2, 0.75
@@ -289,18 +329,23 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            "tf",
+            "doc_freq",
+            F.round(
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1))
-                / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avg_dl")))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avg_dl"))),
+                6,
             ).alias("bm25"),
         )
     )
+    # Rank by the QUANTIZED score so top-5 selection is stable across
+    # engines even when the unrounded doubles differ in the last ulp.
     w = W.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("doc_id", "term", "bm25")
+        .select("doc_id", "term", "tf", "doc_freq", "bm25")
     )
 
 
