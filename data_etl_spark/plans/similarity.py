@@ -11,8 +11,11 @@ the *same* expression tree.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vectors as V
 from ..operators.knn import exact_knn
@@ -279,12 +282,45 @@ WHERE cos_sim >= {_RP_TAU}
 
 
 def _band_col(band: int) -> Column:
+    """Expression-path band signature (reference semantics; see
+    ``_band_sigs`` for the Arrow fast path used in the query —
+    tests/test_plans.py asserts they are bit-identical)."""
     sig_col = None
     for k in range(_BAND_W):
         lit = F.array(*[F.lit(v) for v in _PLANES[band * _BAND_W + k]])
         bit = F.when(V.dot(F.col("emb"), lit) >= 0, F.lit(2**k)).otherwise(F.lit(0))
         sig_col = bit if sig_col is None else sig_col + bit
     return sig_col
+
+
+_SIG_SCHEMA = T.StructType(
+    [T.StructField(f"s{b}", T.LongType()) for b in range(_N_BANDS)]
+)
+
+
+@F.pandas_udf(_SIG_SCHEMA)
+def _band_sigs(emb: pd.Series) -> pd.DataFrame:
+    """Arrow-path band signatures: all 32 plane dot products per batch.
+
+    Bit-identical to ``_band_col`` (and the oracle's list_dot_product):
+    elementwise multiply rounds identically to the JVM's, and
+    cumsum(axis=1) is the same left-to-right sequential double fold as
+    the aggregate() expression — so every sign decision matches. The
+    expression path evaluates ~32x64 interpreted lambda steps per row;
+    this is two vectorized matmul-shaped loops per batch.
+    """
+    if len(emb) == 0:
+        return pd.DataFrame({"s0": pd.Series(dtype="int64"), "s1": pd.Series(dtype="int64")})
+    E = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+    planes = np.array(_PLANES, dtype=np.float64)
+    out = {}
+    for band in range(_N_BANDS):
+        s = np.zeros(len(E), dtype=np.int64)
+        for k in range(_BAND_W):
+            d = np.cumsum(E * planes[band * _BAND_W + k], axis=1)[:, -1]
+            s |= (d >= 0).astype(np.int64) << k
+        out[f"s{band}"] = s
+    return pd.DataFrame(out)
 
 
 @register("q_rp_lsh_pairs", oracle=_RP_ORACLE, tags=("phase3", "similarity", "dedup"))
@@ -300,11 +336,13 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
+    # persist: the 32-dot signature + norm is consumed by FOUR scans
+    # (two join legs x two bands) — without the cache each leg would
+    # recompute the whole expression chain.
     sig = (
-        e.withColumn("s0", _band_col(0))
-        .withColumn("s1", _band_col(1))
-        .withColumn("nrm", V.l2_norm(F.col("emb")))
-    )
+        e.withColumn("sg", _band_sigs("emb"))
+        .select("vec_id", "emb", "sg.s0", "sg.s1", V.l2_norm(F.col("emb")).alias("nrm"))
+    ).persist()
 
     def pairs_on(key: str) -> DataFrame:
         a = sig.select(
@@ -319,14 +357,21 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("emb").alias("emb2"),
             F.col("nrm").alias("n2"),
         )
-        return a.join(b, "k").filter(F.col("vec1") < F.col("vec2")).drop("k")
+        j = a.join(b, "k").filter(F.col("vec1") < F.col("vec2"))
+        # Score + threshold INSIDE the band, before the OR-union: the
+        # cross-band dedup shuffle then carries only (vec1, vec2, cos)
+        # for true near-dups instead of 64-double arrays for every
+        # candidate pair. A pair colliding in both bands is scored
+        # twice, but scoring is cheaper than shuffling its embeddings.
+        cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
+        return (
+            j.select("vec1", "vec2", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
+        )
 
-    cand = pairs_on("s0").unionByName(pairs_on("s1")).dropDuplicates(["vec1", "vec2"])
-    cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
-    return (
-        cand.select("vec1", "vec2", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
-    )
+    # cos_sim is identical on both legs (same deterministic expression
+    # over the same embeddings), so the keep-any dedup is deterministic.
+    return pairs_on("s0").unionByName(pairs_on("s1")).dropDuplicates(["vec1", "vec2"])
 
 
 # ---------------------------------------------------------------------------

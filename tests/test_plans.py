@@ -121,3 +121,27 @@ def test_funnel_and_retention_no_cartesian(spark, sf_dir):
     # user_id and must never degrade to CartesianProduct
     assert "CartesianProduct" not in _plan(spark, sf_dir, "q_funnel")
     assert "CartesianProduct" not in _plan(spark, sf_dir, "q_retention_cohort")
+
+
+def test_band_signature_arrow_matches_expression(spark, sf_dir):
+    # the Arrow band-signature UDF must be bit-identical to the
+    # expression-path fold (same sign decision on every plane dot)
+    import pyspark.sql.functions as F
+
+    from data_etl_spark.functions import vectors as V
+    from data_etl_spark.plans.similarity import _band_col, _band_sigs
+    from data_etl_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    both = e.select(
+        "vec_id",
+        _band_col(0).alias("e0"),
+        _band_col(1).alias("e1"),
+        _band_sigs("emb").alias("sg"),
+    )
+    diff = both.filter(
+        (F.col("e0") != F.col("sg.s0")) | (F.col("e1") != F.col("sg.s1"))
+    )
+    assert diff.count() == 0
