@@ -265,8 +265,11 @@ def _band_sql(band: int) -> str:
     return " + ".join(bits)
 
 
-_RP_ORACLE = f"""
-WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+# Shared CTE chain: embeddings -> band signatures -> OR-combined
+# candidates -> exact-cosine thresholded near-dup pairs. Reused by the
+# pair query and the clustering query below.
+_RP_PAIR_CTES = f"""
+e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
 sig AS (SELECT vec_id, emb, {_band_sql(0)} AS s0, {_band_sql(1)} AS s1 FROM e),
 cand AS (
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.emb AS emb1, b.emb AS emb2
@@ -274,10 +277,16 @@ cand AS (
     UNION
     SELECT a.vec_id, b.vec_id, a.emb, b.emb
     FROM sig a JOIN sig b ON a.s1 = b.s1 AND a.vec_id < b.vec_id
-)
-SELECT vec1, vec2, cos_sim
-FROM (SELECT vec1, vec2, {V.cosine_sql('emb1', 'emb2')} AS cos_sim FROM cand)
-WHERE cos_sim >= {_RP_TAU}
+),
+near_dup AS (
+    SELECT vec1, vec2, cos_sim
+    FROM (SELECT vec1, vec2, {V.cosine_sql('emb1', 'emb2')} AS cos_sim FROM cand)
+    WHERE cos_sim >= {_RP_TAU}
+)"""
+
+_RP_ORACLE = f"""
+WITH {_RP_PAIR_CTES}
+SELECT vec1, vec2, cos_sim FROM near_dup
 """
 
 
@@ -372,6 +381,63 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cos_sim is identical on both legs (same deterministic expression
     # over the same embeddings), so the keep-any dedup is deterministic.
     return pairs_on("s0").unionByName(pairs_on("s1")).dropDuplicates(["vec1", "vec2"])
+
+
+# ---------------------------------------------------------------------------
+# q_embed_dedup_clusters — embedding-cosine near-dup dedup END-TO-END:
+# RP-LSH candidates -> exact-cosine threshold -> connected components ->
+# canonical vector per cluster (min vec_id), singletons included. The
+# training-pipeline "keep one of each near-duplicate embedding" step as
+# one DataFrame plan; exact oracle via recursive-CTE transitive closure
+# over the same thresholded pair set.
+# ---------------------------------------------------------------------------
+
+_EMBED_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_RP_PAIR_CTES},
+edges AS (
+    SELECT vec1 AS src, vec2 AS dst FROM near_dup
+    UNION
+    SELECT vec2, vec1 FROM near_dup
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+labeled AS (
+    SELECT e.vec_id, coalesce(c.component, e.vec_id) AS canonical_id
+    FROM e LEFT JOIN comp c ON e.vec_id = c.node
+)
+SELECT vec_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+       CAST(vec_id <> canonical_id AS INT) AS is_dup
+FROM labeled
+"""
+
+
+@register(
+    "q_embed_dedup_clusters",
+    oracle=_EMBED_CLUSTERS_ORACLE,
+    tags=("phase3", "similarity", "dedup", "components"),
+)
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clustering: LSH pairs -> CC -> canonical id."""
+    from ..operators.components import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = q_rp_lsh_pairs(spark, sf_dir).select("vec1", "vec2")
+    cc = connected_components(pairs, src="vec1", dst="vec2")
+    labeled = e.join(cc, e["vec_id"] == cc["node"], "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("canonical_id")
+    )
+    w = W.partitionBy("canonical_id")
+    return labeled.select(
+        "vec_id",
+        "canonical_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+    )
 
 
 # ---------------------------------------------------------------------------
