@@ -60,6 +60,8 @@ _DEFERRED = {
     "q_bm25",
     "q_simhash_pairs",
     "q_rect_components",
+    "q_redact_pii",
+    "q_rollup_hierarchy",
 }
 
 

@@ -427,3 +427,68 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("n_events"),
         F.coalesce("sum_v", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rollup_hierarchy — hypertable-style continuous-aggregate rollup:
+# hour -> day -> month, where each coarser grain re-aggregates the
+# FINER AGGREGATE's partials (count-of-counts, sum-of-sums), never the
+# raw events. That is the 100 TB shape: the raw table is scanned once
+# for the hourly grain; day and month are cheap rollups of ~dimension-
+# sized intermediates. Decimal partials keep the re-aggregated sums
+# exact (associative), cast to double only at the output edge, so the
+# oracle — three independent GROUP BYs over raw events — hash-matches.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_HIER_ORACLE = f"""
+WITH {EVENTS_US},
+g AS (
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events, sum({_DEC}) AS sum_v
+    FROM events_us GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type, count(*), sum({_DEC})
+    FROM events_us GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), event_type, count(*), sum({_DEC})
+    FROM events_us GROUP BY 2, 3
+)
+SELECT grain, CAST(epoch(bucket) AS BIGINT) AS bucket_start, event_type,
+       n_events, CAST(sum_v AS DOUBLE) AS sum_value
+FROM g
+"""
+
+
+@register(
+    "q_rollup_hierarchy", oracle=_ROLLUP_HIER_ORACLE, tags=("phase4", "events", "analytics")
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month rollup; coarser grains aggregate the hourly partials."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v").alias("sum_v"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_v").alias("sum_v"))
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.unix_timestamp("bucket").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_v").cast("double").alias("sum_value"),
+        )
+
+    # hourly feeds three consumers (its own grain + two rollups)
+    hourly = hourly.persist()
+    return shape(hourly, "hour").unionByName(shape(daily, "day")).unionByName(
+        shape(monthly, "month")
+    )

@@ -350,6 +350,74 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_redact_pii — PII scrubbing for training corpora: replace emails,
+# URLs, and long digit runs with typed placeholder tokens, and count
+# each. The fixture corpus contains no natural PII, so deterministic
+# markers (derived from doc_id, identically in both engines) are
+# appended first — the redaction machinery is then exercised on real
+# matches, not vacuous zeros. Patterns stay within the regex subset
+# where java.util.regex and DuckDB's RE2 agree (no backrefs, no
+# lookaround, explicit character classes).
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^ \\t\\n]+"
+_PII_NUM = "[0-9]{7,}"
+
+_REDACT_ORACLE = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or https://ex.example/d/'
+                || CAST(doc_id AS VARCHAR) || ' ref '
+                || CAST(10000000 + doc_id * 37 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(t, '{_PII_NUM}')) AS n_longnums,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_URL}', '<URL>', 'g'),
+               '{_PII_NUM}', '<NUM>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@register("q_redact_pii", oracle=_REDACT_ORACLE, tags=("phase3", "textstats"))
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/long-number redaction with per-doc match counts."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        (F.lit(10000000) + F.col("doc_id") * 37).cast("string"),
+    )
+    aug = d.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_URL,
+            "<URL>",
+        ),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_URL), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_NUM), F.lit(0))).alias("n_longnums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_deterministic_sample — reproducible sampling for training pipelines:
 # hash-mod row sampling (10%) + stratified top-2-per-lang by doc_id.
 # rand()/TABLESAMPLE are banned (retries fork results — SURVEY.md §1.3);
