@@ -492,3 +492,89 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(hourly, "hour").unionByName(shape(daily, "day")).unionByName(
         shape(monthly, "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kmv_distinct — deterministic distinct-count SKETCH: k-minimum-values
+# over 24-bit md5 hash prefixes, per event_type. Unlike HLL++
+# (q_approx_distinct, rows-only), KMV is a pure function of the data —
+# the k smallest distinct hash values are partitioning-invariant — so
+# the estimate hash-matches an exact SQL oracle while still being built
+# the mergeable way: per-partition min-k partials (bounded state),
+# merged per group. That two-stage shape is the 100 TB path: the merge
+# input is <= k x #partitions tiny arrays per group, never the raw
+# distinct stream. estimate = (k-1) * 2^24 / h_k (h_k = kth smallest).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_CONST = float((_KMV_K - 1) * 2**24)  # 1056964608.0
+
+
+def _kmv_hexval6(h: str) -> str:
+    # portable 24-bit int of the first 6 hex chars of column ``h``
+    from ..operators.dedup import _hexval6_sql
+
+    return _hexval6_sql(h, 1)
+
+
+_KMV_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT event_type, __v AS v FROM (
+        SELECT event_type, {_kmv_hexval6('__h')} AS __v
+        FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h FROM events)
+    )
+),
+ranked AS (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_hashes
+    FROM h
+),
+kth AS (
+    SELECT event_type,
+           max(CASE WHEN rn = {_KMV_K} THEN v END) AS h_k,
+           max(n_hashes) AS n_hashes
+    FROM ranked GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+)
+SELECT exact.event_type, exact_users,
+       CASE WHEN n_hashes < {_KMV_K} THEN CAST(n_hashes AS DOUBLE)
+            ELSE {_KMV_CONST} / h_k END AS kmv_estimate
+FROM exact JOIN kth ON exact.event_type = kth.event_type
+"""
+
+
+@register("q_kmv_distinct", oracle=_KMV_ORACLE, tags=("phase4", "events", "sketch"))
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch vs exact count, per event type."""
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("__h")
+    ).select("event_type", F.expr(_kmv_hexval6("__h")).alias("v"))
+    # Stage 1: bounded per-(group, input-partition) min-k partials.
+    # collect_set dedups within the cell; cross-cell duplicate hashes
+    # are removed at merge. The result is partitioning-invariant: every
+    # one of the k globally-smallest values is among its own cell's k
+    # smallest, so the merged slice equals the global min-k.
+    cells = raw.groupBy("event_type", F.spark_partition_id().alias("__pid")).agg(
+        F.slice(F.array_sort(F.collect_set("v")), 1, _KMV_K).alias("mins")
+    )
+    merged = cells.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            _KMV_K,
+        ).alias("mins")
+    )
+    est = F.when(
+        F.size("mins") < _KMV_K, F.size("mins").cast("double")
+    ).otherwise(F.lit(_KMV_CONST) / F.element_at("mins", _KMV_K))
+    sketch = merged.select("event_type", est.alias("kmv_estimate"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(sketch, "event_type").select(
+        "event_type", "exact_users", "kmv_estimate"
+    )
