@@ -62,6 +62,7 @@ _DEFERRED = {
     "q_rect_components",
     "q_redact_pii",
     "q_rollup_hierarchy",
+    "q_sentence_dedup",
 }
 
 

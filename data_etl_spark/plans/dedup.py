@@ -459,3 +459,119 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est - ex).alias("est_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sentence_dedup — SUB-document dedup: drop duplicate sentences across
+# the whole corpus, keep-first by (doc_id, sent_idx). The standard
+# boilerplate-removal pass of a training pipeline (dedup at line/
+# sentence granularity catches headers/footers exact-dedup misses).
+# Sentences are synthesized with the same deterministic punctuation rule
+# as q_sentence_chunks; identity is md5 of the sentence text; the kept
+# residue is re-concatenated in order and md5'd so the oracle check is
+# byte-exact on the surviving text, not just counts.
+# ---------------------------------------------------------------------------
+
+_SENT_DEDUP_ORACLE = r"""
+WITH punct AS (
+    SELECT doc_id,
+           regexp_replace(text, '((?:\w+ ){7}\w+) ', '\1. ', 'g') AS ptext
+    FROM documents
+),
+marked AS (
+    SELECT doc_id,
+           string_split(regexp_replace(ptext, '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS sents
+    FROM punct
+),
+s AS (
+    SELECT doc_id, unnest(sents) AS sentence,
+           unnest(generate_series(1, len(sents))) AS sent_idx
+    FROM marked
+),
+ranked AS (
+    SELECT doc_id, sent_idx, sentence,
+           row_number() OVER (PARTITION BY md5(sentence)
+                              ORDER BY doc_id, sent_idx) AS occ
+    FROM s WHERE sentence <> ''
+),
+kept AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN occ = 1 THEN sentence END, ' ' ORDER BY sent_idx) AS kept_text,
+           count(*) AS n_sentences,
+           sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept
+    FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_sentences, n_kept, md5(coalesce(kept_text, '')) AS kept_md5
+FROM kept
+"""
+
+
+@register("q_sentence_dedup", oracle=_SENT_DEDUP_ORACLE, tags=("phase3", "dedup"))
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence dedup, keep-first, byte-exact residue md5."""
+    d = load_table(spark, sf_dir, "documents")
+    ptext = F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. ")
+    marked = F.regexp_replace(ptext, r"([.!?]) ", "$1\x01")
+    s = (
+        d.select("doc_id", F.posexplode(F.split(marked, "\x01")).alias("pos", "sentence"))
+        .withColumn("sent_idx", F.col("pos") + 1)
+        .filter(F.col("sentence") != "")
+    )
+    occ_w = W.partitionBy(F.md5("sentence")).orderBy("doc_id", "sent_idx")
+    ranked = s.withColumn("occ", F.row_number().over(occ_w))
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("occ") == 1, F.struct("sent_idx", "sentence"))
+        )
+    )
+    kept = ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum((F.col("occ") == 1).cast("bigint")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_sorted, lambda st: st["sentence"]), " "
+        ).alias("kept_text"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_sentences",
+        "n_kept",
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate — benchmark-contamination scan: flag corpus documents
+# sharing any 4-word shingle with a (deterministic fixture) benchmark
+# set, excluding the benchmark docs themselves. The 100 TB shape is the
+# point: benchmark shingle sets are tiny relative to the corpus, so the
+# overlap test is a BROADCAST semi-join against the one corpus-wide
+# shingle scan — no shuffle of the corpus by shingle. (Real pipelines
+# decontaminate against eval suites exactly this way, typically with
+# 8-13-gram windows; 4 here because the fixture corpus mutates often
+# enough that longer windows rarely survive across documents.)
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH sh AS ({DD.word_shingles_sql('documents', n=4, max_df=None)}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_hits
+FROM sh JOIN bench ON sh.shingle = bench.shingle
+WHERE sh.doc_id % 10 <> 0
+GROUP BY sh.doc_id
+"""
+
+
+@register("q_decontaminate", oracle=_DECON_ORACLE, tags=("phase3", "dedup"))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 4-gram contamination flags via broadcast semi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d, n=4, max_df=None).persist()
+    bench = (
+        sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
