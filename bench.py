@@ -23,9 +23,12 @@ from data_etl_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: The headline set: one per operator family (scan-agg, multiway join,
-#: window, chunk pipeline, dedup x4 incl. clustering, knn, event windows
-#: + retention analytics).
+#: window, chunk pipeline, dedup x4 incl. clustering + sentence residue,
+#: knn, embedding near-dup pipeline, event windows + retention
+#: analytics).
 HEADLINE = [
+    "q_embed_dedup_clusters",
+    "q_sentence_dedup",
     "q_pricing_summary",
     "q_shipping_priority",
     "q_local_supplier_volume",

@@ -145,3 +145,19 @@ def test_band_signature_arrow_matches_expression(spark, sf_dir):
         (F.col("e0") != F.col("sg.s0")) | (F.col("e1") != F.col("sg.s1"))
     )
     assert diff.count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark shingle set must reach the corpus scan as a
+    # broadcast (semi-join shape), never a shuffle of the corpus by
+    # shingle against it
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rollup_hierarchy_single_raw_scan(spark, sf_dir):
+    # coarser grains must re-aggregate the hourly aggregate: exactly one
+    # scan of the raw events parquet in the physical plan
+    df = REGISTRY["q_rollup_hierarchy"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") <= 1 or "InMemoryTableScan" in plan
