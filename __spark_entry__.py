@@ -66,14 +66,58 @@ _DEFERRED = {
 }
 
 
+_WINDOW_CAP = 50
+
+
+def _driver_checked(repo_dir: str) -> set[str]:
+    """Names with a driver-recorded row in any past CORRECTNESS_r*.json:
+    hash-green, or rows-only-by-design (err == no_oracle — those can
+    never upgrade, so re-exposing them buys nothing). Hash MISMATCHES
+    stay unchecked so a fixed query re-enters the window."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                checked.add(name)
+    return checked
+
+
 def _driver_window() -> list[str]:
-    """Round-1-unchecked, oracle-backed queries + the flagship; <=50 names."""
+    """This round's <=50-name exposure (see rotation note above).
+
+    Round 2 (only CORRECTNESS_r01 exists): the hand-curated set below,
+    validated green against the sf0.01 driver replica. Round 3+: fully
+    automatic — expose the registry names with no driver-green row in
+    any recorded round (oldest rounds first in the files, alphabetical
+    within), topping up with already-green names for re-verification if
+    fewer than the cap remain. No manual bookkeeping needed again.
+    """
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if os.path.exists(os.path.join(repo_dir, "CORRECTNESS_r02.json")):
+        checked = _driver_checked(repo_dir)
+        unchecked = [n for n in sorted(REGISTRY) if n not in checked]
+        window = unchecked[: _WINDOW_CAP - 1]
+        if FLAGSHIP not in window:
+            window.append(FLAGSHIP)
+        refill = [n for n in sorted(REGISTRY) if n not in window]
+        window += refill[: _WINDOW_CAP - len(window)]
+        return sorted(window)
     names = [
         n
         for n in sorted(REGISTRY)
         if (n > _R1_CHECKED_LAST and n not in _DEFERRED) or n == FLAGSHIP
     ]
-    assert len(names) <= 50, f"driver window overflow: {len(names)}"
+    assert len(names) <= _WINDOW_CAP, f"driver window overflow: {len(names)}"
     return names
 
 

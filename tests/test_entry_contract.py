@@ -49,3 +49,47 @@ def test_driver_window_rotation():
 def test_flagship_is_registered():
     assert entry_mod.FLAGSHIP in entry_mod.queries()
     assert entry_mod.FLAGSHIP in entry_mod.oracle_sql()
+
+
+def test_driver_checked_parses_correctness_files(tmp_path):
+    """Round-3+ rotation input: green and rows-only rows count as
+    checked; hash mismatches stay eligible for re-exposure."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_green": {"hash_match": True, "err": None},
+                "q_rows_only": {"hash_match": None, "err": "no_oracle"},
+                "q_mismatch": {"hash_match": False, "err": None},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_late_green": {"hash_match": True, "err": None}})
+    )
+    checked = entry_mod._driver_checked(str(tmp_path))
+    assert checked == {"q_green", "q_rows_only", "q_late_green"}
+
+
+def test_round3_window_rotates_to_unchecked(monkeypatch, tmp_path):
+    """When CORRECTNESS_r02.json exists, the window auto-selects names
+    without driver-green rows, keeps the flagship, and tops up to the
+    cap with re-verification names."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    green = {n: {"hash_match": True, "err": None} for n in names[:80]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({}))
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    window = entry_mod._driver_window()
+    assert len(window) == entry_mod._WINDOW_CAP
+    assert entry_mod.FLAGSHIP in window
+    # every unchecked name is exposed before any re-verification filler
+    unchecked = set(names[80:])
+    assert unchecked <= set(window)
