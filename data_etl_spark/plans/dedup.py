@@ -575,3 +575,73 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_filter — the corpus-curation FUNNEL: compose dedup, near-dup
+# clustering, benchmark decontamination, and quality scoring into one
+# keep/drop verdict per document with a priority-ordered reason code
+# (benchmark > exact_dup > near_dup > contaminated > low_quality >
+# kept). This is the final selection step of a training-data pipeline
+# expressed as one DataFrame plan over the component queries; the
+# oracle stitches the components' own oracle SQL as subqueries, so the
+# verdicts hash-match end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_filter_oracle() -> str:
+    # local import: .textstats is a sibling leaf module (no import back
+    # into dedup), loaded on first use to keep package import order free
+    from .textstats import _QUALITY_ORACLE
+
+    return f"""
+WITH exact AS (SELECT doc_id, is_dup FROM ({_EXACT_ORACLE})),
+clusters AS (
+    SELECT doc_id, CAST(doc_id <> canonical_id AS INT) AS is_near
+    FROM ({_CLUSTERS_ORACLE})
+),
+decon AS (SELECT doc_id, n_hits FROM ({_DECON_ORACLE})),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE}))
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 10 = 0 THEN 'benchmark'
+            WHEN exact.is_dup = 1 THEN 'exact_dup'
+            WHEN coalesce(clusters.is_near, 0) = 1 THEN 'near_dup'
+            WHEN coalesce(decon.n_hits, 0) > 0 THEN 'contaminated'
+            WHEN quality.quality_score < 0.45 THEN 'low_quality'
+            ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN exact ON d.doc_id = exact.doc_id
+LEFT JOIN clusters ON d.doc_id = clusters.doc_id
+LEFT JOIN decon ON d.doc_id = decon.doc_id
+LEFT JOIN quality ON d.doc_id = quality.doc_id
+"""
+
+
+@register("q_corpus_filter", oracle=_corpus_filter_oracle(), tags=("phase3", "dedup"))
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-ordered keep/drop verdict per doc (curation funnel)."""
+    from .textstats import q_text_quality
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    exact = q_exact_dedup(spark, sf_dir).select("doc_id", "is_dup")
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_near"),
+    )
+    decon = q_decontaminate(spark, sf_dir)
+    qual = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    joined = (
+        d.join(exact, "doc_id", "left")
+        .join(clusters, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("doc_id") % 10 == 0, "benchmark")
+        .when(F.col("is_dup") == 1, "exact_dup")
+        .when(F.coalesce("is_near", F.lit(0)) == 1, "near_dup")
+        .when(F.coalesce("n_hits", F.lit(0)) > 0, "contaminated")
+        .when(F.col("quality_score") < 0.45, "low_quality")
+        .otherwise("kept")
+    )
+    return joined.select("doc_id", verdict.alias("verdict"))
