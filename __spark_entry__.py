@@ -69,16 +69,23 @@ _DEFERRED = {
 _WINDOW_CAP = 50
 
 
-def _driver_checked(repo_dir: str) -> set[str]:
-    """Names with a driver-recorded row in any past CORRECTNESS_r*.json:
-    hash-green, or rows-only-by-design (err == no_oracle — those can
-    never upgrade, so re-exposing them buys nothing). Hash MISMATCHES
-    stay unchecked so a fixed query re-enters the window."""
+def _driver_rows(repo_dir: str) -> dict[str, tuple[int, bool]]:
+    """Per-name driver evidence from CORRECTNESS_r*.json files:
+    name -> (last round with any recorded row, ever checked).
+
+    "Checked" = hash-green in some round, or recorded rows-only while
+    the registry STILL has no oracle for it (a query upgraded to
+    oracle-backed since its rows-only row — e.g. q_bm25 after round 1 —
+    counts as unchecked so its new hash check gets driver-exposed).
+    Hash MISMATCHES stay unchecked so a fixed query re-enters."""
     import glob
     import json
+    import re
 
-    checked: set[str] = set()
+    rows_by_name: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        round_no = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -87,9 +94,14 @@ def _driver_checked(repo_dir: str) -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                checked.add(name)
-    return checked
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and name in REGISTRY
+                and REGISTRY[name].oracle is None
+            )
+            last, was_ok = rows_by_name.get(name, (0, False))
+            rows_by_name[name] = (max(last, round_no), was_ok or ok)
+    return rows_by_name
 
 
 def _driver_window() -> list[str]:
@@ -97,15 +109,19 @@ def _driver_window() -> list[str]:
 
     Round 2 (only CORRECTNESS_r01 exists): the hand-curated set below,
     validated green against the sf0.01 driver replica. Round 3+: fully
-    automatic — expose the registry names with no driver-green row in
-    any recorded round (oldest rounds first in the files, alphabetical
-    within), topping up with already-green names for re-verification if
-    fewer than the cap remain. No manual bookkeeping needed again.
+    automatic — expose registry names without a driver-green row,
+    least-recently-attempted first (never-attempted names before
+    persistent failures, so a >cap backlog drains across rounds instead
+    of the same leading names re-occupying every slot), topping up with
+    already-green names for re-verification if fewer than the cap
+    remain. No manual bookkeeping needed again.
     """
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     if os.path.exists(os.path.join(repo_dir, "CORRECTNESS_r02.json")):
-        checked = _driver_checked(repo_dir)
-        unchecked = [n for n in sorted(REGISTRY) if n not in checked]
+        evidence = _driver_rows(repo_dir)
+        unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
+        # least-recently-attempted first: (last round seen, name)
+        unchecked.sort(key=lambda n: (evidence.get(n, (0, False))[0], n))
         window = unchecked[: _WINDOW_CAP - 1]
         if FLAGSHIP not in window:
             window.append(FLAGSHIP)

@@ -248,6 +248,10 @@ WHERE bit_count(xor(h1, h2)) <= 3
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded LSH candidates + Hamming <= 3."""
     sh = q_simhash(spark, sf_dir)
+    # persist: both legs of the band self-join scan this table; without
+    # the cache each leg re-runs the words-explode + 16-bit majority
+    # aggregation over the full corpus (same rationale as
+    # q_ngram_jaccard's shingle persist).
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -257,7 +261,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("simhash") % 256,
             )
         ).alias("band", "band_val"),
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -590,8 +594,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_filter_oracle() -> str:
-    # local import: .textstats is a sibling leaf module (no import back
-    # into dedup), loaded on first use to keep package import order free
+    # Imported here but evaluated eagerly at the @register call below,
+    # i.e. .textstats loads during THIS module's import. That is safe
+    # because textstats is a leaf (imports nothing from dedup); if that
+    # ever changes, make the registry accept a lazy oracle instead.
     from .textstats import _QUALITY_ORACLE
 
     return f"""

@@ -319,7 +319,9 @@ def _band_sigs(emb: pd.Series) -> pd.DataFrame:
     this is two vectorized matmul-shaped loops per batch.
     """
     if len(emb) == 0:
-        return pd.DataFrame({"s0": pd.Series(dtype="int64"), "s1": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {f"s{b}": pd.Series(dtype="int64") for b in range(_N_BANDS)}
+        )
     E = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
     planes = np.array(_PLANES, dtype=np.float64)
     out = {}

@@ -194,7 +194,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_tfidf — sparse scoring (V2 analog) with a rational idf,
 # (N+1)/(df+1), so every score is an exact integer ratio in doubles —
 # deterministic without trusting ln() across libms. The ln-based BM25
-# lives in q_bm25 (rows-only for exactly that reason).
+# lives in q_bm25, hash-checked via 6-decimal quantization of the
+# ln-based idf (see _BM25_ORACLE).
 # ---------------------------------------------------------------------------
 
 _TFIDF_ORACLE = """

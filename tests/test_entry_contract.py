@@ -51,25 +51,33 @@ def test_flagship_is_registered():
     assert entry_mod.FLAGSHIP in entry_mod.oracle_sql()
 
 
-def test_driver_checked_parses_correctness_files(tmp_path):
-    """Round-3+ rotation input: green and rows-only rows count as
-    checked; hash mismatches stay eligible for re-exposure."""
+def test_driver_rows_parses_correctness_files(tmp_path):
+    """Round-3+ rotation input: green rows and still-rows-only rows count
+    as checked; hash mismatches AND rows-only rows for queries that have
+    since gained an oracle (q_bm25 after round 1) stay eligible."""
     import json
 
+    from data_etl_spark.plans import REGISTRY
+
+    assert REGISTRY["q_anchor_search"].oracle is None  # rows-only by design
+    assert REGISTRY["q_bm25"].oracle is not None  # upgraded after round 1
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
             {
-                "q_green": {"hash_match": True, "err": None},
-                "q_rows_only": {"hash_match": None, "err": "no_oracle"},
-                "q_mismatch": {"hash_match": False, "err": None},
+                "q_anchor_search": {"hash_match": None, "err": "no_oracle"},
+                "q_bm25": {"hash_match": None, "err": "no_oracle"},
+                "q_cube": {"hash_match": False, "err": None},
             }
         )
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({"q_late_green": {"hash_match": True, "err": None}})
+        json.dumps({"q_case_when": {"hash_match": True, "err": None}})
     )
-    checked = entry_mod._driver_checked(str(tmp_path))
-    assert checked == {"q_green", "q_rows_only", "q_late_green"}
+    rows = entry_mod._driver_rows(str(tmp_path))
+    assert rows["q_anchor_search"] == (1, True)   # rows-only forever -> checked
+    assert rows["q_bm25"] == (1, False)           # oracle added since -> re-expose
+    assert rows["q_cube"] == (1, False)           # mismatch -> re-expose
+    assert rows["q_case_when"] == (2, True)
 
 
 def test_round3_window_rotates_to_unchecked(monkeypatch, tmp_path):
