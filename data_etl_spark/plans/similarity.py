@@ -662,3 +662,62 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", "rank", "c_id", "rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ivf_recall — ANN quality evaluation: recall@5 of the IVF probe
+# against the exact top-5 over the same probe/corpus split. The
+# verify-after-ANN pattern as a first-class operator: both legs are
+# deterministic (exact cosine; deterministic centroids), so even the
+# recall numbers hash-match an oracle that recomputes both legs in SQL.
+# At scale the exact leg runs on a sampled probe set only — recall is an
+# estimate you monitor, not a per-query product.
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH ivf AS (SELECT q_vec_id, c_vec_id FROM ({_IVF_ORACLE})),
+q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 16),
+exact AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.q_vec_id, c.c_vec_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_emb')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= 5
+),
+matches AS (
+    SELECT e.q_vec_id, count(*) AS n_overlap
+    FROM exact e JOIN ivf ON e.q_vec_id = ivf.q_vec_id AND e.c_vec_id = ivf.c_vec_id
+    GROUP BY e.q_vec_id
+)
+SELECT p.q_vec_id,
+       coalesce(m.n_overlap, 0) AS n_overlap,
+       coalesce(m.n_overlap, 0) / 5.0 AS recall
+FROM (SELECT DISTINCT q_vec_id FROM exact) p
+LEFT JOIN matches m ON p.q_vec_id = m.q_vec_id
+"""
+
+
+@register("q_ivf_recall", oracle=_RECALL_ORACLE, tags=("phase3", "similarity", "eval"))
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF ANN vs exact top-5, per probe vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    probe = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb")
+    )
+    corpus = e.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("c_vec_id"), emb.alias("c_emb")
+    )
+    ex = exact_knn(F.broadcast(probe), corpus, k=5).select("q_vec_id", "c_vec_id")
+    ivf = q_ivf_knn(spark, sf_dir).select("q_vec_id", "c_vec_id")
+    matches = ex.join(ivf, ["q_vec_id", "c_vec_id"]).groupBy("q_vec_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    base = ex.select("q_vec_id").distinct()
+    return base.join(matches, "q_vec_id", "left").select(
+        "q_vec_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
+    )
