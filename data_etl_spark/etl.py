@@ -432,6 +432,18 @@ class ETLPipeline:
         kept = self._read_buckets(buckets).filter(~F.col("filename").isin(*filenames))
         self._swap_buckets(kept, buckets)
 
+    def compact(self) -> None:
+        """Rewrite the whole index into one file per bucket partition.
+
+        Long-running ingest (especially streaming foreachBatch upserts)
+        can accrete files inside bucket dirs; periodic compaction
+        restores one-file-per-bucket scan efficiency. Uses the staged,
+        crash-safe whole-table swap (:meth:`_rewrite`).
+        """
+        if not self._exists():
+            return
+        self._rewrite(self.index_table())
+
     def documents_metadata(self) -> DataFrame:
         """D2 DocumentMetadata analog: per-document chunk/token stats
         (K4 sink's content, `etl_processor.py:113-140`)."""

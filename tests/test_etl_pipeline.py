@@ -202,3 +202,33 @@ def test_save_config_merges_types(pipe):
     # different model => fresh config, no merge
     c3 = pipe.save_config("qdrant", "other/model")
     assert c3["types"] == ["qdrant"]
+
+
+def test_compact_restores_one_file_per_bucket(pipe, docs):
+    import glob
+    import os
+    import shutil
+
+    pipe.ingest(docs)
+    # simulate small-file accretion: add extra part files to one bucket
+    bucket_dirs = glob.glob(os.path.join(pipe.index_path, "bucket=*"))
+    assert bucket_dirs
+    target = bucket_dirs[0]
+    rows = pipe.spark.read.parquet(target)
+    rows.repartition(3).write.mode("overwrite").parquet(target + ".tmp")
+    for f in os.listdir(target + ".tmp"):
+        if f.endswith(".parquet"):
+            os.replace(
+                os.path.join(target + ".tmp", f), os.path.join(target, "extra_" + f)
+            )
+    shutil.rmtree(target + ".tmp")
+    assert len(glob.glob(os.path.join(target, "*.parquet"))) > 1
+    key = lambda d: (d["filename"], d["chunk_idx"], d["chunk_text"])
+    before = sorted((r.asDict() for r in pipe.index_table().collect()), key=key)
+    pipe.compact()
+    after = sorted((r.asDict() for r in pipe.index_table().collect()), key=key)
+    # contents unchanged (incl. the duplicate rows we appended)...
+    assert after == before
+    # ...and every bucket is back to a single data file
+    for d in glob.glob(os.path.join(pipe.index_path, "bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
