@@ -91,6 +91,9 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # estimator marker: per-query minimum over 2 timed runs (rounds
+        # <= 2 used a single timed run — compare accordingly)
+        "timing": "min_of_2",
         "queries": timings,
         "sf": sf_val,
     }

@@ -183,7 +183,7 @@ class ETLPipeline:
         )
         return df.select([f.name for f in INDEX_SCHEMA.fields])
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(self, df: DataFrame, scratch_suffix: str = "") -> None:
         """Atomically replace the WHOLE index table (stage -> swap).
 
         Bootstrap/compaction path only — incremental ingest/delete go
@@ -191,8 +191,12 @@ class ETLPipeline:
         lazily reading, so write to a staging dir, rename the old table
         aside, move staging into place, and delete the old copy last: a
         crash at any point leaves a recoverable index (live or `.old`).
+
+        ``scratch_suffix`` namespaces the staging/aside dirs so callers
+        with different lifecycles (compact vs bootstrap) never rmtree
+        each other's scratch space.
         """
-        staging = self.index_path + ".staging"
+        staging = self.index_path + scratch_suffix + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)
         (
@@ -202,7 +206,7 @@ class ETLPipeline:
             .mode("overwrite")
             .parquet(staging)
         )
-        old = self.index_path + ".old"
+        old = self.index_path + scratch_suffix + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(self.index_path):
@@ -437,12 +441,21 @@ class ETLPipeline:
 
         Long-running ingest (especially streaming foreachBatch upserts)
         can accrete files inside bucket dirs; periodic compaction
-        restores one-file-per-bucket scan efficiency. Uses the staged,
-        crash-safe whole-table swap (:meth:`_rewrite`).
+        restores one-file-per-bucket scan efficiency via the staged,
+        crash-safe whole-table swap (:meth:`_rewrite`), with its own
+        scratch namespace so it never deletes an ingest's staging dirs.
+
+        NOT safe concurrently with an in-flight ingest/delete: the
+        whole-table swap would drop a bucket a concurrent
+        :meth:`_swap_buckets` is mid-replace. Call it between drains —
+        ``ingest_stream`` blocks until its AvailableNow drain finishes,
+        so sequential callers are always safe; a real deployment with
+        concurrent writers does this as a lakehouse OPTIMIZE under the
+        table's transaction log instead.
         """
         if not self._exists():
             return
-        self._rewrite(self.index_table())
+        self._rewrite(self.index_table(), scratch_suffix=".compact")
 
     def documents_metadata(self) -> DataFrame:
         """D2 DocumentMetadata analog: per-document chunk/token stats

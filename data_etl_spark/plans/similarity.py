@@ -142,6 +142,12 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe (vec_id in [8,16)) searches only its own cell. Exact oracle.
 # ---------------------------------------------------------------------------
 
+#: IVF fixture split (shared by q_ivf_knn, q_ivf_recall and both
+#: oracles — change in ONE place): centroids = vec_id < _IVF_CENT_MAX,
+#: probes = [_IVF_CENT_MAX, _IVF_PROBE_MAX), corpus = >= _IVF_PROBE_MAX.
+_IVF_CENT_MAX = 8
+_IVF_PROBE_MAX = 16
+
 _DIST = "sqrt({aa} + {bb} - 2 * {ab})"
 
 
@@ -152,9 +158,9 @@ def _dist_sql(a: str, b: str) -> str:
 
 
 _IVF_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < 8),
-probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
-corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= 16),
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_IVF_CENT_MAX}),
+probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
 c_assign AS (
     SELECT c_vec_id, cemb2, cent_id AS cell FROM (
         SELECT c.c_vec_id, c.cemb2, k.cent_id,
@@ -191,13 +197,13 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     emb = V.as_double(F.col("embedding"))
-    cent = e.filter(F.col("vec_id") < 8).select(
+    cent = e.filter(F.col("vec_id") < _IVF_CENT_MAX).select(
         F.col("vec_id").alias("cent_id"), emb.alias("cemb")
     )
-    probe = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
-        F.col("vec_id").alias("q_vec_id"), emb.alias("qemb")
-    )
-    corpus = e.filter(F.col("vec_id") >= 16).select(
+    probe = e.filter(
+        (F.col("vec_id") >= _IVF_CENT_MAX) & (F.col("vec_id") < _IVF_PROBE_MAX)
+    ).select(F.col("vec_id").alias("q_vec_id"), emb.alias("qemb"))
+    corpus = e.filter(F.col("vec_id") >= _IVF_PROBE_MAX).select(
         F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
     )
 
@@ -676,8 +682,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_ORACLE = f"""
 WITH ivf AS (SELECT q_vec_id, c_vec_id FROM ({_IVF_ORACLE})),
-q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
-c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 16),
+q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
 exact AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q.q_vec_id, c.c_vec_id,
@@ -704,10 +710,10 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF ANN vs exact top-5, per probe vector."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = V.as_double(F.col("embedding"))
-    probe = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
-        F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb")
-    )
-    corpus = e.filter(F.col("vec_id") >= 16).select(
+    probe = e.filter(
+        (F.col("vec_id") >= _IVF_CENT_MAX) & (F.col("vec_id") < _IVF_PROBE_MAX)
+    ).select(F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb"))
+    corpus = e.filter(F.col("vec_id") >= _IVF_PROBE_MAX).select(
         F.col("vec_id").alias("c_vec_id"), emb.alias("c_emb")
     )
     ex = exact_knn(F.broadcast(probe), corpus, k=5).select("q_vec_id", "c_vec_id")
@@ -715,7 +721,9 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = ex.join(ivf, ["q_vec_id", "c_vec_id"]).groupBy("q_vec_id").agg(
         F.count("*").alias("n_overlap")
     )
-    base = ex.select("q_vec_id").distinct()
+    # probe ids are unique by construction; deriving base from the exact
+    # leg would plant the probe x corpus scoring subtree in the plan twice
+    base = probe.select("q_vec_id")
     return base.join(matches, "q_vec_id", "left").select(
         "q_vec_id",
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
