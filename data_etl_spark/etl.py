@@ -31,7 +31,7 @@ import zlib
 from collections.abc import Iterable, Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -496,6 +496,69 @@ class ETLPipeline:
         ).select("q_vec_id", fake_embedding(F.col("query_text")).alias("qemb"))
         return ivf_search(
             self.spark, self.index_path + ".ivf", qdf, self._ann_centroids, k=k
+        )
+
+    def hybrid_search(
+        self, queries: Sequence[str], k: int = 5, topn: int = 20, rrf_k: int = 60
+    ) -> DataFrame:
+        """Hybrid dense+lexical retrieval with reciprocal-rank fusion.
+
+        The reference's Qdrant points carry BOTH a dense and a BM25
+        sparse vector (index_manager.py:112-126) but defer the hybrid
+        query to a sibling repo; this is that search over the index
+        table: dense leg = exact cosine top-``topn`` (broadcast query
+        set x corpus scan), lexical leg = distinct-word-overlap
+        top-``topn`` via an inverted-index join (never all-pairs text
+        comparison), fused by sum(1/(rrf_k + rank)) and cut to ``k``.
+        Same plan shape as plans/similarity.py::q_hybrid_rrf, which
+        carries the cross-engine oracle for the fusion semantics.
+        """
+        from .functions.text import words
+        from .operators.knn import exact_knn
+
+        qdf = self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(queries)], "q_vec_id long, query_text string"
+        )
+        qe = qdf.select(
+            "q_vec_id", fake_embedding(F.col("query_text")).alias("q_emb")
+        )
+        chunks = self.index_table().select(
+            F.concat_ws("#", "filename", F.col("chunk_idx").cast("string")).alias("c_vec_id"),
+            F.col("embedding").alias("c_emb"),
+            "chunk_text",
+        )
+        dense = exact_knn(F.broadcast(qe), chunks, k=topn).select(
+            "q_vec_id", "c_vec_id", F.col("rank").alias("rd")
+        )
+        qw = qdf.select(
+            "q_vec_id", F.explode(words(F.col("query_text"))).alias("word")
+        ).distinct()
+        cw = chunks.select(
+            "c_vec_id", F.explode(words(F.col("chunk_text"))).alias("word")
+        ).distinct()
+        wl = W.partitionBy("q_vec_id").orderBy(F.desc("overlap"), F.asc("c_vec_id"))
+        lex = (
+            F.broadcast(qw)
+            .join(cw, "word")
+            .groupBy("q_vec_id", "c_vec_id")
+            .agg(F.count("*").alias("overlap"))
+            .withColumn("rl", F.row_number().over(wl))
+            .filter(F.col("rl") <= topn)
+            .select("q_vec_id", "c_vec_id", "rl")
+        )
+        fused = dense.join(lex, ["q_vec_id", "c_vec_id"], "full_outer").select(
+            "q_vec_id",
+            "c_vec_id",
+            (
+                F.coalesce(1.0 / (rrf_k + F.col("rd")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("rl")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        wf = W.partitionBy("q_vec_id").orderBy(F.desc("rrf"), F.asc("c_vec_id"))
+        return (
+            fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("q_vec_id", "rank", "c_vec_id", "rrf")
         )
 
     def search(self, queries: Sequence[str], k: int = 5) -> DataFrame:

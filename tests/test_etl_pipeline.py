@@ -232,3 +232,19 @@ def test_compact_restores_one_file_per_bucket(pipe, docs):
     # ...and every bucket is back to a single data file
     for d in glob.glob(os.path.join(pipe.index_path, "bucket=*")):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_hybrid_search_finds_lexical_and_dense_match(pipe, docs):
+    pipe.ingest(docs)
+    # query with the exact text of one ingested document: both legs
+    # (dense fake-embedding cosine and word overlap) should rank its
+    # chunk first
+    target = docs.limit(1).collect()[0]
+    res = pipe.hybrid_search([target.text], k=3).collect()
+    assert res, "hybrid search returned no rows"
+    assert res[0].rank == 1
+    top = res[0].c_vec_id
+    assert top.startswith(target.filename + "#")
+    # deterministic: same query, same ranking
+    res2 = pipe.hybrid_search([target.text], k=3).collect()
+    assert [(r.c_vec_id, r.rank) for r in res] == [(r.c_vec_id, r.rank) for r in res2]
