@@ -73,11 +73,19 @@ def main() -> None:
     # shared box carry ±30% scheduler/page-cache noise (measured); the
     # min is the steady-state cost a long-lived cluster would see.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
+            # One broken query must not zero out the whole round's perf
+            # signal: record the failure and keep timing the rest.
+            try:
+                materialize(fn(spark, SF_DIR))
+            except Exception as exc:
+                errors[name] = repr(exc)[:300]
+                print(f"bench FAILED {name}: {exc!r}", file=sys.stderr)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
@@ -97,6 +105,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -45,19 +45,35 @@ _KEY_COLS = {
 }
 
 
+def _ts_to_micros(ts_type) -> F.Column:
+    """Normalize an events ``ts`` column to a session-TZ timestamp (µs).
+
+    - ``LongType``: TIMESTAMP(NANOS) read via nanosAsLong → integer ``div``
+      1000 (NOT ``/``: epoch-nanos ~1.7e18 exceeds double's 2^53 mantissa,
+      so float division is off by ±1µs) → timestamp_micros.
+    - timestamp / timestamp_ntz: already µs; cast to session-TZ timestamp.
+      With the UTC session timezone (session.prep) the NTZ wall clock IS
+      the instant, matching DuckDB's naive-timestamp reading bit-for-bit.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(ts_type, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read as int64 nanos
-        # (spark.sql.legacy.parquet.nanosAsLong, set in session.prep) and
-        # truncate to microseconds — the same truncation DuckDB oracles
-        # apply via epoch_ns(ts) // 1000, so both engines agree exactly.
+        # ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS) in others. Normalize either to
+        # a microsecond-precision session-TZ timestamp so event-time
+        # windows and the DuckDB oracles (make_timestamp(epoch_ns(ts) //
+        # 1000), identity on µs data) agree exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer `div`, NOT `/`: epoch-nanos ~1.7e18 exceeds double's 2^53
-        # mantissa, so float division is off by ±1µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", _ts_to_micros(df.schema["ts"].dataType))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     missing = _KEY_COLS[name] - set(df.columns)

@@ -22,27 +22,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with the ns->µs conversion."""
+    """File-source stream over events.parquet, ts normalized to µs.
+
+    A file stream needs an explicit schema, but ts has shipped both as
+    TIMESTAMP(NANOS) (reads as int64 via nanosAsLong) and TIMESTAMP(MICROS)
+    (reads as timestamp_ntz) across testdata generations — so sniff the
+    batch reader's resolved schema from the parquet footer (a metadata-only
+    read) and apply the matching conversion, same as sources.tables.
+    """
+    from ..sources.tables import _ts_to_micros
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", _ts_to_micros(schema["ts"].dataType))
 
 
 def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:

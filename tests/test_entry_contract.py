@@ -20,7 +20,7 @@ def test_queries_and_oracles_consistent():
     assert set(os_) <= set(qs)
     # rows-only checks stay a small, documented minority
     rows_only = set(qs) - set(os_)
-    assert len(rows_only) <= 6, rows_only
+    assert len(rows_only) <= 8, rows_only
     # driver records <=50 correctness rows per round: window must fit
     assert len(qs) <= 50
     # all callables, all non-empty SQL
@@ -29,19 +29,23 @@ def test_queries_and_oracles_consistent():
 
 
 def test_driver_window_rotation():
-    """Window = round-1-unchecked oracle queries (+ flagship); deferred names
-    exist in the registry and have local oracle coverage via test_oracle."""
+    """Round-3+ automatic rotation: the live window (driven by the real
+    CORRECTNESS_r*.json files in the repo) exposes every name that lacks
+    a driver-green row, keeps the flagship, and fits the cap."""
+    import os
+
     from data_etl_spark.plans import REGISTRY
 
     qs = entry_mod.queries()
     assert entry_mod._DEFERRED <= set(REGISTRY), entry_mod._DEFERRED - set(REGISTRY)
     assert set(qs) <= set(REGISTRY)
-    # everything in this round's window except the flagship was unchecked in r1
-    for name in qs:
-        if name != entry_mod.FLAGSHIP:
-            assert name > entry_mod._R1_CHECKED_LAST, name
-    # every windowed query carries an oracle (no wasted rows-only slots)
-    assert all(REGISTRY[n].oracle is not None for n in qs)
+    assert entry_mod.FLAGSHIP in qs
+    repo_dir = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    evidence = entry_mod._driver_rows(repo_dir)
+    unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
+    # every not-yet-driver-green name is exposed (as long as they fit)
+    if len(unchecked) <= entry_mod._WINDOW_CAP - 1:
+        assert set(unchecked) <= set(qs), set(unchecked) - set(qs)
     # full surface stays large even though the window is capped
     assert len(REGISTRY) >= 117
 
