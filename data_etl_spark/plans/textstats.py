@@ -541,3 +541,183 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_stats — Gopher-style repetition quality signals (Rae et al.
+# 2021 §A1.1, public): per document, the fraction of characters covered by
+# the most frequent word 2-gram / 3-gram, plus the duplicate-word
+# fraction. High values flag boilerplate / degenerate text that a
+# training-data pipeline drops before tokenization.
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, length(text) AS len, {TX.words_sql('text')} AS ws
+    FROM documents
+),
+base AS (
+    SELECT doc_id, len, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws
+    FROM w WHERE len(ws) >= 3
+),
+grams AS (
+    SELECT doc_id, 2 AS gram_n,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+    FROM base
+    UNION ALL
+    SELECT doc_id, 3 AS gram_n,
+           unnest(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+    FROM base
+),
+counts AS (
+    SELECT doc_id, gram_n, gram, count(*) AS n
+    FROM grams GROUP BY 1, 2, 3
+),
+top AS (
+    SELECT doc_id, gram_n, gram, n,
+           row_number() OVER (PARTITION BY doc_id, gram_n ORDER BY n DESC, gram) AS rn
+    FROM counts
+),
+tops AS (
+    SELECT doc_id,
+           max(CASE WHEN gram_n = 2 THEN gram END) AS top2_gram,
+           max(CASE WHEN gram_n = 2 THEN n END) AS top2_n,
+           max(CASE WHEN gram_n = 3 THEN gram END) AS top3_gram,
+           max(CASE WHEN gram_n = 3 THEN n END) AS top3_n
+    FROM top WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE) AS dup_word_frac,
+       t.top2_gram, CAST(t.top2_n AS BIGINT) AS top2_n,
+       (CAST(t.top2_n AS DOUBLE) * CAST(length(t.top2_gram) AS DOUBLE))
+           / CAST(b.len AS DOUBLE) AS top2_char_frac,
+       t.top3_gram, CAST(t.top3_n AS BIGINT) AS top3_n,
+       (CAST(t.top3_n AS DOUBLE) * CAST(length(t.top3_gram) AS DOUBLE))
+           / CAST(b.len AS DOUBLE) AS top3_char_frac
+FROM base b JOIN tops t USING (doc_id)
+"""
+
+
+@register("q_repetition_stats", oracle=_REP_ORACLE, tags=("phase3", "textstats", "quality"))
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-2/3-gram character coverage + duplicate-word fraction.
+
+    Scale shape: explode n-grams -> partial-agg counts keyed by
+    (doc_id, gram_n, gram) -> per-doc window top-1 (deterministic
+    tie-break: highest count, then lexicographically smallest gram) ->
+    per-doc pivot. Every shuffle key includes doc_id, so skew is bounded
+    by the longest document, never by corpus-wide hot n-grams — this is
+    what keeps the plan safe at 100 TB where a global gram key would melt.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.length("text").alias("len"), TX.words(F.col("text")).alias("ws"))
+    base = w.select(
+        "doc_id",
+        "len",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+        "ws",
+    ).filter(F.col("n_words") >= 3)
+
+    n2 = F.greatest(F.size("ws") - 1, F.lit(0))
+    n3 = F.greatest(F.size("ws") - 2, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("ws", 1, n2), F.slice("ws", 2, n2), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    trigrams = F.zip_with(
+        F.slice("ws", 1, n3),
+        F.zip_with(F.slice("ws", 2, n3), F.slice("ws", 3, n3),
+                   lambda b, c: F.concat_ws(" ", b, c)),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    grams = base.select("doc_id", F.lit(2).alias("gram_n"), F.explode(bigrams).alias("gram")) \
+        .unionByName(
+            base.select("doc_id", F.lit(3).alias("gram_n"), F.explode(trigrams).alias("gram"))
+        )
+    counts = grams.groupBy("doc_id", "gram_n", "gram").agg(F.count("*").alias("n"))
+    win = W.partitionBy("doc_id", "gram_n").orderBy(F.desc("n"), "gram")
+    top = counts.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    tops = top.groupBy("doc_id").agg(
+        F.max(F.when(F.col("gram_n") == 2, F.col("gram"))).alias("top2_gram"),
+        F.max(F.when(F.col("gram_n") == 2, F.col("n"))).cast("bigint").alias("top2_n"),
+        F.max(F.when(F.col("gram_n") == 3, F.col("gram"))).alias("top3_gram"),
+        F.max(F.when(F.col("gram_n") == 3, F.col("n"))).cast("bigint").alias("top3_n"),
+    )
+    joined = base.drop("ws").join(tops, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"))
+        .alias("dup_word_frac"),
+        "top2_gram",
+        "top2_n",
+        ((F.col("top2_n").cast("double") * F.length("top2_gram").cast("double"))
+         / F.col("len").cast("double")).alias("top2_char_frac"),
+        "top3_gram",
+        "top3_n",
+        ((F.col("top3_n").cast("double") * F.length("top3_gram").cast("double"))
+         / F.col("len").cast("double")).alias("top3_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mix_rebalance — deterministic corpus-mix rebalancing: downsample every
+# language stratum to (approximately) the smallest stratum's size with
+# hash-mod sampling, so the curated mix is balanced and reproducible
+# (rand()/TABLESAMPLE fork under retries; hash-mod never does).
+# ---------------------------------------------------------------------------
+
+def _hex2_sql(h: str) -> str:
+    """int value 0..255 of the first two hex chars of expr h (portable:
+    instr+substring parse evaluates identically in Spark SQL and DuckDB)."""
+    return (
+        f"((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1))"
+    )
+
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang, n_lang, min(n_lang) OVER () AS min_n,
+           CAST(floor(256.0 * min(n_lang) OVER () / n_lang) AS BIGINT) AS keep_below
+    FROM counts
+)
+SELECT d.doc_id, d.lang, d.source, r.keep_below
+FROM documents d JOIN rates r USING (lang)
+WHERE {_hex2_sql("md5(CAST(d.doc_id AS VARCHAR))")} < r.keep_below
+"""
+
+
+@register("q_mix_rebalance", oracle=_MIX_ORACLE, tags=("phase3", "sampling", "curation"))
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-mix curation: per-lang hash-mod downsample to the min stratum.
+
+    The per-stratum rate table is a tiny aggregate — broadcast it; the
+    corpus side is a single scan + filter with no shuffle, which is the
+    only acceptable shape for a 100 TB keep/drop pass. floor(256*r) maps
+    the rate onto the first byte of md5(doc_id), so the exact same rows
+    survive on every engine and every retry.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    rates = counts.select(
+        "lang",
+        F.floor(F.lit(256.0) * F.min("n_lang").over(W.partitionBy()) / F.col("n_lang"))
+        .cast("bigint")
+        .alias("keep_below"),
+    )
+    h = F.expr(_hex2_sql("md5(CAST(doc_id AS STRING))"))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("keep_below"))
+        .select("doc_id", "lang", "source", "keep_below")
+    )
