@@ -729,3 +729,107 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sq_knn — int8 scalar-quantized ANN with in-query recall@5 eval.
+# Per-vector symmetric SQ: scale = max|x|/127, code_i = round(x_i/scale)
+# (floor(v+0.5): round-half-up is portable; both engines' round() differ
+# on halves). Search is asymmetric: full-precision query against
+# DEQUANTIZED corpus codes — the memory lever at 100 TB (int8 codes are
+# 8x smaller than float64, so 8x more corpus fits in executor RAM /
+# page cache per scan; faiss SQ8 is the public reference design).
+# ---------------------------------------------------------------------------
+
+_SQ_SCALE = "greatest(list_max(list_transform({e}, x -> abs(x))) / 127.0, 1e-30)"
+
+_SQ_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
+cs AS (
+    SELECT vec_id AS c_vec_id, {_EMB_D} AS emb,
+           {_SQ_SCALE.format(e=_EMB_D)} AS scale
+    FROM embeddings WHERE vec_id >= 10
+),
+c AS (
+    SELECT c_vec_id, emb AS c_emb,
+           list_transform(emb, x -> floor(x / scale + 0.5) * scale) AS c_deq
+    FROM cs
+),
+exact AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.q_vec_id, c.c_vec_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_emb')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= 5
+),
+approx AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.q_vec_id, c.c_vec_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_deq')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= 5
+),
+matches AS (
+    SELECT e.q_vec_id, count(*) AS n_overlap
+    FROM exact e JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.c_vec_id = a.c_vec_id
+    GROUP BY e.q_vec_id
+)
+SELECT p.q_vec_id,
+       coalesce(m.n_overlap, 0) AS n_overlap,
+       coalesce(m.n_overlap, 0) / 5.0 AS recall
+FROM (SELECT DISTINCT q_vec_id FROM q) p
+LEFT JOIN matches m ON p.q_vec_id = m.q_vec_id
+"""
+
+
+@register("q_sq_knn", oracle=_SQ_ORACLE, tags=("phase3", "similarity", "quantization"))
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of int8 scalar-quantized search vs exact, per query vector.
+
+    Scale shape: quantization is row-local (one transform, no shuffle,
+    no stats pass); both search legs are broadcast(query) x corpus scans
+    sharing one corpus read. On a cluster the dequantize-and-score step
+    reads 1/8 the bytes of the float64 baseline.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb"))
+    )
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    cs = (
+        e.filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("c_vec_id"), emb.alias("emb"))
+        .withColumn("scale", scale)
+    )
+    deq = F.transform(
+        F.col("emb"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+    c = cs.select(
+        "c_vec_id", F.col("emb").alias("c_emb"), deq.alias("c_deq")
+    ).persist()  # one corpus materialization feeds both search legs
+
+    ex = exact_knn(F.broadcast(q), c.select("c_vec_id", "c_emb"), k=5).select(
+        "q_vec_id", "c_vec_id"
+    )
+    ap = exact_knn(
+        F.broadcast(q),
+        c.select("c_vec_id", F.col("c_deq").alias("c_emb")),
+        k=5,
+    ).select("q_vec_id", "c_vec_id")
+    matches = ex.join(ap, ["q_vec_id", "c_vec_id"]).groupBy("q_vec_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    base = q.select("q_vec_id")
+    return base.join(matches, "q_vec_id", "left").select(
+        "q_vec_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
+    )

@@ -92,6 +92,34 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_streaming_sliding — overlapping (sliding) windows through the
+# streaming engine; complete-mode AvailableNow drain == batch result.
+# ---------------------------------------------------------------------------
+
+_SSLIDING_ORACLE = f"""
+WITH {EVENTS_US},
+slid AS (
+    SELECT e.*,
+           time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS window_start
+    FROM events_us e, (SELECT unnest([0, 1]) AS k)
+)
+SELECT CAST(epoch(window_start) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY 1
+"""
+
+
+@register("q_streaming_sliding", oracle=_SSLIDING_ORACLE, tags=("phase4", "streaming", "window"))
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming sliding window (10 min / 5 min slide)."""
+    from ..streaming.jobs import streaming_sliding_counts
+
+    return streaming_sliding_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # q_streaming_dedup — watermarked dropDuplicates through the streaming
 # engine; one AvailableNow drain == batch DISTINCT (exact oracle).
 # ---------------------------------------------------------------------------

@@ -98,6 +98,25 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Integer-only outputs (counts + epoch-µs bounds) keep it oracle-exact.
 # ---------------------------------------------------------------------------
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 10-minute/5-minute sliding window through the streaming
+    engine (complete mode: every event lands in exactly two windows, so
+    the batch k∈{0,1} bucket-shift oracle applies verbatim)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"), "n_events", "sum_value"
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 SESSION_OUT_SCHEMA = T.StructType(
