@@ -161,3 +161,31 @@ def test_rollup_hierarchy_single_raw_scan(spark, sf_dir):
     df = REGISTRY["q_rollup_hierarchy"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("events.parquet") <= 1 or "InMemoryTableScan" in plan
+
+
+def test_mix_rebalance_broadcasts_rates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_mix_rebalance")
+    # corpus side: scan + filter joined against a broadcast rate table —
+    # never a shuffle of the full documents scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq_knn_broadcasts_and_stays_vectorized(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sq_knn")
+    # both search legs broadcast the 10-query side over the corpus scan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # pair scoring rides the Arrow pandas-UDF path, not row-at-a-time
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_shuffles_stay_doc_scoped(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_repetition_stats")
+    assert "CartesianProduct" not in plan
+    # every exchange key must include doc_id: corpus-wide hot n-grams can
+    # never become a shuffle key on their own
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), m.group(0)
