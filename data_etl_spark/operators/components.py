@@ -99,6 +99,15 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # Early exit at the 1-hop fixpoint: if the hop changed nothing,
+        # labels are equal across every edge (the only fixpoints of the
+        # 1-hop min operator), hence constant per component — and since
+        # labels start at node ids and only decrease, that constant IS
+        # the component min. Doubling then maps m -> label(m) = m and
+        # cannot change anything, so skip the self-join entirely: the
+        # final round costs one join instead of two.
+        if hop.where(F.col("component") != F.col("prev")).limit(1).isEmpty():
+            return hop.select("node", "component")
         # (b) pointer doubling: component := min(component,
         # component's component). Every label value is itself a node, so
         # the lookup is a self-join on the (checkpointed) hop table —
