@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..operators import dedup as DD
 from ..sources import load_table
 from .registry import register
@@ -651,3 +652,71 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return joined.select("doc_id", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# q_dup_spans — exact-substring duplication detection at 8-word-shingle
+# granularity (the candidate step of Lee et al. 2021's "Deduplicating
+# Training Data Makes Language Models Better" suffix-array dedup,
+# re-expressed relationally): every positional occurrence of an 8-gram
+# that appears in two or more distinct documents, ready for span
+# clipping/removal downstream.
+# ---------------------------------------------------------------------------
+
+_DUP_N = 8
+_DUP_PARTS = " || ' ' || ".join(f"ws[i + {j}]" for j in range(_DUP_N))
+
+_DUP_SPANS_ORACLE = f"""
+WITH w AS (SELECT doc_id, {{ws}} AS ws FROM documents),
+sp AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(ws) - {_DUP_N - 1}, 0)),
+                                 i -> {{{{'pos': i, 'sh': {_DUP_PARTS}}}}})) AS u
+    FROM w
+),
+occ AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.sh AS shingle FROM sp),
+dup AS (
+    SELECT shingle, count(DISTINCT doc_id) AS n_docs
+    FROM occ GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT o.doc_id, o.pos, o.shingle, dup.n_docs
+FROM occ o JOIN dup USING (shingle)
+"""
+
+
+@register(
+    "q_dup_spans",
+    oracle=_DUP_SPANS_ORACLE.format(ws=TX.words_sql("text")),
+    tags=("phase3", "dedup", "substring"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional occurrences of 8-grams shared across >=2 documents.
+
+    Scale shape: one tokenize+posexplode pass (array built once per row
+    via shifted-slice zip_with — never element_at, which would
+    re-tokenize per shingle), a partial-agg distinct-doc count keyed by
+    shingle, and one shuffle join of occurrences against the (small,
+    HAVING-filtered) duplicate set. Boilerplate-heavy shingles are
+    *exactly* what this query must surface, so no DF cap here — the
+    count agg absorbs hot keys map-side, and the join fans out only
+    true duplicates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws_df = d.select("doc_id", F.col("text")).repartition(F.col("doc_id")).select(
+        "doc_id", TX.words(F.col("text")).alias("ws")
+    )
+    cnt = F.greatest(F.size("ws") - (_DUP_N - 1), F.lit(0))
+    arr = F.slice("ws", 1, cnt)
+    for j in range(1, _DUP_N):
+        arr = F.zip_with(
+            arr, F.slice("ws", j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    occ = ws_df.select(
+        "doc_id", F.posexplode(arr).alias("pos0", "shingle")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "shingle")
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return occ.join(dup, "shingle").select("doc_id", "pos", "shingle", "n_docs")
