@@ -578,3 +578,79 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(sketch, "event_type").select(
         "event_type", "exact_users", "kmv_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cusum_drift — CUSUM change-point statistic per user (Page 1954,
+# public): S_n = max(0, S_{n-1} + (x_n - k)) reformulated as prefix sums
+# (S_n = P_n - min(0, min_{i<=n} P_i)) so it is window-expressible —
+# no recursion, no UDF, exact DECIMAL arithmetic end to end. The
+# streaming twin of this shape is applyInPandasWithState (sessionize
+# pattern); the batch form here carries the exact oracle.
+# ---------------------------------------------------------------------------
+
+_CUSUM_K_CENTS = 5500  # reference level (slightly above the mean, so S hugs 0)
+_CUSUM_H_CENTS = 20000  # decision threshold
+
+_CUSUM_ORACLE = f"""
+WITH {EVENTS_US},
+c AS (
+    SELECT user_id, event_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) - {_CUSUM_K_CENTS} AS dv
+    FROM events_us
+),
+p AS (
+    SELECT user_id, event_id, ts,
+           sum(dv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+    FROM c
+),
+s AS (
+    SELECT user_id, ts,
+           pn - least(min(pn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      0) AS cusum
+    FROM p
+)
+SELECT user_id,
+       CAST(max(cusum) AS BIGINT) AS peak_cusum_cents,
+       count(*) FILTER (WHERE cusum > {_CUSUM_H_CENTS}) AS n_exceed,
+       min(epoch_us(ts)) FILTER (WHERE cusum > {_CUSUM_H_CENTS}) AS first_exceed_us
+FROM s
+GROUP BY user_id
+"""
+
+
+@register("q_cusum_drift", oracle=_CUSUM_ORACLE, tags=("phase4", "events", "anomaly"))
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detection: peak statistic, exceedance count,
+    first-crossing time.
+
+    Arithmetic is integer cents end to end (value has 2-decimal
+    granularity; floor(v*100+0.5) is the portable round) — prefix sums,
+    running mins and the peak are all BIGINT-exact in both engines, so
+    no decimal->double cast can drift. Scale shape: one shuffle on
+    user_id; both window passes and the final groupBy reuse that same
+    partitioning, so Catalyst plans exactly one exchange.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    dv = (
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - _CUSUM_K_CENTS
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = e.select("user_id", "event_id", "ts", dv.alias("dv"))
+    p = c.select("user_id", "event_id", "ts", F.sum("dv").over(w).alias("pn"))
+    cusum = F.col("pn") - F.least(F.min("pn").over(w), F.lit(0))
+    s = p.select("user_id", "ts", cusum.alias("cusum"))
+    over = F.col("cusum") > _CUSUM_H_CENTS
+    return s.groupBy("user_id").agg(
+        F.max("cusum").cast("bigint").alias("peak_cusum_cents"),
+        F.count(F.when(over, 1)).alias("n_exceed"),
+        F.min(F.when(over, F.unix_micros("ts"))).alias("first_exceed_us"),
+    )

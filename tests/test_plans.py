@@ -189,3 +189,9 @@ def test_repetition_stats_shuffles_stay_doc_scoped(spark, sf_dir):
 
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_cusum_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_cusum_drift")
+    # both window passes and the final groupBy reuse the user_id shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
