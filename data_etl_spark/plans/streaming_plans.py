@@ -172,3 +172,20 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_interval_join
 
     return streaming_interval_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_cusum — custom stateful operator #2: per-user CUSUM drift
+# through applyInPandasWithState; integer-cents state makes the single
+# AvailableNow drain equal the batch oracle exactly.
+# ---------------------------------------------------------------------------
+
+from .events import _CUSUM_ORACLE  # noqa: E402  (same oracle as the batch form)
+
+
+@register("q_streaming_cusum", oracle=_CUSUM_ORACLE, tags=("phase4", "streaming", "stateful", "anomaly"))
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CUSUM drift detection (applyInPandasWithState)."""
+    from ..streaming.jobs import streaming_cusum
+
+    return streaming_cusum(spark, sf_dir)

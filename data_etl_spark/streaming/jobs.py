@@ -266,3 +266,95 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
     return run_to_table(joined, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: per-user CUSUM drift via
+# applyInPandasWithState. Integer-cents arithmetic (see
+# plans/events.q_cusum_drift) keeps the statistic BIGINT-exact, so a
+# single AvailableNow drain reproduces the batch oracle bit for bit.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("peak_cusum_cents", T.LongType()),
+        T.StructField("n_exceed", T.LongType()),
+        T.StructField("first_exceed_us", T.LongType()),
+    ]
+)
+
+#: carried across micro-batches: (prefix sum, running min, peak,
+#: exceedance count, first crossing or -1).
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pn", T.LongType()),
+        T.StructField("minp", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("n_exceed", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+    ]
+)
+
+CUSUM_H_CENTS = 20000  # must match plans/events._CUSUM_H_CENTS
+
+
+def cusum_fn(key, pdf_iter, state):
+    """Stateful CUSUM: S_n = P_n - min(0, min P_i), carried across
+    batches as (P, min P, peak, count, first crossing). Events are
+    totally ordered by (ts_us, event_id) within the batch — the same
+    order the batch oracle's windows use."""
+    import numpy as np
+    import pandas as pd  # local: runs on executors
+
+    (user_id,) = key
+    pn, minp, peak, n_exceed, first_us = (
+        state.get if state.exists else (0, 0, 0, 0, -1)
+    )
+
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"], kind="mergesort")
+        dv = pdf["dv"].to_numpy(dtype=np.int64)
+        pns = pn + np.cumsum(dv)
+        run_min = np.minimum(np.minimum.accumulate(pns), minp)
+        cusum = pns - np.minimum(run_min, 0)
+        over = cusum > CUSUM_H_CENTS
+        if first_us < 0 and over.any():
+            first_us = int(pdf["ts_us"].to_numpy()[int(np.argmax(over))])
+        n_exceed += int(over.sum())
+        peak = max(peak, int(cusum.max()))
+        pn = int(pns[-1])
+        minp = int(run_min[-1])
+
+    state.update((pn, minp, peak, n_exceed, first_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)],
+            "peak_cusum_cents": [peak],
+            "n_exceed": [n_exceed],
+            "first_exceed_us": [first_us if first_us >= 0 else None],
+        }
+    )
+
+
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift through applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.events import _CUSUM_K_CENTS
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - _CUSUM_K_CENTS).alias("dv"),
+    )
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        cusum_fn,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(stats, output_mode="update")

@@ -102,6 +102,8 @@ def test_round3_window_rotates_to_unchecked(monkeypatch, tmp_path):
     window = entry_mod._driver_window()
     assert len(window) == entry_mod._WINDOW_CAP
     assert entry_mod.FLAGSHIP in window
-    # every unchecked name is exposed before any re-verification filler
-    unchecked = set(names[80:])
-    assert unchecked <= set(window)
+    # unchecked names fill the window first (capacity-permitting), in
+    # least-recently-attempted order — never-attempted sort by name
+    unchecked = [n for n in names[80:]]
+    expect = set(unchecked[: entry_mod._WINDOW_CAP - 1])
+    assert expect <= set(window)
