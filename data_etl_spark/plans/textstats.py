@@ -721,3 +721,72 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("keep_below"))
         .select("doc_id", "lang", "source", "keep_below")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pack_sequences — GPT-style training-sequence packing: documents are
+# concatenated per shard (hash-assigned, deterministic) and the token
+# stream is cut into fixed 512-token sequences; each doc reports where
+# its tokens land (start offset + containing sequence). The whole
+# assignment is a running sum over an ordered window — no UDF, no
+# iteration, exactly one shuffle on the shard key.
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           {TX.bpeish_token_count_sql('text')} AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+    FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {_PACK_SEQ_LEN} AS BIGINT) AS seq_idx,
+       CAST(start_tok % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+
+@register("q_pack_sequences", oracle=_PACK_ORACLE, tags=("phase3", "textstats", "packing"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing: per-doc (shard, start
+    token, sequence index, in-sequence offset).
+
+    Scale shape: token counting is a scan-local expression; the running
+    sum shuffles once on the shard key and each shard's window is
+    independent — shard count scales with the cluster, so no single
+    ordered window ever sees the whole corpus (the classic packing
+    bottleneck when done on a driver).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        TX.bpeish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    packed = t.select("doc_id", "shard", "n_tokens", start)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.floor(F.col("start_tok") / _PACK_SEQ_LEN).cast("bigint").alias("seq_idx"),
+        (F.col("start_tok") % _PACK_SEQ_LEN).cast("bigint").alias("seq_offset"),
+    )
