@@ -195,3 +195,15 @@ def test_cusum_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_cusum_drift")
     # both window passes and the final groupBy reuse the user_id shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    # token counting is scan-local; only the shard key shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dup_spans")
+    assert "CartesianProduct" not in plan
