@@ -654,3 +654,61 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(over, 1)).alias("n_exceed"),
         F.min(F.when(over, F.unix_micros("ts"))).alias("first_exceed_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scd2_intervals — slowly-changing-dimension type-2 build from a change
+# stream: collapse consecutive duplicate states per user, then stamp each
+# surviving state with its validity interval [valid_from, valid_to) via
+# lead(); the open row is flagged current. The standard warehouse
+# dimension-history shape, expressed as two window passes over one
+# user_id shuffle.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH {EVENTS_US},
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS changed
+    FROM events_us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (SELECT * FROM flagged WHERE changed = 1),
+intervals AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+    FROM changes
+)
+SELECT user_id, event_type, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM intervals
+"""
+
+
+@register("q_scd2_intervals", oracle=_SCD2_ORACLE, tags=("phase4", "events", "scd2"))
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history: change detection + validity intervals.
+
+    Both window passes and the change filter share one user_id exchange;
+    at scale this is a single shuffle regardless of history depth.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id",
+                 changed.alias("changed"))
+        .filter(F.col("changed"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead(F.unix_micros("ts")).over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

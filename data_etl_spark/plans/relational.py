@@ -1913,3 +1913,62 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{table}.{key}").alias("key_label"), "*")
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_approx_quantile_eval — sketch-vs-exact evaluation for streaming-size
+# quantiles: Spark's approx_percentile (Greenwald-Khanna sketch, the
+# mergeable structure you'd run at 100 TB) checked against the exact
+# interpolated percentile, with the GK rank-error guarantee converted to
+# a value envelope [quantile(p-2eps), quantile(p+2eps)]. Only the exact
+# values and the bound verdicts are emitted — sketch internals stay
+# engine-local, so the result is deterministic and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_AQ_ACCURACY = 10000  # GK accuracy: rank error <= n / accuracy
+_AQ_PS = (0.25, 0.5, 0.75, 0.95)
+
+_AQ_EPS2 = 2.0 / _AQ_ACCURACY
+
+_AQ_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT l_returnflag, {p} AS p,
+       quantile_cont(l_quantity, {p}) AS exact_val,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag"""
+    for p in _AQ_PS
+)
+
+
+@register("q_approx_quantile_eval", oracle=_AQ_ORACLE, tags=("phase1", "agg", "sketch", "eval"))
+def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile vs exact percentile, verdict per (group, p).
+
+    The sketch value itself never leaves the query (GK merge order is
+    partitioning-dependent); what is emitted — and what the oracle pins —
+    is the exact percentile and whether the sketch landed inside its
+    guaranteed envelope. A FALSE anywhere fails the hash check, so the
+    correctness gate doubles as the sketch's acceptance test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = []
+    for p in _AQ_PS:
+        lo = max(0.0, p - _AQ_EPS2)
+        hi = min(1.0, p + _AQ_EPS2)
+        rows.append(
+            li.groupBy("l_returnflag").agg(
+                F.lit(p).alias("p"),
+                F.percentile("l_quantity", F.lit(p)).alias("exact_val"),
+                F.approx_percentile("l_quantity", F.lit(p), F.lit(_AQ_ACCURACY)).alias("__apx"),
+                F.percentile("l_quantity", F.lit(lo)).alias("__lo"),
+                F.percentile("l_quantity", F.lit(hi)).alias("__hi"),
+            )
+        )
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.select(
+        "l_returnflag",
+        "p",
+        "exact_val",
+        ((F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))).alias("within_bound"),
+    )
