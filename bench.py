@@ -45,6 +45,8 @@ HEADLINE = [
     "q_asof_join",
     "q_salted_join",
     "q_retention_cohort",
+    "q_dup_spans",
+    "q_pack_sequences",
 ]
 
 

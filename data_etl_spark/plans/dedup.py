@@ -711,9 +711,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.zip_with(
             arr, F.slice("ws", j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
         )
-    occ = ws_df.select(
-        "doc_id", F.posexplode(arr).alias("pos0", "shingle")
-    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "shingle")
+    occ = (
+        ws_df.select("doc_id", F.posexplode(arr).alias("pos0", "shingle"))
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "shingle")
+        .persist()  # feeds both the dup-count agg and the occurrence join
+    )
     dup = (
         occ.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
