@@ -71,3 +71,67 @@ def test_normalize_idempotent(text):
 
     once = normalize(text)
     assert normalize(once) == once  # the T-chain is a projection
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (plans/similarity.q_sq_knn): pure-Python twin
+# of floor(x/scale + 0.5) * scale with scale = max|x|/127.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200)
+def test_sq_quantization_error_bound(vec):
+    scale = max(max(abs(x) for x in vec) / 127.0, 1e-30)
+    codes = [math.floor(x / scale + 0.5) for x in vec]
+    # codes stay in the signed-int8 range
+    assert all(-127 <= c <= 127 for c in codes)
+    # round-half-up reconstruction error is at most half a step
+    for x, c in zip(vec, codes):
+        assert abs(c * scale - x) <= scale / 2 + 1e-9 * max(1.0, abs(x))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (plans/textstats.q_pack_sequences): offsets are a
+# running sum, so per-shard spans are contiguous and non-overlapping.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=200))
+@settings(max_examples=200)
+def test_packing_offsets_contiguous(token_counts):
+    start = 0
+    for n in token_counts:
+        seq_idx, seq_off = start // SEQ_LEN, start % SEQ_LEN
+        assert seq_idx * SEQ_LEN + seq_off == start
+        assert 0 <= seq_off < SEQ_LEN
+        start += n
+    assert start == sum(token_counts)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM prefix-sum reformulation (plans/events.q_cusum_drift): the
+# window form P_n - min(0, min P_i) equals the recursive
+# S_n = max(0, S_{n-1} + dv_n), and is always non-negative.
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=300))
+@settings(max_examples=200)
+def test_cusum_window_form_equals_recursion(dvs):
+    s_rec, pn, minp = 0, 0, 0
+    for dv in dvs:
+        s_rec = max(0, s_rec + dv)
+        pn += dv
+        minp = min(minp, pn)
+        s_win = pn - min(minp, 0)
+        assert s_win == s_rec
+        assert s_win >= 0
