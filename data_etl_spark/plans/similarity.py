@@ -833,3 +833,150 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pq_knn — product quantization (Jégou et al. 2011, public): the
+# 64-dim space is split into 8 subspaces of 8 dims; each corpus
+# subvector is replaced by its nearest codeword from a 16-entry
+# per-subspace codebook (deterministic: the first 16 vectors' own
+# subvectors, same designated-vector trick as IVF's centroids). Search
+# scores the full-precision query against the RECONSTRUCTED corpus
+# (asymmetric distance), and the query emits recall@5 vs the exact leg.
+# At scale the corpus stores 8 one-byte codes per vector (64x smaller
+# than float64) plus one shared 128-row codebook — the standard
+# billion-vector memory layout; reconstruction happens streamwise in the
+# scan, never materialized corpus-wide.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace: vec_id < 16
+_PQ_Q_MAX = 26  # queries: 16 <= vec_id < 26; corpus: vec_id >= 26
+
+_PQ_ORACLE = f"""
+WITH base AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+sub AS (
+    SELECT vec_id, s, emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS sv
+    FROM base, (SELECT unnest(range(0, {_PQ_M})) AS s)
+),
+cb AS (SELECT s, vec_id AS cent_id, sv AS cw FROM sub WHERE vec_id < {_PQ_K}),
+csub AS (SELECT vec_id AS c_vec_id, s, sv FROM sub WHERE vec_id >= {_PQ_Q_MAX}),
+assign AS (
+    SELECT c_vec_id, s, cw FROM (
+        SELECT c.c_vec_id, c.s, k.cw, k.cent_id,
+               row_number() OVER (PARTITION BY c.c_vec_id, c.s
+                                  ORDER BY {_dist_sql('c.sv', 'k.cw')}, k.cent_id) AS rn
+        FROM csub c JOIN cb k USING (s)
+    ) WHERE rn = 1
+),
+deq AS (SELECT c_vec_id, flatten(list(cw ORDER BY s)) AS c_deq FROM assign GROUP BY c_vec_id),
+c AS (
+    SELECT b.vec_id AS c_vec_id, b.emb AS c_emb, d.c_deq
+    FROM base b JOIN deq d ON b.vec_id = d.c_vec_id
+),
+q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM base
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_Q_MAX}),
+exact AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.q_vec_id, c.c_vec_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_emb')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= 5
+),
+approx AS (
+    SELECT q_vec_id, c_vec_id FROM (
+        SELECT q.q_vec_id, c.c_vec_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_deq')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= 5
+),
+matches AS (
+    SELECT e.q_vec_id, count(*) AS n_overlap
+    FROM exact e JOIN approx a ON e.q_vec_id = a.q_vec_id AND e.c_vec_id = a.c_vec_id
+    GROUP BY e.q_vec_id
+)
+SELECT p.q_vec_id,
+       coalesce(m.n_overlap, 0) AS n_overlap,
+       coalesce(m.n_overlap, 0) / 5.0 AS recall
+FROM (SELECT DISTINCT q_vec_id FROM q) p
+LEFT JOIN matches m ON p.q_vec_id = m.q_vec_id
+"""
+
+
+@register("q_pq_knn", oracle=_PQ_ORACLE, tags=("phase3", "similarity", "quantization"))
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of product-quantized search vs exact, per query vector.
+
+    Scale shape: codebook rows (m*k = 128) broadcast against one corpus
+    pass exploded per subspace; per-(vector, subspace) argmin then a
+    groupBy on c_vec_id reassembles the reconstruction — both shuffles
+    carry the corpus id, so skew is impossible. Both search legs share
+    one persisted reconstruction, broadcast the 10 queries, and scan the
+    corpus once each.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", V.as_double(F.col("embedding")).alias("emb"))
+
+    sub_structs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda s: F.struct(
+                s.alias("s"), F.slice("emb", s * _PQ_SUB + 1, F.lit(_PQ_SUB)).alias("sv")
+            ),
+        )
+    )
+    sub = base.select("vec_id", sub_structs.alias("u")).select(
+        "vec_id", F.col("u.s").alias("s"), F.col("u.sv").alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cw")
+    )
+    csub = sub.filter(F.col("vec_id") >= _PQ_Q_MAX).select(
+        F.col("vec_id").alias("c_vec_id"), "s", "sv"
+    )
+    d = F.sqrt(V.seq_l2sq(F.col("sv"), F.col("cw")))
+    w = W.partitionBy("c_vec_id", "s").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    assign = (
+        csub.join(F.broadcast(cb), "s")
+        .withColumn("__d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_vec_id", "s", "cw")
+    )
+    deq = assign.groupBy("c_vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s").alias("s"), F.col("cw").alias("cw")))
+                ),
+                lambda x: x["cw"],
+            )
+        ).alias("c_deq")
+    )
+    c = (
+        base.filter(F.col("vec_id") >= _PQ_Q_MAX)
+        .select(F.col("vec_id").alias("c_vec_id"), F.col("emb").alias("c_emb"))
+        .join(deq, "c_vec_id")
+        .persist()  # one reconstruction feeds both search legs
+    )
+    q = base.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_Q_MAX)
+    ).select(F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb"))
+
+    ex = exact_knn(F.broadcast(q), c.select("c_vec_id", "c_emb"), k=5).select(
+        "q_vec_id", "c_vec_id"
+    )
+    ap = exact_knn(
+        F.broadcast(q), c.select("c_vec_id", F.col("c_deq").alias("c_emb")), k=5
+    ).select("q_vec_id", "c_vec_id")
+    matches = ex.join(ap, ["q_vec_id", "c_vec_id"]).groupBy("q_vec_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return q.select("q_vec_id").join(matches, "q_vec_id", "left").select(
+        "q_vec_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
+    )
