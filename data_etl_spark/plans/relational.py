@@ -1972,3 +1972,60 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_val",
         ((F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorized_stats — robust per-group statistics: clamp l_extendedprice
+# to its group's [p05, p95] (winsorize), report raw vs winsorized means
+# and the clamp counts. The standard outlier-robust cleaning step before
+# aggregate features; exact interpolated percentiles keep it
+# oracle-checkable (percentile == quantile_cont, proven parity).
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS raw_mean,
+       CAST(sum(CAST(greatest(b.lo, least(b.hi, l.l_extendedprice)) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS winsor_mean,
+       count(*) FILTER (WHERE l.l_extendedprice < b.lo) AS n_clamped_lo,
+       count(*) FILTER (WHERE l.l_extendedprice > b.hi) AS n_clamped_hi
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q_winsorized_stats", oracle=_WINSOR_ORACLE, tags=("phase1", "agg", "robust"))
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clamped) group means with clamp counts.
+
+    Two passes over one scan: the bounds aggregate is tiny (one row per
+    group) and broadcast back onto the fact table; sums go through
+    DECIMAL so the means are order-independent exact before the single
+    final double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.greatest("lo", F.least("hi", F.col("l_extendedprice")))
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("raw_mean"),
+        (
+            F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("winsor_mean"),
+        F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias("n_clamped_lo"),
+        F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias("n_clamped_hi"),
+    )

@@ -790,3 +790,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / _PACK_SEQ_LEN).cast("bigint").alias("seq_idx"),
         (F.col("start_tok") % _PACK_SEQ_LEN).cast("bigint").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_udtf_word_windows — the Python UDTF surface (SURVEY §2.11): a
+# table-valued function exploding each document into fixed 10-word
+# segments, invoked through a LATERAL correlated join. UDTFs are the
+# slow path (row-at-a-time Python) — this exists to cover the API
+# surface with an exact oracle; the equivalent hot-path form is the
+# zip_with/slice expression chain used everywhere else (e.g.
+# operators/chunking.py), which stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_UDTF_WIN = 10
+
+_UDTF_ORACLE = f"""
+WITH w AS (SELECT doc_id, {TX.words_sql('text')} AS ws FROM documents)
+SELECT doc_id, u.win_idx, u.segment FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(ws) / {_UDTF_WIN}.0) AS INT)),
+               i -> {{'win_idx': CAST(i AS BIGINT),
+                      'segment': array_to_string(ws[i * {_UDTF_WIN} + 1 : i * {_UDTF_WIN} + {_UDTF_WIN}], ' ')}})) AS u
+    FROM w
+)
+"""
+
+
+@register("q_udtf_word_windows", oracle=_UDTF_ORACLE, tags=("phase3", "textstats", "udtf"))
+def q_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10-word segments per doc via a Python UDTF + LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx: bigint, segment: string")
+    class WordWindows:
+        def eval(self, text: str):
+            ws = text.strip().split()
+            for i in range(0, len(ws), _UDTF_WIN):
+                yield i // _UDTF_WIN, " ".join(ws[i : i + _UDTF_WIN])
+
+    spark.udtf.register("word_windows_udtf", WordWindows)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, w.win_idx, w.segment "
+        "FROM __udtf_docs d, LATERAL word_windows_udtf(d.text) w"
+    )
