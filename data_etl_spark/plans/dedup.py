@@ -777,3 +777,65 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= _ENTITY_DIST)
         .select("cust1", "cust2", "name1", "name2", dist.alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_triangles — triangle census of the MinHash-LSH candidate graph:
+# per-document triangle membership counts, the standard cohesion signal
+# separating tight duplicate cliques from chainy false-positive paths.
+# Compact-forward enumeration (a<b<c ordered joins) counts each triangle
+# exactly once and never materializes a node's full neighborhood.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH sig AS ({_MINHASH_ORACLE}),
+e AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM members
+GROUP BY doc_id
+"""
+
+
+@register("q_dup_triangles", oracle=_TRIANGLE_ORACLE, tags=("phase3", "dedup", "graph"))
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts in the LSH candidate graph.
+
+    Scale: the wedge join (e1 ⋈ e2 on the middle vertex) is the
+    quadratic step; it shuffles on vertex ids and is bounded by the
+    candidate graph — already band-limited — not the corpus. The closing
+    edge check is a join, not a lookup, so the whole census is three
+    shuffles regardless of graph size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    e = (
+        DD.lsh_candidate_pairs(sig)
+        .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .distinct()
+        .persist()  # three self-join legs read one materialization
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -835,3 +835,65 @@ def q_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, w.win_idx, w.segment "
         "FROM __udtf_docs d, LATERAL word_windows_udtf(d.text) w"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample — quality-weighted corpus sampling: each document's
+# keep probability IS its quality score, realized deterministically by
+# comparing one md5 byte against floor(score * 256). The standard
+# "sample better data at higher rates" curation move, reproducible
+# across engines and retries (no rand()). Composes q_text_quality's
+# score with q_deterministic_sample's hash-mod machinery.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {TX.words_sql('text')} AS ws
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct_words,
+           len(list_filter(ws, x -> list_contains([{_SW_LIST}], x))) AS n_stopwords
+    FROM w
+),
+scored AS (
+    SELECT doc_id,
+           0.5 * least(CAST(n_words AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (CAST(n_distinct_words AS DOUBLE) / n_words)
+             + 0.2 * least(5.0 * (CAST(n_stopwords AS DOUBLE) / n_words), 1.0) AS quality_score
+    FROM m
+)
+SELECT doc_id, quality_score,
+       CAST(floor(quality_score * 256.0) AS BIGINT) AS keep_below
+FROM scored
+WHERE {_hex2_sql("md5(CAST(doc_id AS VARCHAR))")} < floor(quality_score * 256.0)
+"""
+
+
+@register("q_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("phase3", "sampling", "curation"))
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each doc with probability = its quality score (hash-realized).
+
+    One scan, one filter, zero shuffles — the only acceptable shape for
+    a corpus-wide keep/drop pass. The score expression is the same tree
+    as q_text_quality, so the doubles are bit-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = TX.words(F.col("text"))
+    n_words = F.size(ws).cast("bigint")
+    n_distinct = F.size(F.array_distinct(ws)).cast("bigint")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(sw, x))).cast("bigint")
+    score = (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (n_distinct.cast("double") / n_words)
+        + F.lit(0.2) * F.least(F.lit(5.0) * (n_stop.cast("double") / n_words), F.lit(1.0))
+    )
+    h = F.expr(_hex2_sql("md5(CAST(doc_id AS STRING))"))
+    return (
+        d.select("doc_id", score.alias("quality_score"))
+        .withColumn("keep_below", F.floor(F.col("quality_score") * 256.0).cast("bigint"))
+        .filter(h < F.floor(F.col("quality_score") * 256.0))
+    )
