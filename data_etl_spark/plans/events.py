@@ -712,3 +712,49 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         valid_to.alias("valid_to_us"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+# ---------------------------------------------------------------------------
+# q_markov_transitions — first-order behavior model: event-type
+# transition counts and probabilities from each user's ordered stream.
+# The lag() pairing shares the user_id shuffle; the global count agg is
+# map-side partial over a (|types|²)-bounded key space, so the model fit
+# is one scan + two cheap exchanges at any corpus size.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = f"""
+WITH {EVENTS_US},
+steps AS (
+    SELECT user_id, event_type AS dst,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+    FROM events_us
+),
+counts AS (
+    SELECT src, dst, count(*) AS n
+    FROM steps WHERE src IS NOT NULL
+    GROUP BY src, dst
+),
+totals AS (SELECT src, sum(n) AS n_src FROM counts GROUP BY src)
+SELECT c.src, c.dst, c.n, t.n_src,
+       CAST(c.n AS DOUBLE) / t.n_src AS p
+FROM counts c JOIN totals t USING (src)
+"""
+
+
+@register("q_markov_transitions", oracle=_MARKOV_ORACLE, tags=("phase4", "events", "model"))
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (counts + conditional probabilities)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return counts.join(F.broadcast(totals), "src").select(
+        "src", "dst", "n", "n_src",
+        (F.col("n").cast("double") / F.col("n_src")).alias("p"),
+    )

@@ -897,3 +897,72 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep_below", F.floor(F.col("quality_score") * 256.0).cast("bigint"))
         .filter(h < F.floor(F.col("quality_score") * 256.0))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pmi_collocations — pointwise mutual information for adjacent word
+# pairs: PMI = ln(n * c(a,b) / (c(a) * c(b))), the classic collocation /
+# phrase-mining statistic (word2vec-era preprocessing). ln() is
+# libm-dependent in its last ulp, so the emitted score is quantized to 6
+# decimals in both engines (same rule as q_bm25's idf). Count floor >= 5
+# keeps the estimate stable and the output bounded.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH ws AS (SELECT doc_id, {TX.words_sql('text')} AS w FROM documents),
+tok AS (SELECT unnest(w) AS word FROM ws),
+uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n_tok FROM tok),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                 i -> {{'a': w[i], 'b': w[i + 1]}})) AS u
+    FROM ws
+),
+pair AS (SELECT u.a AS a, u.b AS b, count(*) AS c_ab FROM bg GROUP BY 1, 2)
+SELECT p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+       round(ln((CAST(n.n_tok AS DOUBLE) * p.c_ab) / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi_q6
+FROM pair p
+JOIN uni ua ON ua.word = p.a
+JOIN uni ub ON ub.word = p.b
+CROSS JOIN n
+WHERE p.c_ab >= {_PMI_MIN_COUNT}
+"""
+
+
+@register("q_pmi_collocations", oracle=_PMI_ORACLE, tags=("phase3", "textstats", "collocation"))
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI for adjacent word pairs with count floor, 6-decimal quantized.
+
+    Scale: unigram and bigram counts are map-side partial aggregates;
+    the PMI join brings two broadcast-size unigram lookups (vocabulary,
+    not corpus, cardinality) onto the count-floored pair table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", TX.words(F.col("text")).alias("w"))
+    tok = ws.select(F.explode("w").alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("c"))
+    n_tok = tok.count()  # O(1) scalar, the corpus token count
+    cnt = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("w", 1, cnt), F.slice("w", 2, cnt),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pair = (
+        ws.select(F.explode(bigrams).alias("u"))
+        .select(F.col("u.a").alias("a"), F.col("u.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.lit(float(n_tok)) * F.col("c_ab")) / (F.col("c_a").cast("double") * F.col("c_b"))
+    )
+    return (
+        pair.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select("a", "b", "c_ab", "c_a", "c_b", F.round(pmi, 6).alias("pmi_q6"))
+    )
