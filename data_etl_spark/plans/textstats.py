@@ -966,3 +966,88 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ub), "b")
         .select("a", "b", "c_ab", "c_a", "c_b", F.round(pmi, 6).alias("pmi_q6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lm_perplexity — CCNet-style language-model quality filtering
+# (Wenzek et al. 2020, public): score every document by its per-token
+# negative log-likelihood under a Laplace-smoothed bigram model fit on
+# the corpus itself, the statistic whose high tail is garbage and low
+# tail is boilerplate. ln() quantized to 6 decimals (bm25 rule); counts
+# and vocabulary sizes are integer-exact.
+# ---------------------------------------------------------------------------
+
+_LM_ALPHA = 1  # Laplace smoothing
+
+_LM_ORACLE = f"""
+WITH ws AS (SELECT doc_id, {TX.words_sql('text')} AS w FROM documents),
+tok AS (SELECT unnest(w) AS word FROM ws),
+uni AS (SELECT word, count(*) AS c_u FROM tok GROUP BY word),
+vocab AS (SELECT count(*) AS v FROM uni),
+bg_all AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                 i -> {{'a': w[i], 'b': w[i + 1]}})) AS u
+    FROM ws
+),
+bgc AS (SELECT u.a AS a, u.b AS b, count(*) AS c_ab FROM bg_all GROUP BY 1, 2),
+doc_bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                 i -> {{'a': w[i], 'b': w[i + 1]}})) AS u
+    FROM ws
+),
+scored AS (
+    SELECT d.doc_id,
+           ln((CAST(bgc.c_ab AS DOUBLE) + {_LM_ALPHA}) / (uni.c_u + {_LM_ALPHA} * vocab.v)) AS lp
+    FROM doc_bg d
+    JOIN bgc ON bgc.a = d.u.a AND bgc.b = d.u.b
+    JOIN uni ON uni.word = d.u.a
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(-sum(round(lp, 9)) / count(*), 6) AS nll_per_tok_q6
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("q_lm_perplexity", oracle=_LM_ORACLE, tags=("phase3", "textstats", "quality", "lm"))
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc negative log-likelihood under a corpus bigram LM.
+
+    Scale shape: the model (bigram + unigram count tables) is
+    vocabulary²-bounded, not corpus-bounded — both join legs onto the
+    per-doc bigram stream shuffle on the bigram/unigram key with
+    map-side partial counts. Per-term log-probs are quantized to 9
+    decimals BEFORE the sum (making the double sum order-independent in
+    practice at document lengths) and the final mean to 6, per the
+    bm25 ln() rule.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", TX.words(F.col("text")).alias("w"))
+    tok = ws.select(F.explode("w").alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("c_u"))
+    v = uni.count()  # O(1) scalar: vocabulary size
+    cnt = F.greatest(F.size("w") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("w", 1, cnt), F.slice("w", 2, cnt),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    doc_bg = ws.select("doc_id", F.explode(bg).alias("u")).select(
+        "doc_id", F.col("u.a").alias("a"), F.col("u.b").alias("b")
+    )
+    bgc = doc_bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    lp = F.log(
+        (F.col("c_ab").cast("double") + _LM_ALPHA)
+        / (F.col("c_u") + F.lit(_LM_ALPHA) * F.lit(v))
+    )
+    scored = (
+        doc_bg.join(bgc, ["a", "b"])
+        .join(uni.select(F.col("word").alias("a"), "c_u"), "a")
+        .select("doc_id", F.round(lp, 9).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count("*"), 6).alias("nll_per_tok_q6"),
+    )
