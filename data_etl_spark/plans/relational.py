@@ -2029,3 +2029,86 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias("n_clamped_lo"),
         F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias("n_clamped_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cdc_apply — change-data-capture merge: a keyed change stream
+# (upserts + deletes, possibly several changes per key) applied to a
+# snapshot. Latest-change-per-key wins (ordered by change sequence),
+# deletes drop the key, upserts replace-or-insert — the batch semantics
+# of lakehouse MERGE, built from the engine's merge_by_key/delete_by_key
+# primitives. The change set here is synthesized deterministically from
+# orders so the whole thing stays oracle-checkable: every key % 7 == 3
+# gets an upsert (status -> 'X', price + 1), every key % 31 == 4 a
+# delete; keys hit by both resolve by sequence (delete wins: seq 2).
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH changes AS (
+    SELECT o_orderkey, 1 AS seq, 'U' AS op,
+           'X' AS new_status, o_totalprice + 1 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey, 2 AS seq, 'D', NULL, NULL
+    FROM orders WHERE o_orderkey % 31 = 4
+),
+latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+)
+SELECT o.o_orderkey,
+       coalesce(l.new_status, o.o_orderstatus) AS status,
+       CAST(coalesce(l.new_price, o.o_totalprice) AS DOUBLE) AS totalprice
+FROM orders o
+LEFT JOIN latest l USING (o_orderkey)
+WHERE l.op IS NULL OR l.op = 'U'
+"""
+
+
+@register("q_cdc_apply", oracle=_CDC_ORACLE, tags=("phase4", "incremental", "cdc"))
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a keyed CDC stream (upserts + deletes) to a snapshot.
+
+    Latest change per key is a window over the (small) change set;
+    applying it is delete_by_key + merge_by_key — broadcast anti joins
+    against one snapshot scan, zero shuffles of the big side. On a
+    lakehouse table the same plan compiles to MERGE.
+    """
+    from ..operators.merge import delete_by_key, merge_by_key
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upserts = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.lit("X").alias("new_status"),
+        (F.col("o_totalprice") + 1).alias("new_price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 31 == 4).select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast(upserts.schema["new_price"].dataType).alias("new_price"),
+    )
+    changes = upserts.unionByName(deletes)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    del_keys = latest.filter(F.col("op") == "D").select("o_orderkey")
+    upd = latest.filter(F.col("op") == "U").join(o, "o_orderkey").select(
+        "o_orderkey",
+        F.col("new_status").alias("status"),
+        F.col("new_price").cast("double").alias("totalprice"),
+    )
+    survived = delete_by_key(base, del_keys, ["o_orderkey"])
+    return merge_by_key(survived, upd, ["o_orderkey"])
