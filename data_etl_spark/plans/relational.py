@@ -2112,3 +2112,112 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survived = delete_by_key(base, del_keys, ["o_orderkey"])
     return merge_by_key(survived, upd, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segments — recency/frequency/monetary customer segmentation:
+# per-customer last-order date, order count and decimal-exact spend,
+# each quintile-bucketed (ntile with full-key tie-break) into the
+# classic 1-5 RFM codes. One orders scan, one customer-key shuffle;
+# the ntile windows are global but over the (small) per-customer
+# aggregate, not the fact table.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+    FROM orders
+    GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, last_order, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+    FROM per_cust
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm
+FROM scored
+"""
+
+
+@register("q_rfm_segments", oracle=_RFM_ORACLE, tags=("phase1", "agg", "segmentation"))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation per customer (deterministic tie-breaks)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), "o_custkey"))
+    f = F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(5).over(W.orderBy(F.desc("monetary_dec"), "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", "last_order", "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        r.cast("bigint").alias("r"), f.cast("bigint").alias("f"), m.cast("bigint").alias("m"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mad_outliers — robust outlier detection by median absolute
+# deviation: flag l_extendedprice rows whose |x - median| exceeds
+# 3 * MAD within their returnflag group. Two exact-percentile passes
+# (median, then median of absolute deviations) with the tiny per-group
+# stats broadcast back — the robust sibling of q_winsorized_stats,
+# immune to the outliers it hunts.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+    FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+    SELECT l.l_returnflag,
+           quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       count(*) FILTER (WHERE abs(l.l_extendedprice - m.med) > 3 * d.mad) AS n_outliers,
+       CAST(m.med AS DOUBLE) AS med,
+       CAST(d.mad AS DOUBLE) AS mad
+FROM lineitem l
+JOIN med m USING (l_returnflag)
+JOIN mad d USING (l_returnflag)
+GROUP BY l.l_returnflag, m.med, d.mad
+"""
+
+
+@register("q_mad_outliers", oracle=_MAD_ORACLE, tags=("phase1", "agg", "robust"))
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MAD outlier counts (3-MAD rule, exact medians)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = with_med.groupBy("l_returnflag").agg(
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    j = with_med.join(F.broadcast(mad), "l_returnflag")
+    out = F.abs(F.col("l_extendedprice") - F.col("med")) > 3 * F.col("mad")
+    return j.groupBy("l_returnflag", "med", "mad").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(out, 1)).alias("n_outliers"),
+    ).select("l_returnflag", "n", "n_outliers", "med", "mad")
