@@ -758,3 +758,80 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n", "n_src",
         (F.col("n").cast("double") / F.col("n_src")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ab_test — two-sample experiment readout per event type: users are
+# deterministically split by user_id parity (the hash-bucket assignment
+# an experimentation platform would persist), and Welch's t statistic is
+# computed from integer-cents sums and sums of squares — both BIGINT-
+# exact and map-side combinable, so the only doubles are the final
+# closed-form expression, identical in both engines.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = f"""
+WITH {EVENTS_US},
+c AS (
+    SELECT event_type, user_id % 2 AS grp,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+    FROM events_us
+),
+s AS (
+    SELECT event_type, grp, count(*) AS n,
+           sum(v) AS sv, sum(v * v) AS svv
+    FROM c GROUP BY event_type, grp
+),
+w AS (
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           CAST(a.sv AS DOUBLE) / a.n AS mean_a,
+           CAST(b.sv AS DOUBLE) / b.n AS mean_b,
+           (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * a.sv / a.n) / (a.n - 1) AS var_a,
+           (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * b.sv / b.n) / (b.n - 1) AS var_b
+    FROM s a JOIN s b ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a - mean_b, 6) AS mean_diff_cents_q6,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat_q6
+FROM w
+"""
+
+
+@register("q_ab_test", oracle=_AB_ORACLE, tags=("phase4", "events", "experiment"))
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t readout per event type over a deterministic user split."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    c = e.select(
+        "event_type", (F.col("user_id") % 2).alias("grp"), v.alias("v")
+    )
+    s = c.groupBy("event_type", "grp").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        "event_type", F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"), F.col("svv").alias("svv_a"),
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        "event_type", F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"), F.col("svv").alias("svv_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("sv_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sv_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("svv_a").cast("double")
+        - F.col("sv_a").cast("double") * F.col("sv_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("svv_b").cast("double")
+        - F.col("sv_b").cast("double") * F.col("sv_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type", "n_a", "n_b",
+        F.round(mean_a - mean_b, 6).alias("mean_diff_cents_q6"),
+        F.round(t, 6).alias("t_stat_q6"),
+    )
