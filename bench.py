@@ -47,6 +47,8 @@ HEADLINE = [
     "q_retention_cohort",
     "q_dup_spans",
     "q_pack_sequences",
+    "q_lm_perplexity",
+    "q_entity_match",
 ]
 
 

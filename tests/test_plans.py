@@ -207,3 +207,31 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
 def test_dup_spans_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dup_spans")
     assert "CartesianProduct" not in plan
+
+
+def test_entity_match_single_block_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_entity_match")
+    assert "CartesianProduct" not in plan
+    # the self-join must key on the blocking columns, never all-pairs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_and_mad_broadcast_stats(spark, sf_dir):
+    for name in ("q_winsorized_stats", "q_mad_outliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cdc_apply_broadcasts_changes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_cdc_apply")
+    # delete/upsert anti-joins broadcast the change set against one scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_and_pmi_broadcast_vocab(spark, sf_dir):
+    for name in ("q_pmi_collocations",):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
