@@ -424,3 +424,90 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("sentence")).cast("bigint").alias("chunk_chars"),
         F.min("sent_idx").cast("bigint").alias("first_sentence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cdc_chunks — content-defined chunking (rsync/LBFS style, public):
+# chunk boundaries fall where a word's hash satisfies the boundary
+# predicate (md5 first-byte == 0 mod 8), so identical passages produce
+# identical chunks regardless of their position in the document — the
+# property fixed-size chunking lacks and storage/text dedup relies on.
+# Boundary flags + a running sum (gaps-and-islands) assign chunk ids;
+# everything shuffles on doc_id only.
+# ---------------------------------------------------------------------------
+
+_CDC_CHUNK_MOD = 8
+
+_CDC_CHUNKS_ORACLE = f"""
+WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+pos AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)),
+                                 i -> {{'pos': i, 'word': w[i]}})) AS u
+    FROM ws
+),
+flagged AS (
+    SELECT doc_id, u.pos AS pos, u.word AS word,
+           CASE WHEN (instr('0123456789abcdef', substring(md5(u.word), 1, 1)) - 1) % {_CDC_CHUNK_MOD} = 0
+                THEN 1 ELSE 0 END AS boundary
+    FROM pos
+),
+chunked AS (
+    SELECT doc_id, pos, word,
+           sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM flagged
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       count(*) AS n_words,
+       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+FROM chunked
+GROUP BY doc_id, chunk_id
+"""
+
+
+@register("q_cdc_chunks", oracle=_CDC_CHUNKS_ORACLE, tags=("phase3", "chunking", "dedup"))
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks: hash-boundary splits + per-chunk hash.
+
+    Position-independent boundaries make chunk hashes shift-invariant,
+    so downstream exact dedup on chunk_hash finds repeated passages even
+    after insertions — the storage-dedup trick applied to text. One
+    doc_id shuffle covers the boundary window and the chunk aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import text as TXT
+
+    ws = d.select("doc_id", TXT.words(F.col("text")).alias("w"))
+    pos = ws.select("doc_id", F.posexplode("w").alias("pos0", "word")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    hex1 = F.expr("(instr('0123456789abcdef', substring(md5(word), 1, 1)) - 1)")
+    flagged = pos.withColumn(
+        "boundary", F.when(hex1 % _CDC_CHUNK_MOD == 0, 1).otherwise(0)
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("boundary").over(w).cast("bigint"))
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("word").alias("word")))
+                        ),
+                        lambda x: x["word"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )

@@ -835,3 +835,75 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_a - mean_b, 6).alias("mean_diff_cents_q6"),
         F.round(t, 6).alias("t_stat_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_linear — multi-touch attribution: each purchase's value
+# is split equally across the same user's clicks in the preceding 10
+# minutes (linear model). Credit is computed in integer micro-cents with
+# floor division, so the per-click credits and their per-user sums are
+# BIGINT-exact — no double summation order anywhere. The interval join
+# reuses q_streaming_interval_join's batch shape.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events_us WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events_us WHERE event_type = 'purchase'
+),
+touched AS (
+    SELECT p.user_id, p.purchase_id, p.cents, c.click_id,
+           count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts > p.purchase_ts - INTERVAL 10 MINUTE
+),
+credit AS (
+    SELECT user_id, click_id,
+           CAST(floor(CAST(cents AS DOUBLE) * 10000 / n_touch) AS BIGINT) AS micro
+    FROM touched
+)
+SELECT user_id,
+       count(DISTINCT click_id) AS n_credited_clicks,
+       sum(micro) AS attributed_microcents
+FROM credit
+GROUP BY user_id
+"""
+
+
+@register("q_attribution_linear", oracle=_ATTR_ORACLE, tags=("phase4", "events", "attribution"))
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution, integer-exact credits per user."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    j = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    touched = j.withColumn("n_touch", F.count("*").over(W.partitionBy("purchase_id")))
+    micro = F.floor(
+        F.col("cents").cast("double") * 10000 / F.col("n_touch")
+    ).cast("bigint")
+    credit = touched.select("user_id", "click_id", micro.alias("micro"))
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("click_id").alias("n_credited_clicks"),
+        F.sum("micro").alias("attributed_microcents"),
+    )
