@@ -2221,3 +2221,110 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count(F.when(out, 1)).alias("n_outliers"),
     ).select("l_returnflag", "n", "n_outliers", "med", "mad")
+
+
+# ---------------------------------------------------------------------------
+# q_market_basket — association rules from order baskets: part-pair
+# co-occurrence (support), confidence and lift, count floor >= 3. The
+# a-priori first pass as one self-join on the basket key: pair volume is
+# sum of per-basket squares (baskets are small), never catalog². All
+# scores are count ratios — identical double expressions both engines.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+item_freq AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS c_pair
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p.part1, p.part2, p.c_pair, f1.c AS c1, f2.c AS c2,
+       CAST(p.c_pair AS DOUBLE) / n.n AS support,
+       CAST(p.c_pair AS DOUBLE) / f1.c AS confidence,
+       (CAST(p.c_pair AS DOUBLE) * n.n) / (CAST(f1.c AS DOUBLE) * f2.c) AS lift
+FROM pairs p
+JOIN item_freq f1 ON f1.l_partkey = p.part1
+JOIN item_freq f2 ON f2.l_partkey = p.part2
+CROSS JOIN n_orders n
+WHERE p.c_pair >= 3
+"""
+
+
+@register("q_market_basket", oracle=_BASKET_ORACLE, tags=("phase1", "mining", "basket"))
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support/confidence/lift) with count floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n = items.select("l_orderkey").distinct().count()  # O(1) scalar
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    f1 = freq.select(F.col("l_partkey").alias("part1"), F.col("c").alias("c1"))
+    f2 = freq.select(F.col("l_partkey").alias("part2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(f1), "part1")
+        .join(F.broadcast(f2), "part2")
+        .select(
+            "part1", "part2", "c_pair", "c1", "c2",
+            (F.col("c_pair").cast("double") / F.lit(n)).alias("support"),
+            (F.col("c_pair").cast("double") / F.col("c1")).alias("confidence"),
+            (
+                (F.col("c_pair").cast("double") * F.lit(n))
+                / (F.col("c1").cast("double") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — Pareto frontier (preference query, Börzsönyi et al. 2001,
+# public): parts not dominated on (price low, size low) by any other
+# part of their brand. Domination is an anti-exists self-join blocked by
+# brand; at 100 TB the standard refinement is a pre-filter by a grid of
+# local skylines — the blocked form here is that algorithm's inner step.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+@register("q_skyline", oracle=_SKYLINE_ORACLE, tags=("phase1", "preference"))
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier on (retailprice, size), anti-join form."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") <= F.col("p_size"))
+        & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") < F.col("p_size")))
+    )
+    return p.join(
+        q, (F.col("q_brand") == F.col("p_brand")) & dominated, "left_anti"
+    )
