@@ -114,3 +114,41 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_schema_evolution — mergeSchema read across batches written with
+# different schemas: the lakehouse reality of tables that grow columns
+# over time. Batch 1 lacks the status column; the merged read surfaces
+# it as NULL for those rows. The oracle re-derives the expected union
+# from the source (the write is lossless), per the roundtrip pattern.
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+FROM orders
+"""
+
+
+@register("q_schema_evolution", oracle=_EVOLUTION_ORACLE, tags=("phase2", "sink", "schema"))
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet mergeSchema across a column-added batch boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_evolving")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1.write.mode("overwrite").parquet(path + "/v1")
+    v2.write.mode("overwrite").parquet(path + "/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path + "/v1", path + "/v2")
+        .select("o_orderkey", "totalprice", "status")
+    )
