@@ -839,3 +839,88 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# q_simhash_eval — precision/recall of the SimHash banded candidates
+# against exact shingle-Jaccard ground truth (threshold 0.5): the
+# acceptance test every approximate dedup method needs before replacing
+# the exact path at scale, same eval pattern as q_ivf_recall and
+# q_minhash_estimate. Counts and ratios only — no FP drift possible.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_EVAL_TAU = 0.5
+
+_SIMHASH_EVAL_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+allp AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc1, doc2 FROM allp p
+    JOIN sizes s1 ON s1.doc_id = p.doc1
+    JOIN sizes s2 ON s2.doc_id = p.doc2
+    WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= {_SIMHASH_EVAL_TAU}
+),
+cand AS (SELECT doc1, doc2 FROM ({_SIMHASH_PAIRS_ORACLE})),
+hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT (SELECT count(*) FROM cand) AS n_cand,
+       (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE)
+           / nullif((SELECT count(*) FROM cand), 0) AS precision,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE)
+           / nullif((SELECT count(*) FROM truth), 0) AS recall
+"""
+
+
+@register("q_simhash_eval", oracle=_SIMHASH_EVAL_ORACLE, tags=("phase3", "dedup", "eval"))
+def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of SimHash candidates vs Jaccard>=0.5 truth."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    allp = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+    truth = (
+        allp.join(s1, "doc1").join(s2, "doc2")
+        .filter(jac >= _SIMHASH_EVAL_TAU)
+        .select("doc1", "doc2")
+        .persist()
+    )
+    cand = q_simhash_pairs(spark, sf_dir).select("doc1", "doc2").persist()
+    hit = cand.join(truth, ["doc1", "doc2"])
+    # three 1-row aggregates cross-joined: stays one distributed plan,
+    # no driver-side counts
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_cand",
+            "n_truth",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0, F.col("n_hit").cast("double") / F.col("n_cand")
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0, F.col("n_hit").cast("double") / F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
