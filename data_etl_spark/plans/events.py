@@ -907,3 +907,112 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("click_id").alias("n_credited_clicks"),
         F.sum("micro").alias("attributed_microcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_path_analysis — top clickstream paths: each user's first five event
+# types (in time order) form a path string; paths are counted corpus-
+# wide. The sequence build is an ordered per-user aggregation (sort by
+# (ts, event_id) inside the array, deterministic); the path count agg is
+# map-side partial over path-cardinality-bounded keys.
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 5
+
+_PATH_ORACLE = f"""
+WITH {EVENTS_US},
+ordered AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events_us
+),
+paths AS (
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ordered WHERE rn <= {_PATH_LEN}
+    GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths
+GROUP BY path
+"""
+
+
+@register("q_path_analysis", oracle=_PATH_ORACLE, tags=("phase4", "events", "paths"))
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of users' first-5-event-type paths."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = ordered.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("event_type").alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — cumulative lifetime value per signup cohort: users are
+# cohorted by first-event day; per (cohort, days-since-signup) revenue
+# accumulates via a running DECIMAL sum over the day index — the
+# retention curve's revenue twin, exact at any horizon.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH {EVENTS_US},
+firsts AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+    FROM events_us GROUP BY user_id
+),
+rev AS (
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_k,
+           sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events_us e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_k,
+       sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM rev
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE, tags=("phase4", "events", "cohort"))
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase revenue (integer cents) per signup cohort."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_k"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_k",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
