@@ -825,7 +825,13 @@ def q_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="win_idx: bigint, segment: string")
     class WordWindows:
         def eval(self, text: str):
-            ws = text.strip().split()
+            import re
+
+            # re.split, NOT str.split(): an empty document must yield ['']
+            # (one empty segment), matching the engine-wide words()
+            # semantics (regexp split of the trimmed text) — str.split()
+            # returns [] and silently drops the document.
+            ws = re.split(r"\s+", text.strip())
             for i in range(0, len(ws), _UDTF_WIN):
                 yield i // _UDTF_WIN, " ".join(ws[i : i + _UDTF_WIN])
 

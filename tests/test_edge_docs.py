@@ -1,0 +1,81 @@
+"""Edge-document fixtures through the new text operators, Spark vs
+DuckDB (mini driver_sim): empty text, single word, pure repetition,
+multi-space runs — the degenerate shapes real corpora contain that the
+driver's synthetic tables don't."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_etl_spark.plans import REGISTRY
+
+_DOCS = [
+    (0, "", "en", "src0"),
+    (1, "word", "en", "src0"),
+    (2, "two words", "en", "src0"),
+    (3, "spam spam spam spam spam spam spam spam", "en", "src1"),
+    (4, "the   quick\tbrown    fox jumps over the lazy dog", "en", "src1"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "src2"),
+    (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "src2"),
+]
+
+_QUERIES = [
+    "q_repetition_stats",
+    "q_pack_sequences",
+    "q_cdc_chunks",
+    "q_dup_spans",
+    "q_udtf_word_windows",
+    "q_weighted_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_docs")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _DOCS]),
+            "lang": pa.array([r[2] for r in _DOCS]),
+            "source": pa.array([r[3] for r in _DOCS]),
+            "n_chars": pa.array([len(r[1]) for r in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if isinstance(row, dict) else getattr(row, c)
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_edge_docs_match_oracle(spark, fixture_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, fixture_dir)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fixture_dir}/documents.parquet'"
+    )
+    odf = con.execute(q.oracle).df()
+    oracle_rows = odf.to_dict("records")
+
+    assert sorted(sdf.columns) == sorted(odf.columns.tolist())
+    assert _canon(spark_rows, sdf.columns) == _canon(oracle_rows, sdf.columns), name
