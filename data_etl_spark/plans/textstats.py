@@ -1057,3 +1057,37 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(-F.sum("lp") / F.count("*"), 6).alias("nll_per_tok_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_train_split — deterministic train/validation/test assignment
+# (90/5/5 by one md5 byte of the document key): the split every training
+# pipeline persists, reproducible across engines, retries and reruns,
+# and stable under corpus growth (a document's split never changes when
+# other documents arrive — the property rand() or row-number splits
+# lack).
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           {_hex2_sql("md5(CAST(doc_id AS VARCHAR))")} AS hb
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE WHEN hb < 230 THEN 'train'
+            WHEN hb < 243 THEN 'validation'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("q_train_split", oracle=_SPLIT_ORACLE, tags=("phase3", "sampling", "curation"))
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 90/5/5 train/validation/test split per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    hb = F.expr(_hex2_sql("md5(CAST(doc_id AS STRING))"))
+    split = (
+        F.when(hb < 230, "train").when(hb < 243, "validation").otherwise("test")
+    )
+    return d.select("doc_id", "lang", "source", split.alias("split"))
