@@ -131,8 +131,24 @@ def _driver_window() -> list[str]:
     if any(r >= 2 for r in recorded):
         evidence = _driver_rows(repo_dir)
         unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
-        # least-recently-attempted first: (last round seen, name)
-        unchecked.sort(key=lambda n: (evidence.get(n, (0, False))[0], n))
+        # Priority: (0) names that FAILED in the most recent recorded
+        # round — fresh driver-visible regressions, likely just fixed,
+        # whose red rows must clear before anything else; (1) never-
+        # attempted names (alphabetical); (2) older failures last, so a
+        # persistently-failing name cannot starve the backlog.
+        latest = max(recorded)
+
+        def prio(n: str) -> tuple:
+            last = evidence.get(n, (0, False))[0]
+            if last == latest:
+                bucket = 0
+            elif last == 0:
+                bucket = 1
+            else:
+                bucket = 2
+            return (bucket, last, n)
+
+        unchecked.sort(key=prio)
         window = unchecked[: _WINDOW_CAP - 1]
         if FLAGSHIP not in window:
             window.append(FLAGSHIP)
