@@ -93,3 +93,38 @@ def test_shingle_df_cap_bounds_hot_buckets(spark):
     b0 = uncapped.select(F.col("doc_id").alias("doc2"), "shingle")
     n_pairs0 = a0.join(b0, "shingle").filter(F.col("doc1") < F.col("doc2")).count()
     assert n_pairs0 >= 40 * 39 / 2  # quadratic blow-up the cap prevents
+
+
+def test_dup_spans_on_boilerplate_corpus(spark, tmp_path):
+    """A corpus where every doc shares one boilerplate paragraph: the
+    shared 8-grams are exactly what q_dup_spans must surface, and the
+    hot-shingle join must stay bounded (output = docs x boilerplate
+    positions, not quadratic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_etl_spark.plans import REGISTRY
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # 20-word shared paragraph
+    docs = [(i, f"u{i}a u{i}b u{i}c " + boiler + f" t{i}x t{i}y", "en", "s", 0)
+            for i in range(60)]
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array([d[2] for d in docs]),
+            "source": pa.array([d[3] for d in docs]),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    import os
+
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    out = REGISTRY["q_dup_spans"].fn(spark, str(tmp_path))
+    rows = out.collect()
+    # the 13 fully-inside-boilerplate 8-grams appear in all 60 docs
+    full_inside = [r for r in rows if r.n_docs == 60]
+    assert len({r.shingle for r in full_inside}) == 13
+    assert all(r.n_docs <= 60 for r in rows)
+    # per-doc occurrence rows stay linear in corpus size
+    assert len(rows) <= 60 * 26
