@@ -68,6 +68,21 @@ _DEFERRED = {
 
 _WINDOW_CAP = 50
 
+# Queries whose Spark plan or oracle changed in the CURRENT round: the
+# window refill re-verifies these before alphabetically-fresh greens.
+# Maintained by hand each round (reset when a new CORRECTNESS_r*.json
+# lands); stale names cost nothing — they just get re-verified early.
+_TOUCHED_THIS_ROUND = frozenset({
+    "q_attribution_linear",   # oracle CAST(sum AS BIGINT)
+    "q_cohort_ltv",           # oracle window-sum CAST + day_k bigint
+    "q_markov_transitions",   # oracle CAST(sum AS BIGINT)
+    "q_math_funcs",           # oracle floor/ceil/sign CASTs
+    "q_sentence_dedup",       # oracle n_kept CAST (latent int/float skew)
+    "q_entity_match",         # name-prefix blocking key (engine + oracle)
+    "q_dup_spans",            # persist -> DISK_ONLY
+    "q_lm_perplexity",        # vocab count folded into plan
+})
+
 
 def _driver_rows(repo_dir: str) -> dict[str, tuple[int, bool]]:
     """Per-name driver evidence from CORRECTNESS_r*.json files:
@@ -152,7 +167,15 @@ def _driver_window() -> list[str]:
         window = unchecked[: _WINDOW_CAP - 1]
         if FLAGSHIP not in window:
             window.append(FLAGSHIP)
-        refill = [n for n in sorted(REGISTRY) if n not in window]
+        # Refill the remaining slots with already-green names for
+        # re-verification — but queries whose PLANS changed this round
+        # (listed in _TOUCHED_THIS_ROUND) come before alphabetical
+        # freshness, so a modified-but-previously-green query can't ride
+        # stale evidence through a round (VERDICT r3, next #6).
+        refill = sorted(
+            (n for n in REGISTRY if n not in window),
+            key=lambda n: (n not in _TOUCHED_THIS_ROUND, n),
+        )
         window += refill[: _WINDOW_CAP - len(window)]
         return sorted(window)
     names = [

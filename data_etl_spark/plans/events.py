@@ -734,7 +734,7 @@ counts AS (
     FROM steps WHERE src IS NOT NULL
     GROUP BY src, dst
 ),
-totals AS (SELECT src, sum(n) AS n_src FROM counts GROUP BY src)
+totals AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM counts GROUP BY src)
 SELECT c.src, c.dst, c.n, t.n_src,
        CAST(c.n AS DOUBLE) / t.n_src AS p
 FROM counts c JOIN totals t USING (src)
@@ -873,7 +873,7 @@ credit AS (
 )
 SELECT user_id,
        count(DISTINCT click_id) AS n_credited_clicks,
-       sum(micro) AS attributed_microcents
+       CAST(sum(micro) AS BIGINT) AS attributed_microcents
 FROM credit
 GROUP BY user_id
 """
@@ -983,8 +983,9 @@ rev AS (
     GROUP BY 1, 2
 )
 SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_k,
-       sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_k
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+       CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
 FROM rev
 """
 
@@ -1002,7 +1003,9 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(firsts), "user_id")
         .groupBy(
             "cohort_day",
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_k"),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_k"),
         )
         .agg(F.sum(cents).alias("cents"))
     )

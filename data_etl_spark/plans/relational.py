@@ -711,13 +711,13 @@ _MATH_FUNCS_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS discount_amount,
        abs(l_extendedprice - l_quantity * 1000) AS price_deviation,
-       floor(l_extendedprice / 100) AS price_bucket,
-       ceil(l_quantity / 7.0) AS qty_weeks,
+       CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_weeks,
        sqrt(l_quantity) AS qty_sqrt,
        CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
-       sign(l_extendedprice - 25000) AS above_mid
+       CAST(sign(l_extendedprice - 25000) AS DOUBLE) AS above_mid
 FROM lineitem
 """
 

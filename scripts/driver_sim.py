@@ -44,11 +44,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family. The driver's value hash is dtype-sensitive, so a
+    Spark int64 column vs a DuckDB float64 column (e.g. an uncast HUGEINT sum)
+    hash-mismatches even when every value is numerically equal. canon() used to
+    erase that skew locally; this check reinstates it (VERDICT r3, wrong #2)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
         return f"rows {len(a)} vs {len(b)}"
+    numeric = {"bool", "int", "float"}
+    for c in sorted(a.columns):
+        fa, fb = dtype_family(a[c]), dtype_family(b[c])
+        # Only the numeric families are driver-hash-sensitive: DATE columns
+        # arrive as pandas object (Spark) vs datetime64 (DuckDB) and the
+        # driver hash canonicalizes those fine (q_date_funcs r1-green), but
+        # int-vs-float skew is exactly the r3 red-row class.
+        if fa != fb and (fa in numeric or fb in numeric):
+            return (
+                f"dtype-family skew col {c}: spark {a[c].dtype} ({fa}) vs "
+                f"oracle {b[c].dtype} ({fb}) — add a CAST to the oracle/plan"
+            )
     a, b = canon(a), canon(b)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):

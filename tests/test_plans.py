@@ -177,7 +177,8 @@ def test_sq_knn_broadcasts_and_stays_vectorized(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     # pair scoring rides the Arrow pandas-UDF path, not row-at-a-time
-    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_repetition_stats_shuffles_stay_doc_scoped(spark, sf_dir):
@@ -235,3 +236,52 @@ def test_lm_and_pmi_broadcast_vocab(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_lm_perplexity_vocab_rides_plan(spark, sf_dir):
+    """The vocabulary-size scalar must ride the plan as a broadcast 1-row
+    crossJoin (BroadcastNestedLoopJoin), not a driver-side uni.count()
+    action: building the plan must launch zero Spark jobs."""
+    from data_etl_spark.plans import REGISTRY
+
+    from data_etl_spark.sources import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+    # control: reading the parquet schema itself may launch a listing job —
+    # only jobs BEYOND that baseline indicate a driver-side action.
+    b0 = len(tracker.getJobIdsForGroup(None) or [])
+    load_table(spark, sf_dir, "documents")
+    baseline_jobs = len(tracker.getJobIdsForGroup(None) or []) - b0
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = REGISTRY["q_lm_perplexity"].fn(spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= baseline_jobs, (
+        "plan construction ran a Spark job beyond the table-load baseline "
+        "(driver-side count regression)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab crossJoin
+    # model joins stay shuffled on bounded keys; no accidental cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_persist_is_disk_only(spark, sf_dir):
+    """q_dup_spans persists a corpus x 8-gram-sized intermediate; at 100 TB
+    it must be DISK_ONLY (sequential re-read, no executor-memory eviction
+    storm), not MEMORY_AND_DISK."""
+    from pyspark.storagelevel import StorageLevel
+
+    from data_etl_spark.plans import REGISTRY
+
+    spark.catalog.clearCache()
+    df = REGISTRY["q_dup_spans"].fn(spark, sf_dir)
+    try:
+        df.count()  # materialize so the persisted blocks register
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        levels = {str(i.storageLevel().description()) for i in infos}
+        assert levels, "q_dup_spans no longer persists its 8-gram intermediate"
+        assert all("Disk" in lv and "Memory" not in lv for lv in levels), (
+            f"expected DISK_ONLY persist, got {levels}"
+        )
+    finally:
+        spark.catalog.clearCache()
