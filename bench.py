@@ -52,6 +52,11 @@ HEADLINE = [
     "q_path_analysis",
     "q_market_basket",
     "q_pq_knn",
+    "q_dsir_scores",
+    "q_semantic_dedup",
+    "q_pagerank_dupgraph",
+    "q_cms_heavy_hitters",
+    "q_bucketed_join",
 ]
 
 

@@ -954,3 +954,97 @@ def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank_dupgraph — PageRank centrality over the MinHash-LSH
+# candidate graph (Page et al. 1999), the canonical-document selector: in
+# a duplicate cluster, the member with the highest centrality is the one
+# most connected to other near-dups, a better keeper than min(doc_id)
+# when clusters are chainy. Three synchronous iterations, damping 17/20.
+#
+# Exactness: PR mass is integer micro-units (SCALE = 1e12) and every
+# step is bigint floor-division (`DIV` in Spark, `//` in DuckDB — both
+# truncate, and all operands are non-negative), so the result is
+# bit-exact across engines with NO float summation anywhere. Total mass
+# is conserved (<= SCALE), so 17*s never approaches bigint range at any
+# corpus size.
+#
+# Scale: per iteration = one broadcast-join of contributions onto the
+# edge list + one shuffle-agg on the destination key, O(edges); the
+# candidate graph is band-bounded, not corpus²; 3 fixed iterations means
+# a statically-unrollable plan — no driver-side convergence loop.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+_PR_ORACLE = f"""
+WITH sig AS ({_MINHASH_ORACLE}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT u, {_PR_SCALE} // n AS pr FROM deg, nn),
+it1 AS (
+    SELECT e.v AS u, (({_PR_SCALE} * 3) // 20) // nn.n + (17 * sum(p.pr // d.d)) // 20 AS pr
+    FROM edges e JOIN pr0 p ON e.u = p.u JOIN deg d ON e.u = d.u, nn
+    GROUP BY e.v, nn.n
+),
+it2 AS (
+    SELECT e.v AS u, (({_PR_SCALE} * 3) // 20) // nn.n + (17 * sum(p.pr // d.d)) // 20 AS pr
+    FROM edges e JOIN it1 p ON e.u = p.u JOIN deg d ON e.u = d.u, nn
+    GROUP BY e.v, nn.n
+),
+it3 AS (
+    SELECT e.v AS u, (({_PR_SCALE} * 3) // 20) // nn.n + (17 * sum(p.pr // d.d)) // 20 AS pr
+    FROM edges e JOIN it2 p ON e.u = p.u JOIN deg d ON e.u = d.u, nn
+    GROUP BY e.v, nn.n
+)
+SELECT i.u AS doc_id, d.d AS degree, CAST(i.pr AS BIGINT) AS pr_micro
+FROM it3 i JOIN deg d ON i.u = d.u
+"""
+
+
+@register("q_pagerank_dupgraph", oracle=_PR_ORACLE, tags=("phase3", "dedup", "graph"))
+def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact 3-iteration PageRank over the LSH candidate graph."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    cand = DD.lsh_candidate_pairs(sig).select(
+        F.col("doc1").alias("u"), F.col("doc2").alias("v")
+    )
+    edges = (
+        cand.union(cand.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()  # read once per iteration; band-bounded, fits memory
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    nn = deg.agg(F.count("*").alias("n"))
+    base = F.expr(f"(({_PR_SCALE} * 3) DIV 20) DIV n")
+    pr = (
+        deg.crossJoin(F.broadcast(nn))
+        .select("u", F.expr(f"{_PR_SCALE} DIV n").alias("pr"))
+    )
+    for _ in range(_PR_ITERS):
+        contrib = pr.join(deg, "u").select("u", F.expr("pr DIV d").alias("c"))
+        s = (
+            edges.join(contrib, "u")
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            s.crossJoin(F.broadcast(nn))
+            .select(
+                F.col("v").alias("u"),
+                (base + F.expr("(17 * s) DIV 20")).alias("pr"),
+            )
+        )
+    return pr.join(deg, "u").select(
+        F.col("u").alias("doc_id"), F.col("d").alias("degree"),
+        F.col("pr").alias("pr_micro"),
+    )

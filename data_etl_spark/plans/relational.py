@@ -2328,3 +2328,63 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(
         q, (F.col("q_brand") == F.col("p_brand")) & dominated, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_profit — TPC-H Q9 shape adapted to the trimmed schema (the
+# testdata carries no partsupp, so profit = discounted revenue instead
+# of revenue - supplycost*qty): for parts matching a name pattern, roll
+# up profit by the SUPPLIER's nation and the order year.
+#
+# Scale: part (name-filtered) / supplier / nation / region are dims —
+# all broadcast; the one real shuffle is lineitem⋈orders on orderkey,
+# then a partial-agg rollup on (nation, year), a key space of
+# 25 x |years|. Exactly the plan Q9 wants at 100 TB: one fact-fact
+# shuffle, everything else map-side.
+# ---------------------------------------------------------------------------
+
+_NATION_PROFIT_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("q_nation_profit", oracle=_NATION_PROFIT_ORACLE, tags=("phase1", "join", "agg"))
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -980,3 +980,96 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# embedding-space semantic deduplication. Cluster the corpus around k
+# centroids (designated vectors vec_id < _SEM_K, the IVF trick that
+# keeps the oracle exact — a trained k-means drops in unchanged), then
+# inside each cluster mark as duplicates every vector that has cosine
+# >= _SEM_TAU to a cluster-mate ranked closer to the centroid (tie:
+# smaller vec_id). The kept member of each semantic group is the one
+# nearest its centroid — deterministic, no RNG.
+#
+# Scale: assignment is a broadcast(k) x corpus scan; the quadratic step
+# is confined to in-cluster pairs, and k grows with the corpus (the
+# paper runs k=11k on LAION) so cluster sizes — and the per-cluster
+# pair volume — stay bounded. One shuffle on the cluster key, one
+# window over (cluster), no corpus x corpus anywhere.
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8
+_SEM_TAU = 0.30
+
+_SEM_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_SEM_K}),
+corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE vec_id >= {_SEM_K}),
+scored AS (
+    SELECT c.vec_id, c.emb, t.cent_id, {V.cosine_sql('c.emb', 't.cemb')} AS cos_cent
+    FROM corp c CROSS JOIN cent t
+),
+assigned AS (
+    SELECT vec_id, emb, cent_id AS cluster, cos_cent FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_cent DESC, cent_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a
+    JOIN assigned b
+      ON a.cluster = b.cluster
+     AND (a.cos_cent > b.cos_cent OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id))
+    WHERE {V.cosine_sql('a.emb', 'b.emb')} >= {_SEM_TAU}
+)
+SELECT s.vec_id, s.cluster, s.cos_cent,
+       d.vec_id IS NOT NULL AS is_dup
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+"""
+
+
+@register("q_semantic_dedup", oracle=_SEM_ORACLE, tags=("phase3", "similarity", "dedup"))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: in-cluster cosine-threshold duplicates; keeper = nearest
+    to centroid."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    cent = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cent_id"), emb.alias("cemb")
+    )
+    corp = e.filter(F.col("vec_id") >= _SEM_K).select("vec_id", emb.alias("emb"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_cent"), F.asc("cent_id"))
+    assigned = (
+        corp.crossJoin(F.broadcast(cent))
+        .withColumn("cos_cent", V.cosine(F.col("emb"), F.col("cemb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cluster"), "cos_cent")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+        F.col("cluster"), F.col("cos_cent").alias("a_cc"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id"), F.col("emb").alias("b_emb"),
+        F.col("cluster"), F.col("cos_cent").alias("b_cc"),
+    )
+    rank_before = (F.col("a_cc") > F.col("b_cc")) | (
+        (F.col("a_cc") == F.col("b_cc")) & (F.col("a_id") < F.col("vec_id"))
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(rank_before)
+        .filter(V.seq_cosine(F.col("a_emb"), F.col("b_emb")) >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id", "cluster", "cos_cent",
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+    )

@@ -152,3 +152,91 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path + "/v1", path + "/v2")
         .select("o_orderkey", "totalprice", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bucketed_join — bucketed tables + co-located join (the 100 TB join
+# strategy SURVEY §2.4 calls for): orders and lineitem are written
+# bucketBy(orderkey) + sortBy into external-path tables, so the
+# fact-fact join needs NO shuffle of either side — the scan itself
+# satisfies the join's distribution requirement (zero Exchange under
+# the SortMergeJoin; asserted by tests/test_plans.py). On a real
+# cluster this is the difference between re-shuffling 100 TB per join
+# and reading pre-co-located buckets; the only Exchange left in the
+# query feeds the final 5-row priority rollup.
+#
+# Revenue sums in DECIMAL (exact, engine-order-independent), cast to
+# double only at the end — the q_pricing_summary rule.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+"""
+
+
+def _sf_key(sf_dir: str) -> str:
+    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem as bucketed, bucket-sorted external tables
+    (idempotent overwrite per scale factor); returns the table names."""
+    key = _sf_key(sf_dir)
+    t_orders, t_lineitem = f"b_orders_{key}", f"b_lineitem_{key}"
+    base = _SCRATCH.parent / "bucketed" / key
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(base / t_orders))
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(base / t_lineitem))
+        .format("parquet")
+        .saveAsTable(t_lineitem)
+    )
+    return t_orders, t_lineitem
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located orders ⋈ lineitem join over the bucketed tables
+    (separate from the rollup so tests can assert its Exchange-free plan)."""
+    t_orders, t_lineitem = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).filter(F.col("o_orderstatus") == "F")
+    li = spark.table(t_lineitem)
+    return o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+
+
+@register("q_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("phase2", "join", "bucketing"))
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed tables, + priority rollup."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        bucketed_join(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

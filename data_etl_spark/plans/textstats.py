@@ -1095,3 +1095,177 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hb < 230, "train").when(hb < 243, "validation").otherwise("test")
     )
     return d.select("doc_id", "lang", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_scores — Data Selection via Importance Resampling (Xie et al.
+# 2023, arXiv:2302.03169): score each raw document by the hashed-n-gram
+# log-likelihood ratio between a target domain (here: the lang='en'
+# slice, standing in for the curated target corpus) and the raw corpus.
+# Features are unigrams hashed into _DSIR_B buckets (md5-based so both
+# engines bucket identically); bucket-count tables are the "model" —
+# _DSIR_B rows regardless of corpus size — so the whole scorer is two
+# scan-bound aggregations plus one broadcast join back onto the token
+# stream. Per-bucket log-ratio weights are quantized to 9 decimals
+# before the per-doc sum (the lm_perplexity rule) so the double
+# summation is order-independent in practice, and the final score to 6.
+# Scale: model size is fixed (_DSIR_B rows); the token stream shuffles
+# once on the bucket key for the doc-bucket counts; the weight join is
+# a broadcast. 100x the corpus changes only the scan, never the model
+# or the join strategy.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_ALPHA = 0.5
+
+_DSIR_BUCKET = _hex2_sql("md5(word)")
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest({TX.words_sql('text')}) AS word
+    FROM documents
+),
+b AS (SELECT doc_id, lang, {_DSIR_BUCKET} AS bucket FROM tok),
+raw_c AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY bucket),
+tgt_c AS (SELECT bucket, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY bucket),
+model AS (
+    SELECT r.bucket,
+           CAST(floor((ln((coalesce(t.c_t, 0) + {_DSIR_ALPHA})
+                          / ((SELECT sum(c_t) FROM tgt_c) + {_DSIR_ALPHA} * {_DSIR_B}))
+                       - ln((r.c_r + {_DSIR_ALPHA})
+                            / ((SELECT sum(c_r) FROM raw_c) + {_DSIR_ALPHA} * {_DSIR_B})))
+                      * 1000000000 + 0.5) AS BIGINT) AS w_nano
+    FROM raw_c r LEFT JOIN tgt_c t USING (bucket)
+),
+doc_b AS (
+    SELECT doc_id, bucket, count(*) AS n_db FROM b GROUP BY doc_id, bucket
+)
+SELECT d.doc_id,
+       CAST(sum(d.n_db) AS BIGINT) AS n_tokens,
+       CAST(sum(d.n_db * m.w_nano) AS BIGINT) AS dsir_score_nano
+FROM doc_b d JOIN model m ON d.bucket = m.bucket
+GROUP BY d.doc_id
+"""
+
+
+@register("q_dsir_scores", oracle=_DSIR_ORACLE, tags=("phase3", "curation", "sampling"))
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram DSIR importance score per document (target: lang='en')."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(TX.words(F.col("text"))).alias("word")
+    ).withColumn("bucket", F.expr(_DSIR_BUCKET))
+    raw_c = tok.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tgt_c = (
+        tok.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("c_t"))
+    )
+    # scalar normalizers ride the plan as broadcast 1-row crossJoins
+    n_r = raw_c.agg(F.sum("c_r").cast("double").alias("n_raw"))
+    n_t = tgt_c.agg(F.sum("c_t").cast("double").alias("n_tgt"))
+    # log-ratio weights quantized to integer NANO-units (floor(x*1e9+0.5))
+    # so the per-doc score is a bigint sum — no float summation anywhere,
+    # hence no engine-order drift (the integer-cents rule).
+    w = F.floor(
+        (
+            F.log((F.coalesce("c_t", F.lit(0)) + F.lit(_DSIR_ALPHA))
+                  / (F.col("n_tgt") + F.lit(_DSIR_ALPHA * _DSIR_B)))
+            - F.log((F.col("c_r") + F.lit(_DSIR_ALPHA))
+                    / (F.col("n_raw") + F.lit(_DSIR_ALPHA * _DSIR_B)))
+        )
+        * F.lit(1_000_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    model = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select("bucket", w.alias("w_nano"))
+    )
+    doc_b = tok.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_db"))
+    return (
+        doc_b.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_db").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_db") * F.col("w_nano")).cast("bigint").alias(
+                "dsir_score_nano"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cms_heavy_hitters — Count-Min sketch (Cormode & Muthukrishnan 2005)
+# evaluated against exact heavy hitters. The sketch is _CMS_D x _CMS_W
+# counters — a few KB REGARDLESS of corpus size, built in one scan with
+# map-side partial aggregation — and answers point queries with
+# one-sided error (est >= exact, overshoot <= eN w.h.p.). The query
+# emits, for every word with exact count >= _CMS_MIN, the exact count,
+# the sketch estimate (min over _CMS_D md5-seeded rows) and the
+# overshoot — the acceptance eval you run before trusting the sketch as
+# the 100 TB replacement for an exact groupBy. Hashing is md5-based so
+# both engines bucket identically; everything else is integer.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # sketch rows (independent seeded hashes)
+_CMS_W = 64      # counters per row
+_CMS_MIN = 500   # heavy-hitter report threshold
+
+_CMS_SEEDS = ", ".join(f"'{s}'" for s in range(_CMS_D))
+
+_CMS_BUCKET = f"({_hex2_sql('md5(concat(s, chr(58), word))')} % {_CMS_W})"
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({TX.words_sql('text')}) AS word FROM documents
+),
+exact AS (SELECT word, count(*) AS n_exact FROM tok GROUP BY word),
+seeded AS (SELECT word, s FROM exact, unnest([{_CMS_SEEDS}]) AS t(s)),
+cells AS (
+    SELECT t.word, sd.s, {_CMS_BUCKET.replace('word', 't.word').replace('(s,', '(sd.s,')} AS bucket
+    FROM tok t CROSS JOIN (SELECT unnest([{_CMS_SEEDS}]) AS s) sd
+),
+sketch AS (SELECT s, bucket, count(*) AS c FROM cells GROUP BY s, bucket),
+est AS (
+    SELECT q.word, min(sk.c) AS n_est
+    FROM (SELECT word, s, {_CMS_BUCKET} AS bucket FROM seeded) q
+    JOIN sketch sk ON q.s = sk.s AND q.bucket = sk.bucket
+    GROUP BY q.word
+)
+SELECT e.word, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(x.n_est AS BIGINT) AS n_est,
+       CAST(x.n_est - e.n_exact AS BIGINT) AS overshoot
+FROM exact e JOIN est x ON e.word = x.word
+WHERE e.n_exact >= {_CMS_MIN}
+"""
+
+
+@register("q_cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("phase3", "sketch", "textstats"))
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimates vs exact counts for heavy-hitter words."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+    seeds = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
+    bucket = F.expr(_CMS_BUCKET)
+    cells = tok.select("word", F.explode(seeds).alias("s")).withColumn(
+        "bucket", bucket
+    )
+    # the sketch: _CMS_D x _CMS_W rows total — partial-aggregated map-side,
+    # broadcastable forever
+    sketch = cells.groupBy("s", "bucket").agg(F.count("*").alias("c"))
+    exact = tok.groupBy("word").agg(F.count("*").alias("n_exact"))
+    heavy = exact.filter(F.col("n_exact") >= _CMS_MIN)
+    q = heavy.select("word", "n_exact", F.explode(seeds).alias("s")).withColumn(
+        "bucket", bucket
+    )
+    est = (
+        q.join(F.broadcast(sketch), ["s", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.select(
+        "word",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_est").cast("bigint").alias("n_est"),
+        (F.col("n_est") - F.col("n_exact")).cast("bigint").alias("overshoot"),
+    )

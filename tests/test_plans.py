@@ -285,3 +285,24 @@ def test_dup_spans_persist_is_disk_only(spark, sf_dir):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides of the fact-fact join are bucketed+sorted on the join
+    key, so the join subtree must contain NO Exchange (the scan itself
+    satisfies the distribution requirement) — the co-located-join
+    contract that avoids re-shuffling 100 TB per join."""
+    from data_etl_spark.plans.sinks import bucketed_join
+
+    # at test SF the orders side fits the broadcast threshold, which would
+    # hide the bucketing property; disable it to expose the SMJ shape a
+    # fact-fact join takes at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
