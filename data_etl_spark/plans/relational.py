@@ -2388,3 +2388,178 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_data_quality — declarative data-quality constraint suite over the
+# orders table (the Deequ/Great-Expectations pattern a production
+# pipeline gates ingestion on): completeness, key uniqueness, value
+# ranges, accepted categorical values, and referential integrity to
+# customer. Every metric is computed in ONE pass over orders (a single
+# multi-aggregate — no per-check scan), plus one broadcast anti-join
+# for the RI check; at 100 TB that is one scan + one broadcast probe,
+# the same cost as any single aggregate. Ratios are single divisions of
+# exact bigints, so doubles are engine-identical.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH m AS (
+    SELECT count(*) AS n_rows,
+           count(o_custkey) AS n_custkey,
+           count(DISTINCT o_orderkey) AS n_key,
+           count(*) FILTER (o_totalprice < 0) AS n_neg_price,
+           count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS n_bad_status
+    FROM orders
+),
+ri AS (
+    SELECT count(*) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+)
+SELECT * FROM (
+    SELECT 'row_count' AS check_name,
+           CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed FROM m
+    UNION ALL
+    SELECT 'custkey_completeness',
+           CAST(n_custkey AS DOUBLE) / n_rows, n_custkey = n_rows FROM m
+    UNION ALL
+    SELECT 'orderkey_uniqueness',
+           CAST(n_key AS DOUBLE) / n_rows, n_key = n_rows FROM m
+    UNION ALL
+    SELECT 'totalprice_nonnegative',
+           CAST(n_neg_price AS DOUBLE), n_neg_price = 0 FROM m
+    UNION ALL
+    SELECT 'status_accepted_values',
+           CAST(n_bad_status AS DOUBLE), n_bad_status = 0 FROM m
+    UNION ALL
+    SELECT 'custkey_ref_integrity',
+           CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM ri
+)
+"""
+
+
+@register("q_data_quality", oracle=_DQ_ORACLE, tags=("phase1", "quality", "agg"))
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite: one scan of orders + one broadcast
+    anti-probe to customer; emits (check_name, metric, passed)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    m = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.count_if(F.col("o_totalprice") < 0).alias("n_neg_price"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("n_bad_status"),
+    )
+    ri = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+    def row(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    checks_m = m.select(
+        F.explode(
+            F.array(
+                row("row_count", F.col("n_rows"), F.col("n_rows") > 0),
+                row(
+                    "custkey_completeness",
+                    F.col("n_custkey").cast("double") / F.col("n_rows"),
+                    F.col("n_custkey") == F.col("n_rows"),
+                ),
+                row(
+                    "orderkey_uniqueness",
+                    F.col("n_key").cast("double") / F.col("n_rows"),
+                    F.col("n_key") == F.col("n_rows"),
+                ),
+                row(
+                    "totalprice_nonnegative",
+                    F.col("n_neg_price"),
+                    F.col("n_neg_price") == 0,
+                ),
+                row(
+                    "status_accepted_values",
+                    F.col("n_bad_status"),
+                    F.col("n_bad_status") == 0,
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    checks_ri = ri.select(
+        F.lit("custkey_ref_integrity").alias("check_name"),
+        F.col("n_orphans").cast("double").alias("metric"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )
+    return checks_m.unionAll(checks_ri)
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout — Z-order (Morton) interleaving of two join/filter
+# keys, the multi-dimensional clustering layout behind Delta/Iceberg
+# OPTIMIZE ZORDER: rows sorted by the interleaved key give every file
+# tight min/max ranges on BOTH dimensions, so two-column predicates
+# skip files that one-column sorting cannot. The z-value is pure
+# integer arithmetic (floor-div and mod over 8 bit positions — bigint
+# exact in both engines); the bucket column is the file id a writer
+# would emit, and per-bucket the min/max spans of both keys stay
+# narrow — the property the layout exists for.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_BUCKETS = 16
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    """Interleave the low _Z_BITS bits of x (even positions) and y (odd)."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"(CAST(floor({x} / {2**k}) AS BIGINT) % 2) * {4**k}")
+        terms.append(f"(CAST(floor({y} / {2**k}) AS BIGINT) % 2) * {4**k * 2}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+    SELECT l_orderkey, l_linenumber,
+           l_partkey % {2**_Z_BITS} AS kx,
+           l_suppkey % {2**_Z_BITS} AS ky,
+           {_zvalue_sql(f'(l_partkey % {2**_Z_BITS})', f'(l_suppkey % {2**_Z_BITS})')} AS zval
+    FROM lineitem
+)
+SELECT CAST(zval // {4**_Z_BITS // _Z_BUCKETS} AS BIGINT) AS z_bucket,
+       count(*) AS n_rows,
+       min(kx) AS min_x, max(kx) AS max_x,
+       min(ky) AS min_y, max(ky) AS max_y
+FROM z
+GROUP BY 1
+"""
+
+
+@register("q_zorder_layout", oracle=_ZORDER_ORACLE, tags=("phase1", "layout", "scan"))
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave (partkey, suppkey) and report per-bucket key spans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kx = F.col("l_partkey") % (2**_Z_BITS)
+    ky = F.col("l_suppkey") % (2**_Z_BITS)
+    z = li.select(
+        kx.alias("kx"),
+        ky.alias("ky"),
+        F.expr(_zvalue_sql(f"(l_partkey % {2**_Z_BITS})", f"(l_suppkey % {2**_Z_BITS})")).alias("zval"),
+    )
+    return (
+        z.groupBy(
+            F.expr(f"zval DIV {4**_Z_BITS // _Z_BUCKETS}").alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("kx").alias("min_x"),
+            F.max("kx").alias("max_x"),
+            F.min("ky").alias("min_y"),
+            F.max("ky").alias("max_y"),
+        )
+    )

@@ -189,3 +189,45 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_cusum
 
     return streaming_cusum(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_enrich — stream-static enrichment join: the events stream
+# joins a STATIC dimension (customer) that Spark broadcasts into every
+# micro-batch — the standard "enrich the firehose with reference data"
+# topology. The static side is planned once and re-broadcast per batch;
+# no stream-side shuffle, no watermark needed (the join adds columns,
+# the complete-mode agg holds the running state). Revenue in integer
+# cents (floor(v*100+0.5)) so the drained result is engine-exact.
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("q_streaming_enrich", oracle=_ENRICH_ORACLE, tags=("phase4", "streaming", "join"))
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + running per-segment revenue."""
+    from ..sources import load_table
+    from ..streaming.jobs import read_events_stream, run_to_table
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+    )
+    return run_to_table(agg, output_mode="complete")
