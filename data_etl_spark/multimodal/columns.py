@@ -235,3 +235,72 @@ def resize_assets(
             )
 
     return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio-style DSP windowing: binary payload as PCM samples -> overlapping
+# frames -> per-frame energy. The real decoder (wav/mp3 -> int16) is
+# stubbed like decode_image; the stand-in treats each byte as one
+# unsigned sample, so frame energies are exact integers and the
+# overlapping-window numpy plumbing (sliding_window_view over Arrow
+# batches) is verified by an integer oracle. Frame/hop mirror the
+# 25ms/10ms convention of speech front-ends.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16   # samples per frame
+AUDIO_HOP = 8      # hop between frame starts (50% overlap)
+AUDIO_MAX_FRAMES = 6
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode — requires an audio library not present here."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not installed in this "
+        "environment; the byte-as-sample stand-in is the test path"
+    )
+
+
+def audio_frame_energy(
+    df: DataFrame, binary_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Overlapping-frame energy via mapInPandas + numpy sliding windows."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, es = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n_frames = 0
+                if len(samples) >= AUDIO_FRAME:
+                    n_frames = min(
+                        (len(samples) - AUDIO_FRAME) // AUDIO_HOP + 1, AUDIO_MAX_FRAMES
+                    )
+                if n_frames > 0:
+                    win = np.lib.stride_tricks.sliding_window_view(samples, AUDIO_FRAME)
+                    starts = np.arange(n_frames) * AUDIO_HOP
+                    frames = win[starts]
+                    energy = (frames * frames).sum(axis=1)
+                    ids.extend([int(did)] * n_frames)
+                    idxs.extend(range(n_frames))
+                    ns.extend([AUDIO_FRAME] * n_frames)
+                    es.extend(int(e) for e in energy)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_ENERGY_SCHEMA)

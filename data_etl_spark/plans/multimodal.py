@@ -152,3 +152,47 @@ def q_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("resized").cast("bigint").alias("n_bytes"),
         "resized_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_audio_energy — audio-style overlapping-frame energy over a binary
+# column: bytes-as-samples -> 16-sample frames at hop 8 (50% overlap,
+# the speech-frontend convention) -> integer energy per frame, computed
+# by numpy sliding windows inside mapInPandas. Energies are integer
+# sums of squares, so the Arrow/DSP plumbing has an exact ascii()
+# arithmetic oracle. The real wav/mp3 decoder is import-gated
+# (multimodal.columns.decode_audio) like every other codec.
+# ---------------------------------------------------------------------------
+
+_AUDIO_ORACLE = """
+WITH p AS (SELECT doc_id, substring(text, 1, 80) AS payload FROM documents),
+f AS (
+    SELECT doc_id, payload,
+           unnest(generate_series(
+               0,
+               CAST(least((octet_length(encode(payload)) - 16) // 8 + 1, 6) AS INT) - 1
+           )) AS frame_idx
+    FROM p
+    WHERE octet_length(encode(payload)) >= 16
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+               generate_series(1, 16),
+               i -> ascii(substring(payload, frame_idx * 8 + CAST(i AS INT), 1))
+                    * ascii(substring(payload, frame_idx * 8 + CAST(i AS INT), 1))
+            )) AS BIGINT) AS energy
+FROM f
+"""
+
+
+@register("q_audio_energy", oracle=_AUDIO_ORACLE, tags=("phase5", "multimodal", "audio"))
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-frame audio energy through the mapInPandas DSP path."""
+    from ..multimodal.columns import audio_frame_energy
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id", F.encode(F.substring("text", 1, 80), "UTF-8").alias("content")
+    )
+    return audio_frame_energy(assets)

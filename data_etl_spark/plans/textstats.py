@@ -1269,3 +1269,133 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_est").cast("bigint").alias("n_est"),
         (F.col("n_est") - F.col("n_exact")).cast("bigint").alias("overshoot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tokenizer_vocab — frequency-truncated vocabulary + per-document OOV
+# rate: the coverage check run before freezing a tokenizer's vocab on a
+# new corpus. Vocab = top-_VOCAB_V words by (count desc, word) —
+# deterministic tie order — and the per-doc OOV rate is the fraction of
+# token occurrences outside it. Scale: the vocab is a V-row broadcast;
+# the corpus tokenizes once and left-joins the broadcast — scan-bound,
+# model-bounded, no corpus-keyed shuffle beyond the per-doc agg.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 16
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TX.words_sql('text')}) AS word FROM documents
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+        FROM tok GROUP BY word
+    ) WHERE rk <= {_VOCAB_V}
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(count(*) FILTER (v.word IS NULL) AS BIGINT) AS n_oov,
+       CAST(count(*) FILTER (v.word IS NULL) AS DOUBLE) / count(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@register("q_tokenizer_vocab", oracle=_VOCAB_ORACLE, tags=("phase3", "textstats", "curation"))
+def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage: per-doc OOV token rate."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("word")))
+        )
+        .filter(F.col("rk") <= _VOCAB_V)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).cast("bigint").alias("n_oov"),
+            (
+                F.count_if(F.col("in_vocab").isNull()).cast("double") / F.count("*")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_span_corruption — T5-style span-corruption prep (Raffel et al. 2020):
+# select non-overlapping token spans to mask, deterministically. Candidate
+# starts sit on a stride-4 grid (so 3-token spans can never overlap) and
+# a start fires iff one md5 byte of (doc_id, position) clears a 25%
+# threshold — the same hash-as-RNG rule as q_train_split, so the span
+# set is reproducible across engines, retries, and corpus growth.
+# Emits one row per selected span with its text and sentinel id.
+# Scale: tokenize once, explode the candidate grid (|tokens|/4 rows),
+# filter by the hash — embarrassingly parallel, no shuffle at all until
+# a consumer aggregates.
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_STRIDE = 4
+_SPAN_THRESH = 64  # of 256: 25% of candidate starts fire
+
+_SPAN_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {TX.words_sql('text')} AS ws FROM documents
+),
+cand AS (
+    SELECT doc_id, ws,
+           unnest(generate_series(1, len(ws) - {_SPAN_LEN} + 1, {_SPAN_STRIDE})) AS p
+    FROM w
+)
+SELECT doc_id,
+       CAST(p AS BIGINT) AS span_start,
+       CAST({_SPAN_LEN} AS INT) AS span_len,
+       row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sentinel_id,
+       array_to_string(ws[p : p + {_SPAN_LEN} - 1], ' ') AS span_text
+FROM cand
+WHERE {_hex2_sql("md5(concat(CAST(doc_id AS VARCHAR), chr(58), CAST(p AS VARCHAR)))")} < {_SPAN_THRESH}
+"""
+
+
+@register("q_span_corruption", oracle=_SPAN_ORACLE, tags=("phase3", "curation", "textstats"))
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic T5 span-corruption masks (one row per span)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", TX.words(F.col("text")).alias("ws"))
+    cand = w.select(
+        "doc_id", "ws",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("ws") - F.lit(_SPAN_LEN - 1), F.lit(0)),
+                F.lit(_SPAN_STRIDE),
+            )
+        ).alias("p"),
+    )
+    hb = F.expr(
+        _hex2_sql("md5(concat(CAST(doc_id AS STRING), chr(58), CAST(p AS STRING)))")
+    )
+    sel = cand.filter(hb < _SPAN_THRESH)
+    return sel.select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("span_start"),
+        F.lit(_SPAN_LEN).cast("int").alias("span_len"),
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("p"))
+        .alias("sentinel_id"),
+        F.concat_ws(" ", F.slice("ws", F.col("p"), F.lit(_SPAN_LEN))).alias(
+            "span_text"
+        ),
+    )
