@@ -2563,3 +2563,114 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ky").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_snapshot_diff — table-version diff (the lakehouse "what changed
+# between snapshot v1 and v2" primitive behind CDC audits and time
+# travel): full-outer join on the key, classify each key as added /
+# removed / changed by comparing an md5 row fingerprint. Both versions
+# are derived deterministically from orders (v1 = keys not divisible by
+# 7; v2 = keys not divisible by 5, with every 3rd-key price bumped), so
+# the diff is exactly reproducible. Scale: one shuffle on the join key;
+# the fingerprint collapses arbitrary row width to one comparison —
+# the standard way to diff 100 TB tables without comparing N columns.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey AS k,
+           md5(concat(o_orderstatus, ':',
+                      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))) AS fp
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+v2 AS (
+    SELECT o_orderkey AS k,
+           md5(concat(o_orderstatus, ':',
+                      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS VARCHAR))) AS fp
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.fp <> v2.fp
+"""
+
+
+@register("q_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("phase2", "cdc", "join"))
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via keyed full-outer join of md5 row fingerprints."""
+    o = load_table(spark, sf_dir, "orders")
+    # integer-cents fingerprint: double->string formatting differs between
+    # engines (Java vs DuckDB shortest-roundtrip), bigint->string never does
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    fp1 = F.md5(F.concat(F.col("o_orderstatus"), F.lit(":"), cents.cast("string")))
+    cents2 = cents + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(F.lit(0))
+    fp2 = F.md5(F.concat(F.col("o_orderstatus"), F.lit(":"), cents2.cast("string")))
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"), fp1.alias("fp1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k2"), fp2.alias("fp2")
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("k1").isNull() | F.col("k2").isNull() | (F.col("fp1") != F.col("fp2"))
+    ).select(F.coalesce("k1", "k2").alias("o_orderkey"), change.alias("change"))
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg — partial-aggregate maintenance (the materialized-
+# view pattern): each ingestion batch keeps only its partial state
+# (count / sum / min / max per group), and the serving view is the
+# MERGE of partials — never a re-scan of history. Batches here are the
+# two halves of orders by key parity; the oracle aggregates the full
+# table directly, proving merge(partials) == agg(all). Sums in DECIMAL
+# so the merge is order-exact. At 100 TB this is the difference between
+# touching one new batch and re-reading the table per refresh.
+# ---------------------------------------------------------------------------
+
+_INCR_AGG_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_incremental_agg", oracle=_INCR_AGG_ORACLE, tags=("phase2", "agg", "incremental"))
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-batch partial aggregates into the serving aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
+            F.min("o_totalprice").alias("pmin"),
+            F.max("o_totalprice").alias("pmax"),
+        )
+
+    p1 = partial(o.filter(F.col("o_orderkey") % 2 == 0))
+    p2 = partial(o.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        p1.unionAll(p2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pc").cast("bigint").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total"),
+            F.min("pmin").alias("min_price"),
+            F.max("pmax").alias("max_price"),
+        )
+    )
