@@ -306,3 +306,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_model_joins_broadcast(spark, sf_dir):
+    # the bucket-weight model is _DSIR_B rows — it must broadcast onto
+    # the token stream, and the scalar normalizers ride 1-row
+    # BroadcastNestedLoopJoins; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q_dsir_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_broadcasts(spark, sf_dir):
+    # the 4x64 sketch must broadcast into the heavy-hitter probe join —
+    # shuffling the corpus against a 256-row table would be backwards
+    plan = _plan(spark, sf_dir, "q_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_confines_quadratic_step(spark, sf_dir):
+    # centroid assignment: broadcast(k) x corpus; in-cluster pairing:
+    # keyed join on the cluster id — never an unkeyed cartesian
+    plan = _plan(spark, sf_dir, "q_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan  # the k-centroid cross join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tokenizer_vocab_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tokenizer_vocab")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_data_quality_single_scan_plus_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_data_quality")
+    # the RI check must be a broadcast anti-join, not a shuffled join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # exactly two scans of orders total (metrics pass + RI pass)
+    assert plan.count("orders.parquet") <= 2
