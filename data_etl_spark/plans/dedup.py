@@ -1023,7 +1023,9 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()  # read once per iteration; band-bounded, fits memory
     )
-    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # deg feeds every iteration's contribution join plus the final select —
+    # persist the one-shuffle aggregate instead of re-shuffling edges 5x
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).persist()
     nn = deg.agg(F.count("*").alias("n"))
     base = F.expr(f"(({_PR_SCALE} * 3) DIV 20) DIV n")
     pr = (
