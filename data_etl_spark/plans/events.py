@@ -1019,3 +1019,161 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_k",
         F.sum("cents").over(w).alias("cum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_decay — time-decay multi-touch attribution: each click in
+# the 10-minute lookback earns weight 2^-(half-lives elapsed) (half-life
+# 2 min), and the purchase's integer micro-cents split proportionally.
+# Everything is bigint: elapsed µs -> half-life index k via floor-div,
+# weight via a 5-way CASE (16/8/4/2/1), credit = (cents·1e4·w) DIV Σw —
+# so the split is bit-exact across engines, like q_attribution_linear.
+# Scale: same single user_id-keyed interval join + two windowed sums;
+# the weight table is a constant expression, no extra shuffle.
+# ---------------------------------------------------------------------------
+
+_DECAY_W = "CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END"
+
+_DECAY_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events_us WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events_us WHERE event_type = 'purchase'
+),
+touched AS (
+    SELECT p.user_id, p.purchase_id, p.cents, c.click_id,
+           date_diff('microsecond', c.click_ts, p.purchase_ts) // 120000000 AS k
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts > p.purchase_ts - INTERVAL 10 MINUTE
+),
+weighted AS (
+    SELECT user_id, purchase_id, cents, click_id, {_DECAY_W} AS w,
+           sum({_DECAY_W}) OVER (PARTITION BY purchase_id) AS sum_w
+    FROM touched
+),
+credit AS (
+    SELECT user_id, click_id, (cents * 10000 * w) // sum_w AS micro
+    FROM weighted
+)
+SELECT user_id,
+       count(DISTINCT click_id) AS n_credited_clicks,
+       CAST(sum(micro) AS BIGINT) AS decayed_microcents
+FROM credit
+GROUP BY user_id
+"""
+
+
+@register("q_attribution_decay", oracle=_DECAY_ORACLE, tags=("phase4", "events", "attribution"))
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution, bigint-exact weighted split."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    k = F.expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 120000000")
+    weighted = touched.withColumn("k", k).withColumn("w", F.expr(_DECAY_W))
+    sum_w = F.sum("w").over(W.partitionBy("purchase_id"))
+    credit = weighted.select(
+        "user_id", "click_id",
+        F.expr("cents * 10000 * w").alias("num"),
+        sum_w.alias("sum_w"),
+    ).select("user_id", "click_id", F.expr("num DIV sum_w").alias("micro"))
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("click_id").alias("n_credited_clicks"),
+        F.sum("micro").cast("bigint").alias("decayed_microcents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_locf_backfill — last-observation-carried-forward: densify the hourly
+# per-event-type series (sequence() spine + left join, as q_gap_fill)
+# and fill the holes with the most recent observed value via
+# last(..., ignorenulls) over an unbounded-preceding window — the
+# standard sensor/metrics backfill. Carried values are integer cents so
+# the carry is engine-exact. Scale: the spine explodes from one
+# aggregated row; the window partitions by event_type and orders by
+# hour — one bounded-key shuffle over a dimension-sized series.
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = f"""
+WITH {EVENTS_US},
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events_us GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+    FROM events_us
+),
+spine AS (
+    SELECT t.event_type, b.bucket
+    FROM (SELECT DISTINCT event_type FROM events_us) t
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM bounds) b
+)
+SELECT s.event_type,
+       CAST(epoch(s.bucket) AS BIGINT) AS bucket_start,
+       h.cents IS NOT NULL AS observed,
+       CAST(coalesce(
+           last(h.cents IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           0) AS BIGINT) AS carried_cents
+FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket
+"""
+
+
+@register("q_locf_backfill", oracle=_LOCF_ORACLE, tags=("phase4", "events", "window"))
+def q_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF-densified hourly series per event type (integer-cents carry)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = spine.join(hourly, ["event_type", "bucket"], "left")
+    return j.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_start"),
+        F.col("cents").isNotNull().alias("observed"),
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("carried_cents"),
+    )

@@ -231,3 +231,36 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_topk — running top-k over the stream: complete-mode
+# aggregate + sort + limit (Structured Streaming permits sorting only
+# after an aggregation in complete mode — this query pins that exact
+# contract). Every micro-batch re-emits the current top-3 event types
+# by count; the AvailableNow drain equals the batch top-3, with the
+# (count desc, event_type) tie-break making the limit set deterministic.
+# ---------------------------------------------------------------------------
+
+_STOPK_ORACLE = """
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 3
+"""
+
+
+@register("q_streaming_topk", oracle=_STOPK_ORACLE, tags=("phase4", "streaming", "topk"))
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running top-3 event types through a complete-mode streaming sort."""
+    from ..streaming.jobs import read_events_stream, run_to_table
+
+    ev = read_events_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(3)
+    )
+    return run_to_table(top, output_mode="complete")

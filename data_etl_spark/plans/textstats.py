@@ -1244,7 +1244,8 @@ WHERE e.n_exact >= {_CMS_MIN}
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch estimates vs exact counts for heavy-hitter words."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+    # one tokenize pass feeds both the sketch build and the exact counts
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).persist()
     seeds = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
     bucket = F.expr(_CMS_BUCKET)
     cells = tok.select("word", F.explode(seeds).alias("s")).withColumn(
