@@ -81,6 +81,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_entity_match",         # name-prefix blocking key (engine + oracle)
     "q_dup_spans",            # persist -> DISK_ONLY
     "q_lm_perplexity",        # vocab count folded into plan
+    "q_market_basket",        # basket count folded into plan
 })
 
 

@@ -2260,7 +2260,9 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (support/confidence/lift) with count floor."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct().persist()
-    n = items.select("l_orderkey").distinct().count()  # O(1) scalar
+    # basket count rides the plan as a broadcast 1-row crossJoin — no
+    # driver-side count job (the lm_perplexity rule)
+    n_df = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
     freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("part1"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("part2"))
@@ -2276,12 +2278,13 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(f1), "part1")
         .join(F.broadcast(f2), "part2")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "part1", "part2", "c_pair", "c1", "c2",
-            (F.col("c_pair").cast("double") / F.lit(n)).alias("support"),
+            (F.col("c_pair").cast("double") / F.col("n_orders")).alias("support"),
             (F.col("c_pair").cast("double") / F.col("c1")).alias("confidence"),
             (
-                (F.col("c_pair").cast("double") * F.lit(n))
+                (F.col("c_pair").cast("double") * F.col("n_orders"))
                 / (F.col("c1").cast("double") * F.col("c2"))
             ).alias("lift"),
         )
