@@ -1049,6 +1049,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", F.col("cent_id").alias("cluster"), "cos_cent")
+        .persist()  # feeds both pair-join legs and the final select —
+        # without it the k x corpus scoring subtree is planned 6x
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
