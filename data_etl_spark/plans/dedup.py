@@ -1018,10 +1018,14 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.lsh_candidate_pairs(sig).select(
         F.col("doc1").alias("u"), F.col("doc2").alias("v")
     )
+    # lazy persist, not an eager checkpoint: the unrolled plan replicates
+    # the LSH-candidate lineage textually, but at runtime every replica
+    # hits the cached edge blocks (measured: same wall time as a
+    # checkpoint, without running jobs at plan-construction time).
     edges = (
         cand.union(cand.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()  # read once per iteration; band-bounded, fits memory
+        .persist()
     )
     # deg feeds every iteration's contribution join plus the final select —
     # persist the one-shuffle aggregate instead of re-shuffling edges 5x
