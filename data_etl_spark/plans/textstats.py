@@ -1375,16 +1375,13 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", TX.words(F.col("text")).alias("ws"))
-    cand = w.select(
-        "doc_id", "ws",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size("ws") - F.lit(_SPAN_LEN - 1), F.lit(0)),
-                F.lit(_SPAN_STRIDE),
-            )
-        ).alias("p"),
-    )
+    # Spark's sequence(1, 0, 4) throws where DuckDB's generate_series
+    # returns empty — docs shorter than one span must emit no candidates
+    n_starts = F.greatest(F.size("ws") - F.lit(_SPAN_LEN - 1), F.lit(0))
+    grid = F.when(
+        n_starts >= 1, F.sequence(F.lit(1), n_starts, F.lit(_SPAN_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    cand = w.select("doc_id", "ws", F.explode(grid).alias("p"))
     hb = F.expr(
         _hex2_sql("md5(concat(CAST(doc_id AS STRING), chr(58), CAST(p AS STRING)))")
     )

@@ -32,6 +32,15 @@ _QUERIES = [
     "q_dup_spans",
     "q_udtf_word_windows",
     "q_weighted_sample",
+    # round-4 additions: empty text (doc 0) must yield no spans/frames,
+    # the 4-char doc 1 is shorter than one audio frame, docs 5/6 are
+    # exact duplicates (the only LSH candidate edge for pagerank)
+    "q_dsir_scores",
+    "q_tokenizer_vocab",
+    "q_span_corruption",
+    "q_cms_heavy_hitters",
+    "q_audio_energy",
+    "q_pagerank_dupgraph",
 ]
 
 
