@@ -186,12 +186,35 @@ def _sf_key(sf_dir: str) -> str:
     return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
 
 
+def _source_stamp(sf_dir: str) -> str:
+    """Identity of the source parquet files (path+size+mtime): a bucketed
+    table built from the same stamp can be reused instead of rewritten —
+    the N1 skip-processed semantic applied to layout maintenance."""
+    parts = []
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{int(st.st_mtime_ns)}")
+    return "|".join(parts)
+
+
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders+lineitem as bucketed, bucket-sorted external tables
-    (idempotent overwrite per scale factor); returns the table names."""
+    """Write orders+lineitem as bucketed, bucket-sorted external tables;
+    skipped entirely when the tables already exist for the current source
+    stamp (so repeated queries pay the layout cost once, like a real
+    lakehouse OPTIMIZE). Returns the table names."""
     key = _sf_key(sf_dir)
     t_orders, t_lineitem = f"b_orders_{key}", f"b_lineitem_{key}"
     base = _SCRATCH.parent / "bucketed" / key
+    stamp_file = base / "_source_stamp"
+    stamp = _source_stamp(sf_dir)
+    if (
+        stamp_file.exists()
+        and stamp_file.read_text() == stamp
+        and spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lineitem)
+    ):
+        return t_orders, t_lineitem
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
@@ -214,6 +237,8 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .format("parquet")
         .saveAsTable(t_lineitem)
     )
+    base.mkdir(parents=True, exist_ok=True)
+    stamp_file.write_text(stamp)
     return t_orders, t_lineitem
 
 
