@@ -1054,3 +1054,86 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("doc_id"), F.col("d").alias("degree"),
         F.col("pr").alias("pr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_keep_best — canonical selection by QUALITY over the dedup clusters:
+# the last step of a curation pipeline. Every document joins its
+# LSH-connected component (singletons form their own cluster), and the
+# kept member is the one with the highest lexical-diversity score
+# (distinct-word ratio; tie -> smaller doc_id) — "keep the best copy",
+# not "keep the first copy" (q_dedup_clusters) nor "keep the most
+# central" (q_pagerank_dupgraph). Scale: component labels come from the
+# same pointer-doubling CC; the keeper choice is one window over the
+# cluster key. The ratio is a single per-row division — deterministic
+# across engines — and ordering ties break on doc_id.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE sig AS ({_MINHASH_ORACLE}),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT doc1 AS src, doc2 AS dst FROM pairs
+    UNION
+    SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+    SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+),
+q AS (
+    SELECT doc_id,
+           CAST(len(list_distinct({TX.words_sql('text')})) AS DOUBLE)
+             / greatest(len({TX.words_sql('text')}), 1) AS uniq_ratio
+    FROM documents
+),
+labeled AS (
+    SELECT q.doc_id, coalesce(c.canonical_id, q.doc_id) AS cluster_id, q.uniq_ratio
+    FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, uniq_ratio,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY uniq_ratio DESC, doc_id) = 1 AS keep
+FROM labeled
+"""
+
+
+@register("q_keep_best", oracle=_KEEP_BEST_ORACLE, tags=("phase3", "dedup", "curation"))
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality member of every near-dup cluster."""
+    from ..operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
+    comp = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    ws = TX.words(F.col("text"))
+    q = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.greatest(F.size(ws), F.lit(1))
+        ).alias("uniq_ratio"),
+    )
+    labeled = q.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("cluster_id"),
+        "uniq_ratio",
+    )
+    wc = W.partitionBy("cluster_id")
+    wr = W.partitionBy("cluster_id").orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id", "cluster_id", "uniq_ratio",
+        F.count("*").over(wc).cast("bigint").alias("n_members"),
+        (F.row_number().over(wr) == 1).alias("keep"),
+    )
