@@ -135,3 +135,67 @@ def test_cusum_window_form_equals_recursion(dvs):
         s_win = pn - min(minp, 0)
         assert s_win == s_rec
         assert s_win >= 0
+
+
+@given(
+    st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255)
+)
+def test_zvalue_deinterleaves_back(x, y):
+    """Morton interleave is a bijection on the 8-bit x 8-bit grid: the
+    bits de-interleave back to (x, y) — the invariant q_zorder_layout's
+    arithmetic form must preserve."""
+
+    def z(xx, yy):
+        v = 0
+        for k in range(8):
+            v += ((xx >> k) & 1) << (2 * k)
+            v += ((yy >> k) & 1) << (2 * k + 1)
+        return v
+
+    v = z(x, y)
+    rx = sum(((v >> (2 * k)) & 1) << k for k in range(8))
+    ry = sum(((v >> (2 * k + 1)) & 1) << k for k in range(8))
+    assert (rx, ry) == (x, y)
+    assert 0 <= v < 4**8
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_cms_estimate_is_one_sided(words):
+    """Count-Min property: the sketch estimate never under-counts."""
+    import hashlib
+    from collections import Counter
+
+    D, Wd = 4, 64
+    sketch = [[0] * Wd for _ in range(D)]
+
+    def bucket(s, w):
+        h = hashlib.md5(f"{s}:{w}".encode()).hexdigest()
+        return int(h[:2], 16) % Wd
+
+    for w in words:
+        for s in range(D):
+            sketch[s][bucket(s, w)] += 1
+    exact = Counter(words)
+    for w, n in exact.items():
+        est = min(sketch[s][bucket(s, w)] for s in range(D))
+        assert est >= n
+        assert est <= len(words)
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """Integer PageRank: total mass stays within floor-division loss of
+    SCALE (each node loses < 1 micro-unit per floor-div, 3 divs per
+    iteration), and every node's rank is positive."""
+    from data_etl_spark.plans import REGISTRY
+    from data_etl_spark.plans.dedup import _PR_SCALE
+
+    rows = REGISTRY["q_pagerank_dupgraph"].fn(spark, sf_dir).collect()
+    assert rows, "candidate graph is empty at test SF"
+    total = sum(r.pr_micro for r in rows)
+    n = len(rows)
+    # losses: per-node truncation (bounded by ~3 units/iteration/node)
+    assert total <= _PR_SCALE
+    assert total >= _PR_SCALE - 10 * n
+    assert all(r.pr_micro > 0 for r in rows)
+    assert all(r.degree >= 1 for r in rows)
