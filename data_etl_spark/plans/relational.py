@@ -2677,3 +2677,106 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pmax").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_filter_eval — Bloom-filter join pruning, measured: build a
+# k=3-hash, m=1024-bucket Bloom set from the orders build side
+# (distinct o_custkey), probe every customer key through it, and score
+# the filter against exact membership — passes, true members, false
+# positives, and the realized FP rate. This is the structure behind
+# Spark's runtime bloom pruning (spark.sql.optimizer.runtimeFilter.*):
+# at 100 TB the probe side drops non-joining rows at the SCAN for the
+# cost of a broadcast bit set. md5 hashing keeps both engines'
+# buckets identical, so even the false-positive SET is deterministic
+# and the verdict row hash-matches.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def _bloom_bucket(seed: int, key: str, str_t: str = "VARCHAR") -> str:
+    # str_t: "VARCHAR" for the DuckDB oracle, "STRING" for Spark (which
+    # rejects length-less VARCHAR); the md5 text is identical either way
+    h = f"md5(concat('{seed}', chr(58), CAST({key} AS {str_t})))"
+    nib = lambda p: f"(instr('0123456789abcdef', substring({h}, {p}, 1)) - 1)"  # noqa: E731
+    val = f"((({nib(1)} * 16 + {nib(2)}) * 16 + {nib(3)}) * 16 + {nib(4)})"
+    return f"({val} % {_BLOOM_M})"
+
+
+def _bloom_buckets_sql(key: str) -> str:
+    return ", ".join(_bloom_bucket(s, key) for s in range(_BLOOM_K))
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+    SELECT DISTINCT b FROM build, unnest([{_bloom_buckets_sql('k')}]) AS t(b)
+),
+probe AS (
+    SELECT c_custkey AS k, unnest([{_bloom_buckets_sql('c_custkey')}]) AS b
+    FROM customer
+),
+hits AS (
+    SELECT p.k, count(*) AS n_hit
+    FROM probe p JOIN bits ON p.b = bits.b
+    GROUP BY p.k
+),
+verdict AS (
+    SELECT c.c_custkey AS k,
+           coalesce(h.n_hit, 0) = {_BLOOM_K} AS in_bloom,
+           bd.k IS NOT NULL AS is_member
+    FROM customer c
+    LEFT JOIN hits h ON c.c_custkey = h.k
+    LEFT JOIN build bd ON c.c_custkey = bd.k
+)
+SELECT count(*) AS n_probed,
+       CAST(count(*) FILTER (in_bloom) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (is_member) AS BIGINT) AS n_members,
+       CAST(count(*) FILTER (in_bloom AND NOT is_member) AS BIGINT) AS n_false_pos,
+       CAST(count(*) FILTER (NOT in_bloom AND is_member) AS BIGINT) AS n_false_neg,
+       CAST(count(*) FILTER (in_bloom AND NOT is_member) AS DOUBLE)
+         / greatest(count(*) - count(*) FILTER (is_member), 1) AS fp_rate
+FROM verdict
+"""
+
+
+@register("q_bloom_filter_eval", oracle=_BLOOM_ORACLE, tags=("phase2", "join", "sketch"))
+def q_bloom_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruning eval: pass/member/false-positive census (FN must be 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    build = o.select(F.col("o_custkey").alias("k")).distinct()
+
+    def buckets(key: str):
+        return F.array(
+            *[F.expr(_bloom_bucket(s, key, str_t="STRING")) for s in range(_BLOOM_K)]
+        )
+
+    bits = (
+        build.select(F.explode(buckets("k")).alias("b")).distinct()
+    )
+    probe = c.select(F.col("c_custkey").alias("k"), F.explode(buckets("c_custkey")).alias("b"))
+    hits = probe.join(F.broadcast(bits), "b").groupBy("k").agg(F.count("*").alias("n_hit"))
+    verdict = (
+        c.select(F.col("c_custkey").alias("k"))
+        .join(hits, "k", "left")
+        .join(build.withColumn("__m", F.lit(True)), "k", "left")
+        .select(
+            "k",
+            (F.coalesce("n_hit", F.lit(0)) == _BLOOM_K).alias("in_bloom"),
+            F.coalesce("__m", F.lit(False)).alias("is_member"),
+        )
+    )
+    return verdict.agg(
+        F.count("*").alias("n_probed"),
+        F.count_if(F.col("in_bloom")).cast("bigint").alias("n_pass"),
+        F.count_if(F.col("is_member")).cast("bigint").alias("n_members"),
+        F.count_if(F.col("in_bloom") & ~F.col("is_member")).cast("bigint").alias("n_false_pos"),
+        F.count_if(~F.col("in_bloom") & F.col("is_member")).cast("bigint").alias("n_false_neg"),
+        (
+            F.count_if(F.col("in_bloom") & ~F.col("is_member")).cast("double")
+            / F.greatest(F.count("*") - F.count_if(F.col("is_member")), F.lit(1))
+        ).alias("fp_rate"),
+    )
