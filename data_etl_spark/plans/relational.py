@@ -2780,3 +2780,48 @@ def q_bloom_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.count("*") - F.count_if(F.col("is_member")), F.lit(1))
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_equidepth_bins — equi-depth (equal-count) histogram of a numeric
+# column via ntile: per-bin count, min and max. These bin edges ARE the
+# range-partitioning boundaries a planner samples for (Spark's
+# RangePartitioner / repartitionByRange do exactly this internally) and
+# the optimizer-statistics shape (equi-height histograms) used for
+# selectivity estimation. ntile's row assignment depends on total order,
+# so the sort key is fully disambiguated (price, orderkey, linenumber) —
+# both engines bin tied values identically. One global sort (the
+# operation range-partitioning amortizes at scale), one partial agg.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_N = 16
+
+_EQUIDEPTH_ORACLE = f"""
+WITH t AS (
+    SELECT l_extendedprice,
+           ntile({_EQUIDEPTH_N}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+    FROM lineitem
+)
+SELECT bin, count(*) AS n_rows,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM t GROUP BY bin
+"""
+
+
+@register("q_equidepth_bins", oracle=_EQUIDEPTH_ORACLE, tags=("phase1", "agg", "stats"))
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile bins with per-bin count/min/max."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(_EQUIDEPTH_N).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
