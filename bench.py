@@ -57,6 +57,9 @@ HEADLINE = [
     "q_pagerank_dupgraph",
     "q_cms_heavy_hitters",
     "q_bucketed_join",
+    "q_keep_best",
+    "q_bloom_filter_eval",
+    "q_equidepth_bins",
 ]
 
 

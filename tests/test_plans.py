@@ -273,12 +273,21 @@ def test_dup_spans_persist_is_disk_only(spark, sf_dir):
 
     from data_etl_spark.plans import REGISTRY
 
-    spark.catalog.clearCache()
+    # delta-based: earlier tests may leave localCheckpoint RDDs cached at
+    # MEMORY_AND_DISK (clearCache() does not evict those), so only RDDs
+    # that appear DURING this query are asserted
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     df = REGISTRY["q_dup_spans"].fn(spark, sf_dir)
     try:
         df.count()  # materialize so the persisted blocks register
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        levels = {str(i.storageLevel().description()) for i in infos}
+        levels = {
+            str(i.storageLevel().description())
+            for i in infos
+            if i.id() not in before
+        }
         assert levels, "q_dup_spans no longer persists its 8-gram intermediate"
         assert all("Disk" in lv and "Memory" not in lv for lv in levels), (
             f"expected DISK_ONLY persist, got {levels}"
