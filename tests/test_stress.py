@@ -166,3 +166,46 @@ def test_entity_blocking_bounds_giant_segment(spark):
     # correctness spot-check: adjacent ids differ by 1 digit -> dist 1
     got = {(r.cust1, r.cust2) for r in pairs.filter("dist <= 1").collect()}
     assert (0, 1) in got and (100, 101) in got
+
+
+def test_semantic_dedup_giant_cluster(spark):
+    """Adversarial SemDeDup input: every vector lands in ONE centroid's
+    cluster (the quadratic step's worst case). The in-cluster pair join
+    must still complete promptly at n=1500 (~1.1M candidate pairs) —
+    documenting the boundary that k-scaling (more centroids) manages at
+    real scale — and the keeper rule must leave exactly one non-dup per
+    identical-vector group."""
+    import pyspark.sql.functions as F
+
+    from data_etl_spark.functions import vectors as V
+    from data_etl_spark.plans.similarity import _SEM_TAU
+
+    n, dim = 1500, 8
+    # vec 0 = the only centroid (vec_id < _SEM_K filter keeps it); all
+    # corpus vectors identical => one cluster, every pair above tau
+    rows = [(0, [1.0] + [0.0] * (dim - 1))] + [
+        (i, [0.0] * (dim - 2) + [3.0, 4.0]) for i in range(8, 8 + n)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    t0 = time.perf_counter()
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), V.as_double(F.col("embedding")).alias("cemb")
+    )
+    corp = e.filter(F.col("vec_id") >= 8).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    a = corp.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    b = corp.select("vec_id", F.col("emb").alias("b_emb"))
+    dup = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(V.seq_cosine(F.col("a_emb"), F.col("b_emb")) >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    n_dup = dup.count()
+    dt = time.perf_counter() - t0
+    # identical vectors: every member except the rank-1 keeper is a dup
+    assert n_dup == n - 1
+    assert dt < 90, f"giant-cluster pairing took {dt:.1f}s"
