@@ -273,27 +273,28 @@ def test_dup_spans_persist_is_disk_only(spark, sf_dir):
 
     from data_etl_spark.plans import REGISTRY
 
-    # delta-based: earlier tests may leave localCheckpoint RDDs cached at
-    # MEMORY_AND_DISK (clearCache() does not evict those), so only RDDs
-    # that appear DURING this query are asserted
-    before = {
-        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    }
+    # Evict EVERYTHING cached first: clearCache() misses localCheckpoint
+    # RDDs from earlier tests, and Spark's CacheManager would otherwise
+    # satisfy this query's persist from an identical earlier plan's
+    # blocks (so no fresh entry would appear to assert on).
+    def _evict_all():
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+
+    _evict_all()
     df = REGISTRY["q_dup_spans"].fn(spark, sf_dir)
     try:
         df.count()  # materialize so the persisted blocks register
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        levels = {
-            str(i.storageLevel().description())
-            for i in infos
-            if i.id() not in before
-        }
+        levels = {str(i.storageLevel().description()) for i in infos}
         assert levels, "q_dup_spans no longer persists its 8-gram intermediate"
         assert all("Disk" in lv and "Memory" not in lv for lv in levels), (
             f"expected DISK_ONLY persist, got {levels}"
         )
     finally:
-        spark.catalog.clearCache()
+        _evict_all()
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
