@@ -112,6 +112,18 @@ def main():
     assert n > 0
 
     qs, oracles = E.queries(), E.oracle_sql()
+
+    # Window-budget guard: if this round's modified-but-green queries
+    # (_TOUCHED_THIS_ROUND) no longer fit the 50-name window because new
+    # registry names displaced the refill, say so loudly — that is how a
+    # modified query rides stale driver evidence through a round.
+    touched = getattr(E, "_TOUCHED_THIS_ROUND", frozenset())
+    dropped = sorted(set(touched) - set(qs))
+    if dropped:
+        print(
+            f"WARNING: window overflow — modified queries NOT in this round's "
+            f"driver window (stale-evidence risk): {dropped}"
+        )
     failed, passed, rows_only = [], 0, 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
