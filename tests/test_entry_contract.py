@@ -107,3 +107,18 @@ def test_round3_window_rotates_to_unchecked(monkeypatch, tmp_path):
     unchecked = [n for n in names[80:]]
     expect = set(unchecked[: entry_mod._WINDOW_CAP - 1])
     assert expect <= set(window)
+
+
+def test_touched_queries_hold_window_slots():
+    """Every query modified this round (_TOUCHED_THIS_ROUND) must occupy
+    a slot in the ACTUAL current driver window — if registry growth
+    displaces one, its changed plan would ride stale driver evidence
+    through the round (VERDICT r3, next #6). Fails loudly instead."""
+    import __spark_entry__ as E
+
+    window = set(E._driver_window())
+    dropped = sorted(set(E._TOUCHED_THIS_ROUND) - window)
+    assert not dropped, (
+        f"modified-but-green queries displaced from the driver window: "
+        f"{dropped} — remove a new registry name or prune _TOUCHED_THIS_ROUND"
+    )
