@@ -8,8 +8,6 @@ equality after canonicalization, with a readable diff on failure.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pytest
