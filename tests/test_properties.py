@@ -199,3 +199,47 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     assert total >= _PR_SCALE - 10 * n
     assert all(r.pr_micro > 0 for r in rows)
     assert all(r.degree >= 1 for r in rows)
+
+
+def test_entity_blocking_is_exact_within_blocks(spark):
+    """Blocked linkage contract: the pair set equals brute-force
+    Levenshtein<=2 restricted to pairs sharing the FULL blocking key
+    (nation, segment, name-prefix) — blocking loses only cross-block
+    pairs, by construction, never in-block ones."""
+    from data_etl_spark.plans.dedup import (
+        _ENTITY_DIST, _ENTITY_PREFIX, entity_match_pairs,
+    )
+
+    names = [
+        "Customer#000000001", "Customer#000000002", "Customer#000000011",
+        "Customer#000001001", "Customer#100000001", "Customer#000000xyz",
+        "Customer#00000000a", "Totally#different1",
+    ]
+    rows = [(i, nm, i % 2, "S") for i, nm in enumerate(names)]
+    c = spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_nationkey int, c_mktsegment string"
+    )
+    got = {(r.cust1, r.cust2) for r in entity_match_pairs(c).collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    expect = set()
+    for i, (ki, ni, nati, _) in enumerate(rows):
+        for kj, nj, natj, _ in rows[i + 1:]:
+            same_block = (
+                nati == natj and ni[:_ENTITY_PREFIX] == nj[:_ENTITY_PREFIX]
+            )
+            if same_block and lev(ni, nj) <= _ENTITY_DIST:
+                expect.add((min(ki, kj), max(ki, kj)))
+    assert got == expect
