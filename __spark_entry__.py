@@ -68,11 +68,13 @@ _DEFERRED = {
 
 _WINDOW_CAP = 50
 
-# Queries whose Spark plan or oracle changed in the CURRENT round: the
-# window refill re-verifies these before alphabetically-fresh greens.
-# Maintained by hand each round (reset when a new CORRECTNESS_r*.json
-# lands); stale names cost nothing — they just get re-verified early.
-_TOUCHED_THIS_ROUND = frozenset({
+# Queries whose Spark plan or oracle changed, KEYED BY ROUND: the window
+# refill re-verifies the current round's entries before alphabetically-
+# fresh greens. The key is the round being built (max recorded round + 1),
+# so entries auto-expire when the next CORRECTNESS_r*.json lands — no
+# manual reset needed; just add a new key each round.
+_TOUCHED_BY_ROUND: dict[int, frozenset] = {}
+_TOUCHED_BY_ROUND[4] = frozenset({
     "q_attribution_linear",   # oracle CAST(sum AS BIGINT)
     "q_cohort_ltv",           # oracle window-sum CAST + day_k bigint
     "q_markov_transitions",   # oracle CAST(sum AS BIGINT)
@@ -83,6 +85,24 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_lm_perplexity",        # vocab count folded into plan
     "q_market_basket",        # basket count folded into plan
 })
+
+
+def _current_touched() -> frozenset:
+    import glob as _glob
+    import re as _re
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    recorded = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    building = (max(recorded) + 1) if recorded else 1
+    return _TOUCHED_BY_ROUND.get(building, frozenset())
+
+
+#: the round-in-progress's touched set (empty once its round is recorded)
+_TOUCHED_THIS_ROUND = _current_touched()
 
 
 def _driver_rows(repo_dir: str) -> dict[str, tuple[int, bool]]:
