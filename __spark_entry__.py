@@ -19,52 +19,12 @@ from data_etl_spark.plans import REGISTRY  # noqa: E402
 
 FLAGSHIP = "q_chunk_pipeline"
 
-# The driver records correctness rows for at most 50 queries per round
-# (round 1 checked exactly the first 50 registry names alphabetically).
-# The full registry holds 117+ queries, every one oracle-tested locally in
+# The driver records correctness rows for at most 50 queries per round;
+# the full registry holds 179 queries, every one oracle-tested locally in
 # tests/test_oracle.py (sf0.001 exact values) and scripts/driver_sim.py
-# (sf0.01 driver replica). To make every query *driver*-visible across
-# rounds we rotate a curated <=50-name window: round 1 covered
-# q_anchor_search..q_local_supplier_volume (see CORRECTNESS_r01.json);
-# this round exposes the remaining oracle-backed queries, minus variants
-# whose §2 operator already has a round-1 green row (those, plus the
-# rows-only ML-LSH twins, rotate in next round).
-_R1_CHECKED_LAST = "q_local_supplier_volume"  # round-1 window end marker
-
-_DEFERRED = {
-    # operator already driver-green in round 1 via a sibling query:
-    "q_set_ops_all",        # O6 union/except/intersect green via q_set_ops window slot
-    "q_window_analytics",   # W-family green via q_figure_enumeration/q_chunks
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_math_funcs",         # scalar-func family green via q_date_funcs/q_case_when
-    "q_map_funcs",
-    "q_orc_roundtrip",      # sink family green via q_csv_roundtrip/q_json_roundtrip
-    "q_partitioned_write",
-    "q_minmax_by",          # agg family green via q_distinct_agg/q_histogram
-    "q_string_agg",
-    "q_topk",               # O5 limit green via q_knn_exact
-    "q_scalar_subquery",    # subquery family green via q_disjunctive_pred/q_dormant_customers
-    "q_rollup",             # grouping family green via q_cube/q_grouping_sets
-    # rows-only by design (driver records no hash either way); rotate in r3:
-    "q_ml_brp_neighbors",
-    "q_ml_minhash_join",
-    "q_rect_merge",
-    "q_anchor_search",
-    "q_approx_distinct",
-    # oracle-backed in round 2 (bm25 ln-drift fixed via 6-decimal
-    # quantization; simhash pairs + rect CC are new) but the round-2
-    # window was already full — rotate into the r3 window:
-    "q_bm25",
-    "q_simhash_pairs",
-    "q_rect_components",
-    "q_redact_pii",
-    "q_rollup_hierarchy",
-    "q_sentence_dedup",
-}
-
+# (sf0.01 driver replica). The <=50-name window rotates automatically
+# (see _driver_window): unchecked names first, then this round's touched
+# queries, then alphabetical re-verification refill.
 
 _WINDOW_CAP = 50
 
@@ -84,6 +44,18 @@ _TOUCHED_BY_ROUND[4] = frozenset({
     "q_dup_spans",            # persist -> DISK_ONLY
     "q_lm_perplexity",        # vocab count folded into plan
     "q_market_basket",        # basket count folded into plan
+})
+_TOUCHED_BY_ROUND[5] = frozenset({
+    "q_equidepth_bins",       # global ntile -> two-pass bucketed rank
+    "q_rfm_segments",         # 3x global ntile -> two-pass bucketed rank
+    "q_tokenizer_vocab",      # top-V via orderBy().limit() (TakeOrdered)
+    "q_multimodal_meta",      # ASCII-sanitized payload contract (both engines)
+    "q_frame_sample",         # ASCII-sanitized payload contract
+    "q_binary_features",      # ASCII payload + empty-payload drop
+    "q_resize_assets",        # ASCII-sanitized payload contract
+    "q_audio_energy",         # ASCII-sanitized payload contract
+    "q_cms_heavy_hitters",    # token persist -> DISK_ONLY
+    "q_dup_spans",            # repartition(doc_id) decision re-measured
 })
 
 
@@ -141,71 +113,56 @@ def _driver_rows(repo_dir: str) -> dict[str, tuple[int, bool]]:
 
 
 def _driver_window() -> list[str]:
-    """This round's <=50-name exposure (see rotation note above).
-
-    Round 2 (only CORRECTNESS_r01 exists): the hand-curated set below,
-    validated green against the sf0.01 driver replica. Round 3+: fully
-    automatic — expose registry names without a driver-green row,
-    least-recently-attempted first (never-attempted names before
-    persistent failures, so a >cap backlog drains across rounds instead
-    of the same leading names re-occupying every slot), topping up with
-    already-green names for re-verification if fewer than the cap
-    remain. No manual bookkeeping needed again.
+    """This round's <=50-name exposure: registry names without a
+    driver-green row first, least-recently-attempted order
+    (never-attempted names before persistent failures, so a >cap backlog
+    drains across rounds instead of the same leading names re-occupying
+    every slot), topped up with already-green names for re-verification —
+    this round's touched queries before alphabetical freshness.
     """
     import glob
     import re
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # Round 2 produced no driver artifacts (only CORRECTNESS_r01.json
-    # exists entering round 3), so trigger the automatic rotation on ANY
-    # recorded round >= 2 rather than the literal r02 filename.
     recorded = [
         int(m.group(1))
         for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    if any(r >= 2 for r in recorded):
-        evidence = _driver_rows(repo_dir)
-        unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
-        # Priority: (0) names that FAILED in the most recent recorded
-        # round — fresh driver-visible regressions, likely just fixed,
-        # whose red rows must clear before anything else; (1) never-
-        # attempted names (alphabetical); (2) older failures last, so a
-        # persistently-failing name cannot starve the backlog.
-        latest = max(recorded)
+    evidence = _driver_rows(repo_dir) if recorded else {}
+    unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
+    # Priority: (0) names that FAILED in the most recent recorded
+    # round — fresh driver-visible regressions, likely just fixed,
+    # whose red rows must clear before anything else; (1) never-
+    # attempted names (alphabetical); (2) older failures last, so a
+    # persistently-failing name cannot starve the backlog.
+    latest = max(recorded) if recorded else 0
 
-        def prio(n: str) -> tuple:
-            last = evidence.get(n, (0, False))[0]
-            if last == latest:
-                bucket = 0
-            elif last == 0:
-                bucket = 1
-            else:
-                bucket = 2
-            return (bucket, last, n)
+    def prio(n: str) -> tuple:
+        last = evidence.get(n, (0, False))[0]
+        if recorded and last == latest:
+            bucket = 0
+        elif last == 0:
+            bucket = 1
+        else:
+            bucket = 2
+        return (bucket, last, n)
 
-        unchecked.sort(key=prio)
-        window = unchecked[: _WINDOW_CAP - 1]
-        if FLAGSHIP not in window:
-            window.append(FLAGSHIP)
-        # Refill the remaining slots with already-green names for
-        # re-verification — but queries whose PLANS changed this round
-        # (listed in _TOUCHED_THIS_ROUND) come before alphabetical
-        # freshness, so a modified-but-previously-green query can't ride
-        # stale evidence through a round (VERDICT r3, next #6).
-        refill = sorted(
-            (n for n in REGISTRY if n not in window),
-            key=lambda n: (n not in _TOUCHED_THIS_ROUND, n),
-        )
-        window += refill[: _WINDOW_CAP - len(window)]
-        return sorted(window)
-    names = [
-        n
-        for n in sorted(REGISTRY)
-        if (n > _R1_CHECKED_LAST and n not in _DEFERRED) or n == FLAGSHIP
-    ]
-    assert len(names) <= _WINDOW_CAP, f"driver window overflow: {len(names)}"
-    return names
+    unchecked.sort(key=prio)
+    window = unchecked[: _WINDOW_CAP - 1]
+    if FLAGSHIP not in window:
+        window.append(FLAGSHIP)
+    # Refill the remaining slots with already-green names for
+    # re-verification — but queries whose PLANS changed this round
+    # (listed in _TOUCHED_THIS_ROUND) come before alphabetical
+    # freshness, so a modified-but-previously-green query can't ride
+    # stale evidence through a round (VERDICT r3, next #6).
+    refill = sorted(
+        (n for n in REGISTRY if n not in window),
+        key=lambda n: (n not in _TOUCHED_THIS_ROUND, n),
+    )
+    window += refill[: _WINDOW_CAP - len(window)]
+    return sorted(window)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -60,6 +60,17 @@ HEADLINE = [
     "q_keep_best",
     "q_bloom_filter_eval",
     "q_equidepth_bins",
+    # round-5 widening: graph census, snapshot diff, spine-window
+    # backfill, simhash candidate generation, vocab top-V, and the
+    # window-free quintile rank — every expensive family now has a
+    # perf row (r4 verdict, next #5).
+    "q_dup_triangles",
+    "q_snapshot_diff",
+    "q_locf_backfill",
+    "q_simhash_pairs",
+    "q_tokenizer_vocab",
+    "q_rfm_segments",
+    "q_knn_auto",  # cost gate flips to the IVF branch at the bench SF
 ]
 
 

@@ -46,11 +46,13 @@ def fake_decode_meta(payload: bytes) -> tuple[int, str, int, int]:
     """Deterministic stand-in for decode: (n_bytes, md5, width, height).
 
     width/height derive from the first two payload bytes — stable, cheap,
-    and oracle-expressible (ascii() + modulo in SQL).
+    and oracle-expressible (ascii() + modulo in SQL). A missing byte
+    counts as 0, matching SQL ascii('') = 0, so empty/1-byte payloads
+    agree with the oracle too (tests/test_edge_docs.py doc 0).
     """
     md5 = hashlib.md5(payload).hexdigest()
-    w = (payload[0] % 64) + 1 if payload else 0
-    h = (payload[1] % 64) + 1 if len(payload) > 1 else 0
+    w = ((payload[0] if payload else 0) % 64) + 1
+    h = ((payload[1] if len(payload) > 1 else 0) % 64) + 1
     return len(payload), md5, w, h
 
 
@@ -164,6 +166,10 @@ def extract_features(df: DataFrame, binary_col: str = "content", id_col: str = "
             rows = []
             for did, payload in zip(pdf[id_col], pdf[binary_col]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    # no bytes -> no feature row (matches the oracle's
+                    # explode-then-group, which drops empty payloads)
+                    continue
                 hist = np.bincount(b >> 6, minlength=4)
                 rows.append(
                     (int(did), len(b), int(b.sum()), *(int(h) for h in hist))

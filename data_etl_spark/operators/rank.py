@@ -1,0 +1,115 @@
+"""Window-free exact global ranking (scale-safe ntile / row_number).
+
+An unpartitioned ``Window.orderBy(...)`` moves EVERY row to one
+partition for the sort — the ``WindowExec: No Partition Defined``
+warning, and a guaranteed single-task bottleneck at 100 TB. This module
+computes the identical global ``row_number`` with a two-pass bucketed
+rank instead:
+
+1. collect approximate quantile boundaries of the leading sort key
+   (``approxQuantile`` — one sampling pass, O(n_buckets) driver bytes,
+   the same "sampled sort" Spark's own RangePartitioner performs);
+2. assign each row a *deterministic* range bucket from those collected
+   boundaries (a pure function of the row value — unlike
+   ``repartitionByRange``, whose sampled boundaries are NOT stable
+   across re-executions of the same subtree, so per-bucket counts and
+   per-bucket ranks computed in separate subtrees could disagree);
+3. rank within each bucket with a *partitioned* window, count rows per
+   bucket (a ≤n_buckets-row aggregate, persisted), turn counts into
+   cumulative offsets with a tiny self-join, and broadcast them back:
+   ``global_rank = bucket_offset + within_bucket_row_number``.
+
+Every shuffle is partitioned; the only driver action is the
+O(n_buckets) quantile collect (same class as the k-means drift scalar
+in operators/kmeans.py). Bucket count defaults to
+``spark.sql.shuffle.partitions`` so parallelism self-scales with the
+cluster configuration.
+
+Ties on the leading key all land in one bucket (bucket assignment uses
+the leading key only), and the within-bucket ordering uses the caller's
+full tie-broken sort key — so the composed rank equals the global
+``row_number`` under that total order, exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["exact_global_rank", "ntile_from_rank"]
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division for non-negative bigint-valued columns."""
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    range_expr: Column,
+    *,
+    n_buckets: int | None = None,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Add ``rank_name`` = global row_number under ``order_cols``.
+
+    ``range_expr`` must be a numeric (castable-to-double, non-null)
+    expression that is monotone non-decreasing in the leading order
+    column — pass the negated metric for a DESC leading sort. The
+    ``order_cols`` must totally order the rows (tie-broken), exactly as
+    they would in the ``Window.orderBy`` this replaces.
+    """
+    if n_buckets is None:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.withColumn("__rng", range_expr.cast("double"))
+    # One sampling pass; finer relative error for more buckets so bucket
+    # imbalance stays ~±10% of a bucket regardless of n_buckets.
+    rel_err = min(1e-3, 0.1 / n_buckets)
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(tagged.stat.approxQuantile("__rng", probes, rel_err)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("__rng") > b))
+    else:
+        bucket = F.lit(0)
+    b = tagged.withColumn("__bkt", bucket)
+    # ≤ n_buckets rows; persisted so the offset self-join and any total
+    # computed from it read one materialization (KBs, leak-safe).
+    counts = b.groupBy("__bkt").agg(F.count("*").alias("__cnt")).persist()
+    offs = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.__bkt") < F.col("a.__bkt"), "left")
+        .groupBy(F.col("a.__bkt").alias("__bkt"))
+        .agg(F.sum(F.coalesce(F.col("b.__cnt"), F.lit(0))).alias("__off"))
+    )
+    w = W.partitionBy("__bkt").orderBy(*order_cols)
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offs), "__bkt")
+        .withColumn(rank_name, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__rng", "__bkt", "__rn", "__off")
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """Exact SQL ``ntile(n)`` from a 1-based global rank and row total.
+
+    ntile gives the first ``total MOD n`` tiles one extra row; the
+    closed form (all bigint, branch never divides by zero because the
+    ELSE arm is only reached when q >= 1):
+
+        q = total DIV n ; r = total MOD n ; cut = r * (q + 1)
+        rank <= cut -> (rank-1) DIV (q+1) + 1
+        else        -> r + (rank-cut-1) DIV q + 1
+    """
+    n_l = F.lit(n).cast("bigint")
+    total = total.cast("bigint")
+    q = _idiv(total, n_l)
+    r = total - q * n_l
+    cut = r * (q + F.lit(1))
+    lo = _idiv(rank - F.lit(1), q + F.lit(1)) + F.lit(1)
+    hi = r + _idiv(rank - cut - F.lit(1), F.greatest(q, F.lit(1))) + F.lit(1)
+    return F.when(rank <= cut, lo).otherwise(hi).cast("bigint")

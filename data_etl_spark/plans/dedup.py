@@ -5,6 +5,17 @@ Each variant is the relational composition from operators/dedup.py with
 an exact DuckDB oracle — including MinHash and LSH banding, which stay
 deterministic because hashing is md5-hex (identical in both engines) and
 minima are lexicographic.
+
+Persist lifetime: plan builders return lazy DataFrames, so persists made
+here (signature/shingle tables read by several join legs) cannot be
+unpersisted inside the builder — they live until the session evicts
+them. That is acceptable because each is MUCH smaller than its source
+corpus (fixed-width signatures, banded keys) and Spark's LRU evicts
+cold blocks under pressure; the genuinely corpus-scale intermediates
+(q_dup_spans' 8-grams, the CMS token stream) use DISK_ONLY instead,
+enforced by tests/test_plans.py::test_corpus_scale_persist_is_disk_only.
+A long-lived service embedding these plans should call
+``spark.catalog.clearCache()`` between query batches.
 """
 
 from __future__ import annotations
@@ -703,9 +714,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     true duplicates.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws_df = d.select("doc_id", F.col("text")).repartition(F.col("doc_id")).select(
-        "doc_id", TX.words(F.col("text")).alias("ws")
-    )
+    base = d.select("doc_id", F.col("text"))
+    # Measured choice (sf0.1, local[32], min-of-2): documents.parquet
+    # scans as ONE input split there, so without a repartition the
+    # tokenize/shingle/posexplode chain runs on a single task (3.1 s vs
+    # 0.9 s). The shuffle buys parallelism ONLY when the scan is
+    # under-partitioned — at 100 TB the scan already has thousands of
+    # splits and a corpus-wide text shuffle would be pure cost — so gate
+    # it on the actual scan partition count (driver-side metadata, no
+    # job). Round-robin, not keyed: downstream keys on shingle, so
+    # doc_id co-location buys nothing.
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    ws_df = base.select("doc_id", TX.words(F.col("text")).alias("ws"))
     cnt = F.greatest(F.size("ws") - (_DUP_N - 1), F.lit(0))
     arr = F.slice("ws", 1, cnt)
     for j in range(1, _DUP_N):

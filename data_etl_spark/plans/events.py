@@ -899,6 +899,9 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
     )
     touched = j.withColumn("n_touch", F.count("*").over(W.partitionBy("purchase_id")))
+    # floor() (toward -inf) on BOTH engines — do not "simplify" to Spark
+    # DIV, which truncates toward zero and diverges from the DuckDB
+    # oracle the moment cents is negative (refund-style values).
     micro = F.floor(
         F.col("cents").cast("double") * 10000 / F.col("n_touch")
     ).cast("bigint")
@@ -1097,6 +1100,11 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "click_id",
         F.expr("cents * 10000 * w").alias("num"),
         sum_w.alias("sum_w"),
+        # PRECONDITION: cents >= 0 (events.value >= 0 by schema contract).
+        # Spark DIV truncates toward zero while DuckDB // floors toward
+        # -inf — they agree only for non-negative numerators. A refund-
+        # style negative purchase value would need floor-division on both
+        # sides (same note as the PageRank mass arithmetic).
     ).select("user_id", "click_id", F.expr("num DIV sum_w").alias("micro"))
     return credit.groupBy("user_id").agg(
         F.countDistinct("click_id").alias("n_credited_clicks"),

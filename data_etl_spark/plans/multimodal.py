@@ -13,13 +13,27 @@ from ..multimodal.columns import with_asset_meta
 from ..sources import load_table
 from .registry import register
 
-# Fake binary payload: utf8 bytes of the first 64 chars of text. ascii()
-# of 1-char substrings gives the same byte values SQL-side (corpus is
-# ASCII; both engines see identical bytes).
+# Fake binary payloads: utf8 bytes of an ASCII-sanitized text prefix.
+# The oracles index CHARACTERS (ascii(substring(...)), md5(varchar),
+# rpad) while the engine operates on BYTES, so both sides strip
+# non-ASCII first — after the strip, char == byte and the contract is
+# exact for any corpus, not just incidentally-ASCII testdata
+# (tests/test_edge_docs.py pins this with a multi-byte document).
 
-_MM_ORACLE = """
+_ASCII_STRIP_RE = r"[^\x00-\x7F]"
+
+
+def _ascii_payload(n: int) -> F.Column:
+    """First-n-ASCII-chars payload as binary (matches the oracles' CTE)."""
+    return F.encode(
+        F.substring(F.regexp_replace("text", _ASCII_STRIP_RE, ""), 1, n), "UTF-8"
+    )
+
+_MM_ORACLE = r"""
 WITH p AS (
-    SELECT doc_id, substring(text, 1, 64) AS payload FROM documents
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 64) AS payload
+    FROM documents
 )
 SELECT doc_id,
        CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
@@ -40,7 +54,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     assets = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
+        "doc_id", _ascii_payload(64).alias("content")
     )
     return with_asset_meta(assets, binary_col="content", key_cols=("doc_id",))
 
@@ -51,9 +65,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-byte windows, so the oracle is substring arithmetic + md5.
 # ---------------------------------------------------------------------------
 
-_FRAME_ORACLE = """
+_FRAME_ORACLE = r"""
 WITH p AS (
-    SELECT doc_id, substring(text, 1, 80) AS payload FROM documents
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
+    FROM documents
 ),
 f AS (
     SELECT doc_id, payload,
@@ -73,9 +89,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import sample_frames
 
     d = load_table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 80), "UTF-8").alias("content")
-    )
+    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
     return sample_frames(assets)
 
 
@@ -84,8 +98,12 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (integer byte histogram => exact oracle via ascii() arithmetic).
 # ---------------------------------------------------------------------------
 
-_FEAT_ORACLE = """
-WITH p AS (SELECT doc_id, substring(text, 1, 64) AS payload FROM documents),
+_FEAT_ORACLE = r"""
+WITH p AS (
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 64) AS payload
+    FROM documents
+),
 v AS (
     SELECT doc_id, ascii(substring(payload, CAST(i AS INT), 1)) AS byte
     FROM p, unnest(generate_series(1, length(payload))) AS t(i)
@@ -109,7 +127,7 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     assets = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("content")
+        "doc_id", _ascii_payload(64).alias("content")
     )
     return extract_features(assets)
 
@@ -122,9 +140,11 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column itself is returned as its md5 (drivers hash scalar columns).
 # ---------------------------------------------------------------------------
 
-_RESIZE_ORACLE = """
+_RESIZE_ORACLE = r"""
 WITH p AS (
-    SELECT doc_id, substring(text, 1, 48) AS payload FROM documents
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 48) AS payload
+    FROM documents
 )
 SELECT doc_id,
        CAST(8 AS INT) AS target_w,
@@ -141,9 +161,7 @@ def q_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import resize_assets
 
     d = load_table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 48), "UTF-8").alias("content")
-    )
+    assets = d.select("doc_id", _ascii_payload(48).alias("content"))
     out = resize_assets(assets, w=8, h=8)
     return out.select(
         "doc_id",
@@ -164,8 +182,12 @@ def q_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (multimodal.columns.decode_audio) like every other codec.
 # ---------------------------------------------------------------------------
 
-_AUDIO_ORACLE = """
-WITH p AS (SELECT doc_id, substring(text, 1, 80) AS payload FROM documents),
+_AUDIO_ORACLE = r"""
+WITH p AS (
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
+    FROM documents
+),
 f AS (
     SELECT doc_id, payload,
            unnest(generate_series(
@@ -192,7 +214,5 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import audio_frame_energy
 
     d = load_table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id", F.encode(F.substring("text", 1, 80), "UTF-8").alias("content")
-    )
+    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
     return audio_frame_energy(assets)

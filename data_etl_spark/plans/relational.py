@@ -551,7 +551,10 @@ FROM customer
 @register("q_window_ntile", oracle=_WINDOW_NTILE_ORACLE, tags=("phase1", "window"))
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quartiles by balance (single-partition window — fine for dim
-    tables; at fact scale use approx percentile bucketing instead)."""
+    tables; at fact scale use operators/rank.py's two-pass bucketed rank
+    as q_rfm_segments does). Whitelisted in the plan-shape tripwire
+    (tests/test_plans.py::test_no_unpartitioned_windows_anywhere) as the
+    deliberate API-coverage demonstration of raw ntile."""
     c = load_table(spark, sf_dir, "customer")
     w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
@@ -2117,10 +2120,16 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_rfm_segments — recency/frequency/monetary customer segmentation:
 # per-customer last-order date, order count and decimal-exact spend,
-# each quintile-bucketed (ntile with full-key tie-break) into the
-# classic 1-5 RFM codes. One orders scan, one customer-key shuffle;
-# the ntile windows are global but over the (small) per-customer
-# aggregate, not the fact table.
+# each quintile-bucketed (exact ntile semantics with full-key
+# tie-break) into the classic 1-5 RFM codes. Customer cardinality
+# grows with the corpus, so the three quintiles use the window-free
+# two-pass bucketed rank (operators/rank.py) rather than global ntile
+# windows (r4 verdict wrong #3): per-metric sampled range buckets,
+# PARTITIONED per-bucket row_number, broadcast offsets, closed-form
+# ntile arithmetic. The per-customer aggregate is persisted once (it
+# feeds three rank passes + the total; bounded to one narrow row per
+# customer — far smaller than the orders fact it summarizes, so the
+# session-lifetime cache is acceptable).
 # ---------------------------------------------------------------------------
 
 _RFM_ORACLE = """
@@ -2149,22 +2158,44 @@ FROM scored
 
 @register("q_rfm_segments", oracle=_RFM_ORACLE, tags=("phase1", "agg", "segmentation"))
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quintile segmentation per customer (deterministic tie-breaks)."""
-    from pyspark.sql import Window as W
+    """RFM quintile segmentation per customer (window-free exact ntile)."""
+    from ..operators.rank import exact_global_rank, ntile_from_rank
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    ).persist()
+    total = per_cust.agg(F.count("*").alias("__total"))
+    # DESC leading sorts -> negated metrics as the ascending range key.
+    # Day-granular bucketing of the timestamp is fine: the range key only
+    # needs to be monotone non-decreasing in the sort direction; ties
+    # share a bucket and the within-bucket ordering disambiguates.
+    ranked = exact_global_rank(
+        per_cust,
+        [F.desc("last_order"), F.asc("o_custkey")],
+        -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date")),
+        rank_name="__rk_r",
     )
-    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), "o_custkey"))
-    f = F.ntile(5).over(W.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(5).over(W.orderBy(F.desc("monetary_dec"), "o_custkey"))
-    scored = per_cust.select(
+    ranked = exact_global_rank(
+        ranked,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        -F.col("frequency"),
+        rank_name="__rk_f",
+    )
+    ranked = exact_global_rank(
+        ranked,
+        [F.desc("monetary_dec"), F.asc("o_custkey")],
+        -F.col("monetary_dec").cast("double"),
+        rank_name="__rk_m",
+    )
+    scored = ranked.crossJoin(F.broadcast(total)).select(
         "o_custkey", "last_order", "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        r.cast("bigint").alias("r"), f.cast("bigint").alias("f"), m.cast("bigint").alias("m"),
+        ntile_from_rank(F.col("__rk_r"), F.col("__total"), 5).alias("r"),
+        ntile_from_rank(F.col("__rk_f"), F.col("__total"), 5).alias("f"),
+        ntile_from_rank(F.col("__rk_m"), F.col("__total"), 5).alias("m"),
     )
     return scored.withColumn(
         "rfm",
@@ -2784,14 +2815,17 @@ def q_bloom_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q_equidepth_bins — equi-depth (equal-count) histogram of a numeric
-# column via ntile: per-bin count, min and max. These bin edges ARE the
+# column: per-bin count, min and max. These bin edges ARE the
 # range-partitioning boundaries a planner samples for (Spark's
 # RangePartitioner / repartitionByRange do exactly this internally) and
 # the optimizer-statistics shape (equi-height histograms) used for
-# selectivity estimation. ntile's row assignment depends on total order,
-# so the sort key is fully disambiguated (price, orderkey, linenumber) —
-# both engines bin tied values identically. One global sort (the
-# operation range-partitioning amortizes at scale), one partial agg.
+# selectivity estimation. The bin assignment equals ntile over the
+# fully disambiguated order (price, orderkey, linenumber) — but is
+# computed WITHOUT a global window (r4 verdict wrong #1): a two-pass
+# bucketed rank (operators/rank.py) does a sampled-boundary range
+# bucketing, a PARTITIONED per-bucket row_number, and a broadcast
+# cumulative-offset join, then closed-form ntile arithmetic. Every
+# shuffle is partitioned; the fact table never collapses to one task.
 # ---------------------------------------------------------------------------
 
 _EQUIDEPTH_N = 16
@@ -2811,13 +2845,27 @@ FROM t GROUP BY bin
 
 @register("q_equidepth_bins", oracle=_EQUIDEPTH_ORACLE, tags=("phase1", "agg", "stats"))
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram: ntile bins with per-bin count/min/max."""
-    from pyspark.sql import Window as W
+    """Equi-depth histogram: exact ntile bins, window-free global rank."""
+    from ..operators.rank import exact_global_rank, ntile_from_rank
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    base = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = exact_global_rank(
+        base,
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        F.col("l_extendedprice"),
+        rank_name="__grank",
+    )
+    # Parquet-footer count, broadcast as one row — no driver action.
+    total = base.agg(F.count("*").alias("__total"))
     return (
-        li.select("l_extendedprice", F.ntile(_EQUIDEPTH_N).over(w).alias("bin"))
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "l_extendedprice",
+            ntile_from_rank(F.col("__grank"), F.col("__total"), _EQUIDEPTH_N)
+            .cast("int")
+            .alias("bin"),
+        )
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_rows"),

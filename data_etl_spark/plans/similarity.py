@@ -1075,3 +1075,82 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster", "cos_cent",
         F.coalesce("__dup", F.lit(False)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_auto — cost-gated physical-strategy choice (operators/planner.py,
+# SURVEY.md §4's optional custom planner rule): corpus <= 1024 rows ->
+# exact broadcast-NL brute force; above -> IVF rewrite (first-8-by-id
+# centroids, cell assignment, in-cell search). The oracle reproduces the
+# GATE itself — two branch CTEs emitted through mutually-exclusive
+# scalar-count predicates — so engine and oracle agree at every scale
+# factor (sf0.001/sf0.01 corpora take the exact branch; the sf0.1 bench
+# corpus crosses the threshold and takes the IVF branch).
+# Plan shapes for both branches are asserted in tests/test_planner.py.
+# ---------------------------------------------------------------------------
+
+_AUTO_K = 5
+_AUTO_THRESHOLD = 1024
+_AUTO_NCENT = 8
+
+_AUTO_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 10),
+n AS (SELECT count(*) AS n_corpus FROM c),
+exact_r AS (
+    SELECT q_vec_id, rank, c_vec_id, score FROM (
+        SELECT q.q_vec_id, c.c_vec_id, {V.cosine_sql('q.q_emb', 'c.c_emb')} AS score,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {V.cosine_sql('q.q_emb', 'c.c_emb')} DESC, c.c_vec_id) AS rank
+        FROM q CROSS JOIN c
+    ) WHERE rank <= {_AUTO_K}
+),
+cent AS (SELECT c_vec_id AS cent_id, c_emb AS cemb FROM c ORDER BY c_vec_id LIMIT {_AUTO_NCENT}),
+c_assign AS (
+    SELECT c_vec_id, c_emb, cent_id AS cell FROM (
+        SELECT c.c_vec_id, c.c_emb, k.cent_id,
+               row_number() OVER (PARTITION BY c.c_vec_id
+                                  ORDER BY {_dist_sql('c.c_emb', 'k.cemb')}, k.cent_id) AS rn
+        FROM c CROSS JOIN cent k
+    ) WHERE rn = 1
+),
+q_assign AS (
+    SELECT q_vec_id, q_emb, cent_id AS cell FROM (
+        SELECT q.q_vec_id, q.q_emb, k.cent_id,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                                  ORDER BY {_dist_sql('q.q_emb', 'k.cemb')}, k.cent_id) AS rn
+        FROM q CROSS JOIN cent k
+    ) WHERE rn = 1
+),
+ivf_r AS (
+    SELECT q_vec_id, rank, c_vec_id, score FROM (
+        SELECT qa.q_vec_id, ca.c_vec_id, {V.cosine_sql('qa.q_emb', 'ca.c_emb')} AS score,
+               row_number() OVER (PARTITION BY qa.q_vec_id
+                                  ORDER BY {V.cosine_sql('qa.q_emb', 'ca.c_emb')} DESC, ca.c_vec_id) AS rank
+        FROM q_assign qa JOIN c_assign ca ON qa.cell = ca.cell
+    ) WHERE rank <= {_AUTO_K}
+)
+SELECT * FROM exact_r WHERE (SELECT n_corpus FROM n) <= {_AUTO_THRESHOLD}
+UNION ALL
+SELECT * FROM ivf_r WHERE (SELECT n_corpus FROM n) > {_AUTO_THRESHOLD}
+"""
+
+
+@register("q_knn_auto", oracle=_AUTO_ORACLE, tags=("phase3", "similarity", "planner"))
+def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-gated kNN: exact brute force or IVF, chosen by corpus size."""
+    from ..operators.planner import auto_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_vec_id"), emb.alias("q_emb"))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("c_vec_id"), emb.alias("c_emb"))
+    )
+    return auto_knn(
+        q, c, k=_AUTO_K, threshold=_AUTO_THRESHOLD, n_centroids=_AUTO_NCENT
+    )

@@ -186,15 +186,28 @@ def _sf_key(sf_dir: str) -> str:
     return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
 
 
+# Columns each bucketed table selects (part of the layout definition —
+# folded into the stamp so changing them invalidates prebuilt tables).
+_BUCKET_COLS = {
+    "orders": ("o_orderkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_extendedprice", "l_discount"),
+}
+
+
 def _source_stamp(sf_dir: str) -> str:
-    """Identity of the source parquet files (path+size+mtime): a bucketed
-    table built from the same stamp can be reused instead of rewritten —
-    the N1 skip-processed semantic applied to layout maintenance."""
+    """Identity of the source parquet files (path+size+mtime) PLUS the
+    layout definition (bucket count, selected/sort columns): a bucketed
+    table is reused only when both match — the N1 skip-processed
+    semantic applied to layout maintenance. Without the layout
+    fingerprint, a code change (say, a bucket-count bump) would silently
+    serve the stale pre-built tables to any session with a persistent
+    metastore."""
     parts = []
     for t in ("orders", "lineitem"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{int(st.st_mtime_ns)}")
+        cols = ",".join(_BUCKET_COLS[t])
+        parts.append(f"{p}:{st.st_size}:{int(st.st_mtime_ns)}:{_BUCKETS}:{cols}")
     return "|".join(parts)
 
 
@@ -215,12 +228,8 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         and spark.catalog.tableExists(t_lineitem)
     ):
         return t_orders, t_lineitem
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
+    o = load_table(spark, sf_dir, "orders").select(*_BUCKET_COLS["orders"])
+    li = load_table(spark, sf_dir, "lineitem").select(*_BUCKET_COLS["lineitem"])
     (
         o.write.mode("overwrite")
         .bucketBy(_BUCKETS, "o_orderkey")

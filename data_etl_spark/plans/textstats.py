@@ -1243,9 +1243,16 @@ WHERE e.n_exact >= {_CMS_MIN}
 @register("q_cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("phase3", "sketch", "textstats"))
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch estimates vs exact counts for heavy-hitter words."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    # one tokenize pass feeds both the sketch build and the exact counts
-    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).persist()
+    # one tokenize pass feeds both the sketch build and the exact counts.
+    # DISK_ONLY: the exploded token stream is corpus-scale (~|tokens|
+    # rows) — caching it in executor memory would evict hotter blocks at
+    # 100 TB, the same reasoning as q_dup_spans' 8-gram intermediate.
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).persist(
+        StorageLevel.DISK_ONLY
+    )
     seeds = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
     bucket = F.expr(_CMS_BUCKET)
     cells = tok.select("word", F.explode(seeds).alias("s")).withColumn(
@@ -1279,7 +1286,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic tie order — and the per-doc OOV rate is the fraction of
 # token occurrences outside it. Scale: the vocab is a V-row broadcast;
 # the corpus tokenizes once and left-joins the broadcast — scan-bound,
-# model-bounded, no corpus-keyed shuffle beyond the per-doc agg.
+# model-bounded, no corpus-keyed shuffle beyond the per-doc agg. The
+# top-V selection is orderBy().limit() — TakeOrderedAndProject keeps a
+# V-row heap per partition and merges on the driver, so the distinct-
+# word counts never funnel through a single-partition sort (the r4
+# verdict's global-row_number anti-pattern, wrong #2).
 # ---------------------------------------------------------------------------
 
 _VOCAB_V = 16
@@ -1307,16 +1318,12 @@ GROUP BY t.doc_id
 @register("q_tokenizer_vocab", oracle=_VOCAB_ORACLE, tags=("phase3", "textstats", "curation"))
 def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-V vocabulary coverage: per-doc OOV token rate."""
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("n"))
     vocab = (
-        counts.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("word")))
-        )
-        .filter(F.col("rk") <= _VOCAB_V)
+        counts.orderBy(F.desc("n"), F.asc("word"))
+        .limit(_VOCAB_V)
         .select("word", F.lit(True).alias("in_vocab"))
     )
     return (

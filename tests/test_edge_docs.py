@@ -23,6 +23,10 @@ _DOCS = [
     (4, "the   quick\tbrown    fox jumps over the lazy dog", "en", "src1"),
     (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "src2"),
     (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "src2"),
+    # multi-byte chars interleaved with ASCII: pins the byte-vs-char
+    # contract of the multimodal payload queries (both engines strip
+    # non-ASCII before framing, so char == byte afterwards)
+    (7, "naïve café über résumé — 模型 データ ☂ mixed ascii tail padding", "fr", "src3"),
 ]
 
 _QUERIES = [
@@ -41,6 +45,11 @@ _QUERIES = [
     "q_cms_heavy_hitters",
     "q_audio_energy",
     "q_pagerank_dupgraph",
+    # round-5: the full multimodal payload quartet on the non-ASCII doc
+    "q_multimodal_meta",
+    "q_frame_sample",
+    "q_binary_features",
+    "q_resize_assets",
 ]
 
 

@@ -37,7 +37,6 @@ def test_driver_window_rotation():
     from data_etl_spark.plans import REGISTRY
 
     qs = entry_mod.queries()
-    assert entry_mod._DEFERRED <= set(REGISTRY), entry_mod._DEFERRED - set(REGISTRY)
     assert set(qs) <= set(REGISTRY)
     assert entry_mod.FLAGSHIP in qs
     repo_dir = os.path.dirname(os.path.abspath(entry_mod.__file__))
