@@ -1159,3 +1159,158 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wc).cast("bigint").alias("n_members"),
         (F.row_number().over(wr) == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_dedup — dedup an arriving BATCH against the standing
+# corpus (the production ingest shape: nobody re-pairs 100 TB for a 1 TB
+# delta). Batch = doc_id % 10 == 7, corpus = the rest. Per batch doc:
+# exact-dup flag (md5 membership in the corpus), LSH candidate census
+# (corpus docs sharing >=1 of the 8 minhash bands), and a near-dup flag
+# (some candidate shares >= 4/8 bands, i.e. estimated Jaccard >= 0.5).
+# Scale: the band join is batch-sigs x corpus-sigs keyed by
+# (seed, minhash) — the corpus NEVER self-joins — and the exact check
+# is one keyed semi-join on the content hash; both sides scan once.
+# The reference re-ingests whole folders (src/etl_processor.py) and
+# skips by previous-metadata equality; this is that N1/N3 semantic
+# upgraded to content + near-dup awareness.
+# ---------------------------------------------------------------------------
+
+_INC_TAU_BANDS = 4  # >= 4 of 8 shared minhash seeds ~ est. Jaccard >= 0.5
+
+_INC_BATCH_SQL = "(SELECT * FROM documents WHERE doc_id % 10 = 7)"
+_INC_CORPUS_SQL = "(SELECT * FROM documents WHERE doc_id % 10 <> 7)"
+
+_INC_ORACLE = f"""
+WITH bh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 7),
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+bsig AS ({DD.minhash_signatures_sql(DD.word_shingles_sql(_INC_BATCH_SQL))}),
+csig AS ({DD.minhash_signatures_sql(DD.word_shingles_sql(_INC_CORPUS_SQL))}),
+cand AS (
+    SELECT b.doc_id, c.doc_id AS c_doc, count(DISTINCT b.seed) AS n_shared
+    FROM bsig b JOIN csig c ON b.seed = c.seed AND b.minhash = c.minhash
+    GROUP BY b.doc_id, c.doc_id
+),
+census AS (
+    SELECT doc_id,
+           count(*) AS n_candidates,
+           max(n_shared) AS best_shared
+    FROM cand GROUP BY doc_id
+)
+SELECT bh.doc_id,
+       CAST(ch.h IS NOT NULL AS INT) AS is_exact_dup,
+       CAST(coalesce(census.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(census.best_shared, 0) AS BIGINT) AS best_shared,
+       CAST(coalesce(census.best_shared, 0) >= {_INC_TAU_BANDS} AS INT) AS is_near_dup
+FROM bh
+LEFT JOIN ch ON bh.h = ch.h
+LEFT JOIN census ON bh.doc_id = census.doc_id
+"""
+
+
+@register(
+    "q_incremental_dedup", oracle=_INC_ORACLE, tags=("phase3", "dedup", "incremental")
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: exact hash + MinHash-LSH, no corpus self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    batch = d.filter(is_batch)
+    corpus = d.filter(~is_batch)
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    exact = bh.join(
+        ch.withColumn("__hit", F.lit(1)), "h", "left"
+    ).select("doc_id", F.coalesce("__hit", F.lit(0)).alias("is_exact_dup"))
+    bsig = DD.minhash_signatures(DD.word_shingles(batch))
+    csig = DD.minhash_signatures(DD.word_shingles(corpus))
+    cand = (
+        bsig.join(
+            csig.select(
+                F.col("doc_id").alias("c_doc"), "seed", "minhash"
+            ),
+            ["seed", "minhash"],
+        )
+        .groupBy("doc_id", "c_doc")
+        .agg(F.count_distinct("seed").alias("n_shared"))
+    )
+    census = cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.max("n_shared").alias("best_shared"),
+    )
+    return (
+        exact.join(census, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("is_exact_dup").cast("int").alias("is_exact_dup"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("best_shared", F.lit(0)).cast("bigint").alias("best_shared"),
+            (F.coalesce("best_shared", F.lit(0)) >= _INC_TAU_BANDS)
+            .cast("int")
+            .alias("is_near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_shingle_containment — directed near-dup detection by shingle
+# CONTAINMENT (|A∩B| / |A|), the asymmetric complement of Jaccard: a
+# short document wholly embedded in a long one scores ~1.0 here while
+# its Jaccard stays low (the union is dominated by the long doc), so
+# symmetric dedup misses it. Standard in corpus curation for catching
+# quote-expansion and boilerplate-wrapping duplicates. Same
+# inverted-index pair generation as q_ngram_jaccard (DF-capped, never
+# O(n²)); one a<b join emits both directions' containments per row.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc1, p.doc2, p.n_common,
+       CAST(p.n_common AS DOUBLE) / s1.n_sh AS cont_1_in_2,
+       CAST(p.n_common AS DOUBLE) / s2.n_sh AS cont_2_in_1
+FROM pairs p
+JOIN sizes s1 ON s1.doc_id = p.doc1
+JOIN sizes s2 ON s2.doc_id = p.doc2
+ORDER BY greatest(CAST(p.n_common AS DOUBLE) / s1.n_sh,
+                  CAST(p.n_common AS DOUBLE) / s2.n_sh) DESC, p.doc1, p.doc2
+LIMIT 50
+"""
+
+
+@register("q_shingle_containment", oracle=_CONTAIN_ORACLE, tags=("phase3", "dedup"))
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 directed-containment pairs via the shingle inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    c12 = F.col("n_common").cast("double") / F.col("n_sh1")
+    c21 = F.col("n_common").cast("double") / F.col("n_sh2")
+    return (
+        pairs.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select(
+            "doc1", "doc2", "n_common",
+            c12.alias("cont_1_in_2"), c21.alias("cont_2_in_1"),
+        )
+        .orderBy(
+            F.greatest(F.col("cont_1_in_2"), F.col("cont_2_in_1")).desc(),
+            "doc1", "doc2",
+        )
+        .limit(50)
+    )

@@ -2167,30 +2167,37 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
     ).persist()
-    total = per_cust.agg(F.count("*").alias("__total"))
-    # DESC leading sorts -> negated metrics as the ascending range key.
-    # Day-granular bucketing of the timestamp is fine: the range key only
-    # needs to be monotone non-decreasing in the sort direction; ties
-    # share a bucket and the within-bucket ordering disambiguates.
-    ranked = exact_global_rank(
+    # Three INDEPENDENT rank passes over the cached aggregate, joined
+    # back on the customer key — chaining them instead would make each
+    # pass's three subtrees (boundary agg, counts, ranked) recompute all
+    # previous passes' windows. DESC leading sorts -> negated metrics as
+    # the ascending range key; day-granular bucketing of the timestamp
+    # is fine (the range key only needs to be monotone non-decreasing in
+    # the sort direction; ties share a bucket and the within-bucket
+    # ordering disambiguates).
+    rk_r = exact_global_rank(
         per_cust,
         [F.desc("last_order"), F.asc("o_custkey")],
         -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date")),
         rank_name="__rk_r",
-    )
-    ranked = exact_global_rank(
-        ranked,
+        total_name="__total",  # from the persisted bucket counts, no extra scan
+    ).select("o_custkey", "__rk_r", "__total")
+    rk_f = exact_global_rank(
+        per_cust,
         [F.desc("frequency"), F.asc("o_custkey")],
         -F.col("frequency"),
         rank_name="__rk_f",
-    )
-    ranked = exact_global_rank(
-        ranked,
+    ).select("o_custkey", "__rk_f")
+    rk_m = exact_global_rank(
+        per_cust,
         [F.desc("monetary_dec"), F.asc("o_custkey")],
         -F.col("monetary_dec").cast("double"),
         rank_name="__rk_m",
+    ).select("o_custkey", "__rk_m")
+    ranked = per_cust.join(rk_r, "o_custkey").join(rk_f, "o_custkey").join(
+        rk_m, "o_custkey"
     )
-    scored = ranked.crossJoin(F.broadcast(total)).select(
+    scored = ranked.select(
         "o_custkey", "last_order", "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
         ntile_from_rank(F.col("__rk_r"), F.col("__total"), 5).alias("r"),
@@ -2850,16 +2857,17 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    # total rides along from the helper's persisted bucket counts — no
+    # separate count scan of the fact table.
     ranked = exact_global_rank(
         base,
         [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
         F.col("l_extendedprice"),
         rank_name="__grank",
+        total_name="__total",
     )
-    # Parquet-footer count, broadcast as one row — no driver action.
-    total = base.agg(F.count("*").alias("__total"))
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked
         .select(
             "l_extendedprice",
             ntile_from_rank(F.col("__grank"), F.col("__total"), _EQUIDEPTH_N)

@@ -243,3 +243,57 @@ def test_entity_blocking_is_exact_within_blocks(spark):
             if same_block and lev(ni, nj) <= _ENTITY_DIST:
                 expect.add((min(ki, kj), max(ki, kj)))
     assert got == expect
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_from_rank_formula_matches_definition(total, n):
+    """The closed-form exact-ntile arithmetic (operators/rank.py) must
+    reproduce SQL ntile's row distribution for every (total, n): the
+    first total%n tiles get one extra row, tiles never differ by >1,
+    and tile ids are non-decreasing in rank."""
+    q, r = divmod(total, n)
+    cut = r * (q + 1)
+
+    def bin_of(rank):  # mirror of ntile_from_rank in pure ints
+        if rank <= cut:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - cut - 1) // max(q, 1) + 1
+
+    bins = [bin_of(rk) for rk in range(1, total + 1)]
+    assert bins == sorted(bins)
+    from collections import Counter
+
+    sizes = Counter(bins)
+    n_tiles = min(n, total)
+    assert set(sizes) == set(range(1, n_tiles + 1))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the first total%n tiles carry the extra row
+    for t in range(1, n_tiles + 1):
+        expected = q + 1 if t <= r else max(q, 1)
+        assert sizes[t] == expected, (total, n, t, sizes[t], expected)
+
+
+def test_exact_global_rank_equals_global_row_number(spark):
+    """Bucketed two-pass rank == unpartitioned row_number, including on
+    heavily tied leading keys (ties must share a bucket)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.rank import exact_global_rank
+
+    rows = [(i, float((i * 7) % 13), (i * 31) % 97) for i in range(997)]
+    df = spark.createDataFrame(rows, "id bigint, v double, tie bigint")
+    got = exact_global_rank(
+        df, [F.asc("v"), F.asc("tie"), F.asc("id")], F.col("v"), n_buckets=8,
+        rank_name="rk",
+    )
+    want = df.withColumn(
+        "rk_ref", F.row_number().over(W.orderBy("v", "tie", "id"))
+    )
+    j = got.join(want, ["id", "v", "tie"])
+    assert j.filter(F.col("rk") != F.col("rk_ref")).count() == 0
+    assert got.count() == 997
