@@ -54,6 +54,7 @@ def exact_global_rank(
     n_buckets: int | None = None,
     rank_name: str = "rank",
     total_name: str | None = None,
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Add ``rank_name`` = global row_number under ``order_cols``.
 
@@ -67,6 +68,12 @@ def exact_global_rank(
     column of that name — derived from the persisted per-bucket counts
     (a <=n_buckets-row sum), saving callers a separate full count scan
     (ntile arithmetic needs the total).
+
+    ``bounds``: precomputed approximate quantile boundaries of
+    ``range_expr`` (any rough balance works; exactness never depends on
+    them). Callers ranking several metrics of one DataFrame should
+    compute all boundary sets in a single agg job (see q_rfm_segments)
+    and pass them here, skipping this function's per-call boundary pass.
     """
     if n_buckets is None:
         n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -76,13 +83,15 @@ def exact_global_rank(
     # accuracy scaled so bucket imbalance stays ~±10% of a bucket — no
     # tighter (boundaries only balance work; rank exactness comes from
     # the counted offsets, so a looser, cheaper sketch changes nothing).
-    probes = [i / n_buckets for i in range(1, n_buckets)]
-    qrow = tagged.agg(
-        F.percentile_approx(
-            "__rng", F.lit(probes).cast("array<double>"), F.lit(10 * n_buckets)
-        ).alias("q")
-    ).collect()
-    bounds = sorted(set(qrow[0]["q"] or []))
+    if bounds is None:
+        probes = [i / n_buckets for i in range(1, n_buckets)]
+        qrow = tagged.agg(
+            F.percentile_approx(
+                "__rng", F.lit(probes).cast("array<double>"), F.lit(10 * n_buckets)
+            ).alias("q")
+        ).collect()
+        bounds = qrow[0]["q"] or []
+    bounds = sorted(set(bounds))
     if not bounds:
         bucket = F.lit(0)
     elif len(bounds) <= 256:

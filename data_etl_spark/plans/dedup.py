@@ -1314,3 +1314,111 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_tuning_curve — the banding S-curve read before freezing an LSH
+# config at scale: for every band-agreement threshold t in 1..8, how
+# many candidate pairs survive "n_agree >= t", how many of those are
+# TRUE near-dups (exact shingle Jaccard >= 0.5), and the resulting
+# precision / recall. Truth is candidate-restricted (exact Jaccard is
+# only ever computed on the banded candidate set — the verify-after-LSH
+# pattern; corpus-wide truth would be O(n²)), so recall here means
+# "recall among band>=1 candidates", which is exactly the quantity the
+# threshold choice trades against precision. One signature pass + one
+# candidate-confined exact pass feed all 8 thresholds.
+# ---------------------------------------------------------------------------
+
+_TUNE_TAU = 0.5
+
+_TUNE_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sig AS ({DD.minhash_signatures_sql("sh_named")}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cand AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_agree
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.doc_id < b.doc_id
+                          AND a.minhash = b.minhash
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT c.doc1, c.doc2, c.n_agree,
+           CAST(CAST(e.n_common AS DOUBLE)
+                / (s1.n_sh + s2.n_sh - e.n_common) >= {_TUNE_TAU} AS INT) AS is_true
+    FROM cand c
+    JOIN exact e ON e.doc1 = c.doc1 AND e.doc2 = c.doc2
+    JOIN sizes s1 ON s1.doc_id = c.doc1
+    JOIN sizes s2 ON s2.doc_id = c.doc2
+),
+tot AS (SELECT sum(is_true) AS n_true_total FROM scored)
+SELECT CAST(t AS BIGINT) AS band_threshold,
+       count(*) AS n_candidates,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_true) AS DOUBLE) / count(*) AS precision,
+       CAST(sum(is_true) AS DOUBLE) / greatest(tot.n_true_total, 1) AS recall
+FROM scored, unnest(generate_series(1, 8)) AS u(t), tot
+WHERE n_agree >= t
+GROUP BY t, tot.n_true_total
+""".replace("(sh_named)", "(SELECT * FROM sh)")
+
+
+@register("q_lsh_tuning_curve", oracle=_TUNE_ORACLE, tags=("phase3", "dedup", "eval"))
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall per band-agreement threshold (LSH calibration)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.word_shingles(d).persist()
+    sig = DD.minhash_signatures(sh)
+    a = sig.select(F.col("doc_id").alias("doc1"), "seed", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc2"), "seed", "minhash")
+    cand = (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    exact = (
+        sha.join(shb, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    scored = (
+        cand.join(exact, ["doc1", "doc2"])
+        .join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .select("n_agree", (jac >= _TUNE_TAU).cast("int").alias("is_true"))
+        .persist()  # candidate-pair-sized; feeds the total and all 8 thresholds
+    )
+    tot = scored.agg(F.sum("is_true").alias("n_true_total"))
+    return (
+        scored.select(
+            "n_agree", "is_true",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("band_threshold"),
+        )
+        .filter(F.col("n_agree") >= F.col("band_threshold"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("band_threshold")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("is_true").cast("bigint").alias("n_true"),
+            (F.sum("is_true").cast("double") / F.count("*")).alias("precision"),
+            (
+                F.sum("is_true").cast("double")
+                / F.greatest(F.first("n_true_total"), F.lit(1))
+            ).alias("recall"),
+        )
+        .withColumn("band_threshold", F.col("band_threshold").cast("bigint"))
+    )

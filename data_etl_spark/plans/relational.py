@@ -2169,30 +2169,45 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     # Three INDEPENDENT rank passes over the cached aggregate, joined
     # back on the customer key — chaining them instead would make each
-    # pass's three subtrees (boundary agg, counts, ranked) recompute all
-    # previous passes' windows. DESC leading sorts -> negated metrics as
-    # the ascending range key; day-granular bucketing of the timestamp
-    # is fine (the range key only needs to be monotone non-decreasing in
-    # the sort direction; ties share a bucket and the within-bucket
-    # ordering disambiguates).
+    # pass's three subtrees (counts, ranked) recompute all previous
+    # passes' windows. All three boundary sets come from ONE agg job
+    # over the cache (percentile_approx x3), passed into the helper.
+    # DESC leading sorts -> negated metrics as the ascending range key;
+    # day-granular bucketing of the timestamp is fine (the range key
+    # only needs to be monotone non-decreasing in the sort direction;
+    # ties share a bucket and the within-bucket ordering disambiguates).
+    r_key = -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date"))
+    f_key = -F.col("frequency")
+    m_key = -F.col("monetary_dec").cast("double")
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probes = F.lit([i / n_b for i in range(1, n_b)]).cast("array<double>")
+    acc = F.lit(10 * n_b)
+    brow = per_cust.agg(
+        F.percentile_approx(r_key.cast("double"), probes, acc).alias("br"),
+        F.percentile_approx(f_key.cast("double"), probes, acc).alias("bf"),
+        F.percentile_approx(m_key.cast("double"), probes, acc).alias("bm"),
+    ).collect()[0]
     rk_r = exact_global_rank(
         per_cust,
         [F.desc("last_order"), F.asc("o_custkey")],
-        -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date")),
+        r_key,
         rank_name="__rk_r",
         total_name="__total",  # from the persisted bucket counts, no extra scan
+        bounds=brow["br"] or [],
     ).select("o_custkey", "__rk_r", "__total")
     rk_f = exact_global_rank(
         per_cust,
         [F.desc("frequency"), F.asc("o_custkey")],
-        -F.col("frequency"),
+        f_key,
         rank_name="__rk_f",
+        bounds=brow["bf"] or [],
     ).select("o_custkey", "__rk_f")
     rk_m = exact_global_rank(
         per_cust,
         [F.desc("monetary_dec"), F.asc("o_custkey")],
-        -F.col("monetary_dec").cast("double"),
+        m_key,
         rank_name="__rk_m",
+        bounds=brow["bm"] or [],
     ).select("o_custkey", "__rk_m")
     ranked = per_cust.join(rk_r, "o_custkey").join(rk_f, "o_custkey").join(
         rk_m, "o_custkey"

@@ -232,6 +232,85 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ivf_multiprobe — IVF search with nprobe=2: each probe searches its
+# TWO nearest cells, the standard recall lever when the true neighbor
+# sits just across a cell boundary (q_ivf_knn is the nprobe=1 shape).
+# Corpus assignment is unchanged (rn = 1); only the probe fans out, so
+# scan cost doubles per probe while the corpus layout and partition
+# pruning stay identical. Exact oracle: rn <= 2 on the probe side.
+# ---------------------------------------------------------------------------
+
+_MULTIPROBE_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_IVF_CENT_MAX}),
+probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
+c_assign AS (
+    SELECT c_vec_id, cemb2, cent_id AS cell FROM (
+        SELECT c.c_vec_id, c.cemb2, k.cent_id,
+               row_number() OVER (PARTITION BY c.c_vec_id
+                                  ORDER BY {_dist_sql('c.cemb2', 'k.cemb')}, k.cent_id) AS rn
+        FROM corpus c CROSS JOIN cent k
+    ) WHERE rn = 1
+),
+q_assign AS (
+    SELECT q_vec_id, qemb, cent_id AS cell FROM (
+        SELECT p.q_vec_id, p.qemb, k.cent_id,
+               row_number() OVER (PARTITION BY p.q_vec_id
+                                  ORDER BY {_dist_sql('p.qemb', 'k.cemb')}, k.cent_id) AS rn
+        FROM probe p CROSS JOIN cent k
+    ) WHERE rn <= 2
+)
+SELECT q_vec_id, rank, c_vec_id, score FROM (
+    SELECT q.q_vec_id, c.c_vec_id,
+           {V.cosine_sql('q.qemb', 'c.cemb2')} AS score,
+           row_number() OVER (PARTITION BY q.q_vec_id
+                              ORDER BY {V.cosine_sql('q.qemb', 'c.cemb2')} DESC, c.c_vec_id) AS rank
+    FROM q_assign q JOIN c_assign c ON q.cell = c.cell
+)
+WHERE rank <= 5
+"""
+
+
+@register("q_ivf_multiprobe", oracle=_MULTIPROBE_ORACLE, tags=("phase3", "similarity"))
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: probes search their two nearest cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    cent = e.filter(F.col("vec_id") < _IVF_CENT_MAX).select(
+        F.col("vec_id").alias("cent_id"), emb.alias("cemb")
+    )
+    probe = e.filter(
+        (F.col("vec_id") >= _IVF_CENT_MAX) & (F.col("vec_id") < _IVF_PROBE_MAX)
+    ).select(F.col("vec_id").alias("q_vec_id"), emb.alias("qemb"))
+    corpus = e.filter(F.col("vec_id") >= _IVF_PROBE_MAX).select(
+        F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
+    )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, nprobe: int) -> DataFrame:
+        d = F.sqrt(V.seq_l2sq(F.col(vec_col), F.col("cemb")))
+        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("__d", d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        )
+
+    c_assign = assign(corpus, "c_vec_id", "cemb2", 1)
+    q_assign = assign(probe, "q_vec_id", "qemb", 2)
+    score = V.seq_cosine(F.col("qemb"), F.col("cemb2"))
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("score"), F.asc("c_vec_id"))
+    return (
+        q_assign.join(c_assign, "cell")
+        .select("q_vec_id", "c_vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_vec_id", "rank", "c_vec_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_rp_lsh_pairs — random-hyperplane (SimHash-for-vectors) LSH near-dup:
 # the scale path for embedding-cosine dedup when no trusted blocking
 # label exists. Hyperplane coefficients are a deterministic integer grid
