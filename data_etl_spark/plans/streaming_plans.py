@@ -264,3 +264,56 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return run_to_table(top, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_outer_join — LEFT OUTER stream-stream interval join: the
+# append-only, watermark-DRIVEN join family (NULL rows emit only when
+# the global watermark proves no future match is possible). The oracle
+# reproduces the watermark semantics exactly: matches always emit; an
+# unmatched purchase emits iff purchase_ts < global watermark =
+# least(max click_ts, max purchase_ts) - delay (default
+# multipleWatermarkPolicy=min), which is what the post-drain no-data
+# micro-batch flushes. Verified row-identical at sf0.001 and sf0.01.
+# ---------------------------------------------------------------------------
+
+_SS_OUTER_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events_us WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events_us WHERE event_type = 'purchase'
+),
+gwm AS (
+    SELECT least((SELECT max(click_ts) FROM clicks),
+                 (SELECT max(purchase_ts) FROM purchases))
+           - INTERVAL 10 SECOND AS wm
+),
+j AS (
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts > p.purchase_ts - INTERVAL 10 MINUTE
+)
+SELECT user_id, purchase_id, click_id, gap_us
+FROM j, gwm
+WHERE click_id IS NOT NULL OR purchase_ts < gwm.wm
+"""
+
+
+@register(
+    "q_streaming_outer_join",
+    oracle=_SS_OUTER_ORACLE,
+    tags=("phase4", "streaming", "join"),
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join (watermark-flushed NULLs)."""
+    from ..streaming.jobs import streaming_outer_interval_join
+
+    return streaming_outer_interval_join(spark, sf_dir)

@@ -358,3 +358,60 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(stats, output_mode="update")
+
+
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits, with
+    NULL click columns when no same-user click preceded it by <=10 min.
+
+    Outer stream-stream joins are append-only and watermark-DRIVEN, not
+    just watermark-bounded: an unmatched purchase's NULL row can only
+    emit once the GLOBAL watermark (min of both sides' watermarks under
+    the default multipleWatermarkPolicy=min) passes its purchase_ts —
+    before that, a matching click could still arrive. The final no-data
+    micro-batch after the AvailableNow drain flushes exactly the
+    purchases with purchase_ts < min(max(click_ts), max(purchase_ts)) -
+    delay; later tail purchases stay buffered (correct semantics — the
+    oracle encodes this cutoff, verified empirically at two SFs).
+
+    100 TB shape: identical state bound to the inner form — interval
+    width x event rate per key — plus one timer per unmatched left row.
+    """
+    delay = "10 seconds"
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts > purchase_ts - INTERVAL 10 MINUTES
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return run_to_table(joined, output_mode="append")

@@ -429,3 +429,34 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"unpartitioned ordered Window nodes: {offenders}"
+
+
+def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_incremental_dedup")
+    # batch-vs-corpus only: keyed joins throughout, no cartesian blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_containment_broadcasts_sizes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_shingle_containment")
+    assert "BroadcastHashJoin" in plan  # the two size lookups
+    assert "CartesianProduct" not in plan
+    # top-50 must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_multiprobe_cell_join_is_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_ivf_multiprobe")
+    # centroid assignment broadcasts (BNLJ vs tiny centroid set); the
+    # probe-corpus pairing is a keyed join on cell
+    assert "BroadcastNestedLoopJoin" in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_tuning_curve_broadcasts_total(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_lsh_tuning_curve")
+    assert "CartesianProduct" not in plan
+    # the 1-row truth total rides a broadcast nested loop, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
