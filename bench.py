@@ -71,6 +71,8 @@ HEADLINE = [
     "q_tokenizer_vocab",
     "q_rfm_segments",
     "q_knn_auto",  # cost gate flips to the IVF branch at the bench SF
+    "q_incremental_dedup",  # batch-vs-corpus ingest dedup family
+    "q_lsh_tuning_curve",   # candidate-confined eval family
 ]
 
 

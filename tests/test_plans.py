@@ -421,14 +421,24 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
     # Streaming queries are excluded: their fn() executes a full
     # AvailableNow stream and returns a scan of the materialized result
     # (no Window nodes); the streaming engine shards state by key.
+    # The same sweep also bans CartesianProduct registry-wide: every
+    # deliberate cross join must be the broadcast nested-loop form
+    # (small side broadcast), never a shuffled cartesian.
     offenders = {}
+    cartesian = []
     for name, q in sorted(REGISTRY.items()):
-        if "streaming" in q.tags or name in _GLOBAL_WINDOW_WHITELIST:
+        if "streaming" in q.tags:
             continue
-        hits = _unpartitioned_windows(_plan(spark, sf_dir, name))
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if name in _GLOBAL_WINDOW_WHITELIST:
+            continue
+        hits = _unpartitioned_windows(plan)
         if hits:
             offenders[name] = hits
     assert not offenders, f"unpartitioned ordered Window nodes: {offenders}"
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
 
 
 def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
