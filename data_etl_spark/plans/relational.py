@@ -2896,3 +2896,56 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_variant_funcs — Spark 4 VARIANT (the open semi-structured type that
+# replaces string-JSON hot paths): JSON built from typed columns ->
+# parse_json -> variant_get typed extraction (scalar, nested field,
+# array element) -> aggregate. The oracle reads the SAME columns
+# directly, so a hash match proves the whole variant round-trip is
+# lossless — numbers, strings and nesting survive encode/parse/extract
+# bit-for-bit. Extracted money goes through DECIMAL before summing (the
+# q_pricing_summary rule). Scale: variant encode/extract is JVM-side
+# whole-stage codegen; no UDF, no shuffle before the 3-group agg.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_variant_funcs", oracle=_VARIANT_ORACLE, tags=("phase1", "functions", "variant"))
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT round-trip: parse_json + typed variant_get extraction."""
+    o = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.array(F.col("o_orderpriority")).alias("tags"),
+            ).alias("meta"),
+        )
+    )
+    v = o.select(F.parse_json(j).alias("v"))
+    ext = v.select(
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.price", "double").alias("price"),
+        F.variant_get("v", "$.meta.cust", "bigint").alias("cust"),
+        F.variant_get("v", "$.meta.tags[0]", "string").alias("prio"),
+    )
+    return ext.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum("cust").cast("bigint").alias("sum_cust"),
+        F.count_if(F.col("prio") == "1-URGENT").cast("bigint").alias("n_urgent"),
+    )

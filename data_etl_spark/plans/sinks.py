@@ -274,3 +274,57 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_python_datasource — custom Python DataSource (Spark 4
+# pyspark.sql.datasource): the source surface for inputs that aren't
+# files (APIs, feeds, synthetic generators). The generator emits rows as
+# a pure md5 function of doc_id across 8 planned partitions
+# (sources/pysource.py), so a DuckDB generate_series with the same md5
+# arithmetic reproduces the content exactly — partitioning provably
+# cannot leak into results. Scale: each executor generates only its id
+# range; no driver materialization, no shuffle before the final agg.
+# ---------------------------------------------------------------------------
+
+_PYSRC_N = 1000
+
+def _pysrc_oracle() -> str:
+    from ..operators.dedup import _hexval6_sql
+    from ..sources.pysource import LANGS
+
+    langs_sql = ", ".join(f"'{l}'" for l in LANGS)
+    nib1 = "(instr('0123456789abcdef', substring(h, 1, 1)) - 1)"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_PYSRC_N - 1})) AS doc_id),
+f AS (
+    SELECT doc_id, h,
+           ([{langs_sql}])[{nib1} % {len(LANGS)} + 1] AS lang,
+           CAST({_hexval6_sql('h', 1)} % 1000 AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS h FROM ids)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(h) AS min_fingerprint
+FROM f GROUP BY lang
+"""
+
+
+@register("q_python_datasource", oracle=_pysrc_oracle(), tags=("phase1", "source", "api"))
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned custom Python DataSource -> per-lang aggregate."""
+    from ..sources.pysource import make_synthetic_docs_source
+
+    spark.dataSource.register(make_synthetic_docs_source())
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", _PYSRC_N)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )
