@@ -317,3 +317,39 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import streaming_outer_interval_join
 
     return streaming_outer_interval_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_python_stream_source — custom STREAMING Python data source
+# (SimpleDataSourceStreamReader: offset-tracked driver-side pull, the
+# streaming twin of q_python_datasource's batch source). One
+# AvailableNow drain over the bounded generator + complete-mode agg ==
+# the same generate_series oracle — proving offsets/commit/replay
+# machinery does not perturb content.
+# ---------------------------------------------------------------------------
+
+from .sinks import _pysrc_oracle as _pysrc_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_python_stream_source",
+    oracle=_pysrc_oracle_sql(),
+    tags=("phase4", "streaming", "source", "api"),
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom Python source -> per-lang complete-mode agg."""
+    from ..sources.pysource import make_synthetic_docs_stream_source
+    from ..streaming.jobs import run_to_table
+
+    spark.dataSource.register(make_synthetic_docs_stream_source())
+    sdf = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n_rows", 1000)
+        .load()
+    )
+    agg = sdf.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )
+    return run_to_table(agg, output_mode="complete")

@@ -64,3 +64,61 @@ def make_synthetic_docs_source():
             return SyntheticDocsReader(self.options)
 
     return SyntheticDocsSource
+
+
+def make_synthetic_docs_stream_source():
+    """Streaming twin of the synthetic source via
+    SimpleDataSourceStreamReader (driver-side pull reader with offset
+    tracking: initialOffset / read / readBetweenOffsets / commit).
+
+    The reader is BOUNDED: one read() returns the whole remaining id
+    range (SimpleDataSourceStreamReader prefetches on the driver and an
+    AvailableNow drain processes exactly the prefetched batch — rows
+    must be a materialized list, generators aren't picklable into the
+    plan). readBetweenOffsets replays any committed range exactly, the
+    contract checkpoint recovery depends on. Row content is the same
+    pure md5 function as the batch source, so the same DuckDB
+    generate_series oracle applies.
+    """
+    import hashlib
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def gen_rows(lo: int, hi: int):
+        out = []
+        for doc_id in range(lo, hi):
+            h = hashlib.md5(f"doc:{doc_id}".encode()).hexdigest()
+            out.append(
+                (doc_id, LANGS[int(h[0], 16) % len(LANGS)], int(h[:6], 16) % 1000, h)
+            )
+        return out
+
+    class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", 1000))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            lo = start["pos"]
+            return gen_rows(lo, self.n_rows), {"pos": self.n_rows}
+
+        def readBetweenOffsets(self, start, end):
+            return gen_rows(start["pos"], end["pos"])
+
+        def commit(self, end):
+            pass
+
+    class SyntheticDocsStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs_stream"
+
+        def schema(self):
+            return "doc_id bigint, lang string, n_tokens bigint, fingerprint string"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticDocsStreamReader(self.options)
+
+    return SyntheticDocsStreamSource
