@@ -20,9 +20,10 @@ from data_etl_spark.plans import REGISTRY  # noqa: E402
 FLAGSHIP = "q_chunk_pipeline"
 
 # The driver records correctness rows for at most 50 queries per round;
-# the full registry holds 179 queries, every one oracle-tested locally in
-# tests/test_oracle.py (sf0.001 exact values) and scripts/driver_sim.py
-# (sf0.01 driver replica). The <=50-name window rotates automatically
+# the full registry (len(data_etl_spark.plans.REGISTRY); 189 as of round
+# 5) is every one oracle-tested locally in tests/test_oracle.py
+# (sf0.001 exact values) and scripts/driver_sim.py (sf0.01 driver
+# replica). The <=50-name window rotates automatically
 # (see _driver_window): unchecked names first, then this round's touched
 # queries, then alphabetical re-verification refill.
 
@@ -56,6 +57,15 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     "q_audio_energy",         # ASCII-sanitized payload contract
     "q_cms_heavy_hitters",    # token persist -> DISK_ONLY
     "q_dup_spans",            # repartition(doc_id) decision re-measured
+    # raw-shingle persists -> DISK_ONLY (word_shingles internal + plan
+    # sites; storage level only, values unchanged — re-verify anyway):
+    "q_ngram_jaccard", "q_minhash_signatures", "q_minhash_lsh_pairs",
+    "q_minhash_banded_pairs", "q_minhash_estimate", "q_decontaminate",
+    "q_dup_triangles", "q_simhash_eval", "q_pagerank_dupgraph",
+    "q_keep_best", "q_dedup_clusters", "q_corpus_filter",
+    # nearest-centroid assignment deduped into operators/ivf.assign_cells
+    # (identical expression tree; re-verify out of caution):
+    "q_ivf_knn", "q_ivf_recall",
 })
 
 

@@ -68,8 +68,14 @@ def word_shingles(
     # carries (shingle, count) partials, not rows), keep the HOT set
     # (small by construction: shingles in >max_df docs), broadcast
     # anti-join it away. Persist the raw set so the tokenize+explode
-    # subtree runs once for both the count and the probe side.
-    sh = sh.persist()
+    # subtree runs once for both the count and the probe side —
+    # DISK_ONLY: the distinct (doc, shingle) set is corpus-scale
+    # (~word positions x 1), the same size class as q_dup_spans'
+    # 8-grams; caching it in executor memory would evict hotter blocks
+    # at 100 TB.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.DISK_ONLY)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("__df"))

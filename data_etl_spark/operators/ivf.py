@@ -28,10 +28,16 @@ def _l2(a: str, b: str) -> Column:
 
 
 def assign_cells(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment: adds ``cell``. Centroids broadcast
-    (they are tiny); ties break on cent_id for determinism.
+    (they are tiny); ties break on cent_id for determinism. ``nprobe``
+    keeps the N nearest cells per vector (probe-side fan-out for recall
+    — the multiprobe lever; corpus assignment stays nprobe=1). The ONE
+    implementation of this logic — q_ivf_knn / q_ivf_multiprobe /
+    auto_knn all route here so tie-break or distance changes cannot
+    drift between them and their oracles.
 
     Distance runs on the Arrow path (seq_l2sq, the O(n_vectors x
     n_centroids) hot loop), projected to a column first so the window
@@ -43,7 +49,7 @@ def assign_cells(
         vectors.crossJoin(F.broadcast(centroids))
         .withColumn("__d", d)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select(id_col, vec_col, F.col("cent_id").alias("cell"))
     )
 

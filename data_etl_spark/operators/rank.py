@@ -38,7 +38,29 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["exact_global_rank", "ntile_from_rank"]
+__all__ = [
+    "boundary_accuracy",
+    "boundary_probes",
+    "exact_global_rank",
+    "ntile_from_rank",
+]
+
+
+def boundary_probes(n_buckets: int) -> list[float]:
+    """Quantile probe points for ``n_buckets`` range buckets — the ONE
+    definition of the boundary-pass formula; callers precomputing
+    bounds externally (q_rfm_segments' single 3-metric agg) must use
+    this and :func:`boundary_accuracy` so their sketch matches what
+    :func:`exact_global_rank` would compute itself."""
+    return [i / n_buckets for i in range(1, n_buckets)]
+
+
+def boundary_accuracy(n_buckets: int) -> int:
+    """percentile_approx accuracy keeping bucket imbalance ~±10% of a
+    bucket — no tighter (boundaries only balance work; rank exactness
+    comes from the counted offsets, so a looser, cheaper sketch changes
+    nothing)."""
+    return 10 * n_buckets
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -79,15 +101,13 @@ def exact_global_rank(
         n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     tagged = df.withColumn("__rng", range_expr.cast("double"))
     # One boundary pass as a partial-aggregated percentile_approx (3x
-    # faster than df.stat.approxQuantile's RDD path, measured sf0.1);
-    # accuracy scaled so bucket imbalance stays ~±10% of a bucket — no
-    # tighter (boundaries only balance work; rank exactness comes from
-    # the counted offsets, so a looser, cheaper sketch changes nothing).
+    # faster than df.stat.approxQuantile's RDD path, measured sf0.1).
     if bounds is None:
-        probes = [i / n_buckets for i in range(1, n_buckets)]
         qrow = tagged.agg(
             F.percentile_approx(
-                "__rng", F.lit(probes).cast("array<double>"), F.lit(10 * n_buckets)
+                "__rng",
+                F.lit(boundary_probes(n_buckets)).cast("array<double>"),
+                F.lit(boundary_accuracy(n_buckets)),
             ).alias("q")
         ).collect()
         bounds = qrow[0]["q"] or []

@@ -6,14 +6,18 @@ an exact DuckDB oracle — including MinHash and LSH banding, which stay
 deterministic because hashing is md5-hex (identical in both engines) and
 minima are lexicographic.
 
-Persist lifetime: plan builders return lazy DataFrames, so persists made
-here (signature/shingle tables read by several join legs) cannot be
-unpersisted inside the builder — they live until the session evicts
-them. That is acceptable because each is MUCH smaller than its source
-corpus (fixed-width signatures, banded keys) and Spark's LRU evicts
-cold blocks under pressure; the genuinely corpus-scale intermediates
-(q_dup_spans' 8-grams, the CMS token stream) use DISK_ONLY instead,
-enforced by tests/test_plans.py::test_corpus_scale_persist_is_disk_only.
+Persist lifetime and storage levels: plan builders return lazy
+DataFrames, so persists made here cannot be unpersisted inside the
+builder — they live until the session evicts them. Policy:
+- FIXED-WIDTH-PER-DOC tables (minhash signatures: 8 rows/doc; simhash
+  values; band keys; candidate pairs) may use the default
+  MEMORY_AND_DISK — each is much smaller than its source corpus and
+  Spark's LRU evicts cold blocks under pressure;
+- CORPUS-SCALE tables (raw distinct shingle sets ~ word positions,
+  q_dup_spans' positional 8-grams, the CMS token stream) persist
+  DISK_ONLY — caching them in executor memory would evict hotter
+  blocks at 100 TB (enforced for the two worst by
+  tests/test_plans.py::test_corpus_scale_persist_is_disk_only).
 A long-lived service embedding these plans should call
 ``spark.catalog.clearCache()`` between query batches.
 """
@@ -89,7 +93,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist: the shingle set feeds both sides of the self-join and the
     # size lookup; without it the whole tokenize+explode subtree runs 3x.
-    sh = DD.word_shingles(d).persist()
+    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -441,15 +445,12 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-after-LSH pattern, here emitting the tuning metric.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist()
-    sig = DD.minhash_signatures(sh)
-    a = sig.select(F.col("doc_id").alias("doc1"), "seed", "minhash")
-    b = sig.select(F.col("doc_id").alias("doc2"), "seed", "minhash")
-    cand = (
-        a.join(b, ["seed", "minhash"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_agree"))
+    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    # candidate pairs via the SAME operator production banding uses
+    # (operators/dedup.py::lsh_candidate_pairs); n_shared_bands ==
+    # count of agreeing seeds since signatures hold one row per seed
+    cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh)).withColumnRenamed(
+        "n_shared_bands", "n_agree"
     )
     sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -582,7 +583,7 @@ GROUP BY sh.doc_id
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 4-gram contamination flags via broadcast semi-join."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d, n=4, max_df=None).persist()
+    sh = DD.word_shingles(d, n=4, max_df=None).persist(StorageLevel.DISK_ONLY)
     bench = (
         sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
     )
@@ -933,7 +934,7 @@ SELECT (SELECT count(*) FROM cand) AS n_cand,
 def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of SimHash candidates vs Jaccard>=0.5 truth."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist()
+    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -1287,7 +1288,7 @@ LIMIT 50
 def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 directed-containment pairs via the shingle inverted index."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist()
+    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -1302,8 +1303,11 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = F.col("n_common").cast("double") / F.col("n_sh1")
     c21 = F.col("n_common").cast("double") / F.col("n_sh2")
     return (
-        pairs.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        # no broadcast hint: sizes is one row per document — unbounded at
+        # corpus scale; let the planner pick (auto-broadcast below the
+        # threshold, shuffle join above it), as q_ngram_jaccard does
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
         .select(
             "doc1", "doc2", "n_common",
             c12.alias("cont_1_in_2"), c21.alias("cont_2_in_1"),
@@ -1371,15 +1375,12 @@ GROUP BY t, tot.n_true_total
 def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall per band-agreement threshold (LSH calibration)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist()
-    sig = DD.minhash_signatures(sh)
-    a = sig.select(F.col("doc_id").alias("doc1"), "seed", "minhash")
-    b = sig.select(F.col("doc_id").alias("doc2"), "seed", "minhash")
-    cand = (
-        a.join(b, ["seed", "minhash"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_agree"))
+    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    # candidate pairs via the SAME operator production banding uses
+    # (operators/dedup.py::lsh_candidate_pairs); n_shared_bands ==
+    # count of agreeing seeds since signatures hold one row per seed
+    cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh)).withColumnRenamed(
+        "n_shared_bands", "n_agree"
     )
     sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -1397,8 +1398,8 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cand.join(exact, ["doc1", "doc2"])
-        .join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        .join(s1, "doc1")  # unbounded per-doc table: no broadcast hint
+        .join(s2, "doc2")
         .select("n_agree", (jac >= _TUNE_TAU).cast("int").alias("is_true"))
         .persist()  # candidate-pair-sized; feeds the total and all 8 thresholds
     )

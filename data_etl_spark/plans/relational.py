@@ -2176,12 +2176,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day-granular bucketing of the timestamp is fine (the range key
     # only needs to be monotone non-decreasing in the sort direction;
     # ties share a bucket and the within-bucket ordering disambiguates).
+    from ..operators.rank import boundary_accuracy, boundary_probes
+
     r_key = -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date"))
     f_key = -F.col("frequency")
     m_key = -F.col("monetary_dec").cast("double")
     n_b = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    probes = F.lit([i / n_b for i in range(1, n_b)]).cast("array<double>")
-    acc = F.lit(10 * n_b)
+    probes = F.lit(boundary_probes(n_b)).cast("array<double>")
+    acc = F.lit(boundary_accuracy(n_b))
     brow = per_cust.agg(
         F.percentile_approx(r_key.cast("double"), probes, acc).alias("br"),
         F.percentile_approx(f_key.cast("double"), probes, acc).alias("bf"),

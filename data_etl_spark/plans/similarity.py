@@ -207,19 +207,10 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
     )
 
-    def assign(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        d = F.sqrt(V.seq_l2sq(F.col(vec_col), F.col("cemb")))
-        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cent_id").asc())
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn("__d", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, F.col("cent_id").alias("cell"))
-        )
+    from ..operators.ivf import assign_cells
 
-    c_assign = assign(corpus, "c_vec_id", "cemb2")
-    q_assign = assign(probe, "q_vec_id", "qemb")
+    c_assign = assign_cells(corpus, cent, "c_vec_id", "cemb2")
+    q_assign = assign_cells(probe, cent, "q_vec_id", "qemb")
     score = V.seq_cosine(F.col("qemb"), F.col("cemb2"))
     w = W.partitionBy("q_vec_id").orderBy(F.desc("score"), F.asc("c_vec_id"))
     return (
@@ -286,19 +277,10 @@ def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_vec_id"), emb.alias("cemb2")
     )
 
-    def assign(df: DataFrame, id_col: str, vec_col: str, nprobe: int) -> DataFrame:
-        d = F.sqrt(V.seq_l2sq(F.col(vec_col), F.col("cemb")))
-        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cent_id").asc())
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn("__d", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= nprobe)
-            .select(id_col, vec_col, F.col("cent_id").alias("cell"))
-        )
+    from ..operators.ivf import assign_cells
 
-    c_assign = assign(corpus, "c_vec_id", "cemb2", 1)
-    q_assign = assign(probe, "q_vec_id", "qemb", 2)
+    c_assign = assign_cells(corpus, cent, "c_vec_id", "cemb2")
+    q_assign = assign_cells(probe, cent, "q_vec_id", "qemb", nprobe=2)
     score = V.seq_cosine(F.col("qemb"), F.col("cemb2"))
     w = W.partitionBy("q_vec_id").orderBy(F.desc("score"), F.asc("c_vec_id"))
     return (

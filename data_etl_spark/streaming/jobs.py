@@ -435,10 +435,24 @@ def merge_gap_state(
 ) -> tuple[int | None, int, int | None, int | None]:
     """Fold a batch of sorted purchase timestamps into the running
     (last_us, n, min_gap, max_gap) state — the pure kernel of the
-    GapStats processor, unit-testable without the streaming runtime."""
+    GapStats processor, unit-testable without the streaming runtime.
+
+    LATE-DATA POLICY: a timestamp strictly earlier than the stored
+    last_us is DROPPED (standard watermark-style semantics) — gap
+    extrema need the neighbor ordering, and a row that arrives behind
+    the high-water mark would otherwise produce a negative "gap" that
+    no batch computation contains. Consequently the streaming result
+    equals the batch lag-window oracle exactly whenever batch
+    boundaries respect event-time order per key (single AvailableNow
+    drain trivially; in-order sources generally), and degrades by
+    dropping only the out-of-order stragglers otherwise. Ties
+    (t == last_us) are kept as zero gaps, matching the batch oracle.
+    """
     last_us, n, min_gap, max_gap = state if state else (None, 0, None, None)
     for t in sorted_ts:
         if last_us is not None:
+            if t < last_us:
+                continue  # late arrival behind the high-water mark
             g = t - last_us
             min_gap = g if min_gap is None else min(min_gap, g)
             max_gap = g if max_gap is None else max(max_gap, g)

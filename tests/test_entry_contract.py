@@ -46,7 +46,7 @@ def test_driver_window_rotation():
     if len(unchecked) <= entry_mod._WINDOW_CAP - 1:
         assert set(unchecked) <= set(qs), set(unchecked) - set(qs)
     # full surface stays large even though the window is capped
-    assert len(REGISTRY) >= 117
+    assert len(REGISTRY) >= 185
 
 
 def test_flagship_is_registered():

@@ -448,9 +448,11 @@ def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_shingle_containment_broadcasts_sizes(spark, sf_dir):
+def test_shingle_containment_plan_shape(spark, sf_dir):
+    # the per-doc sizes table is corpus-unbounded, so it carries NO
+    # broadcast hint — the planner decides (auto-broadcast at small SF,
+    # shuffle join at scale); we assert only the invariants
     plan = _plan(spark, sf_dir, "q_shingle_containment")
-    assert "BroadcastHashJoin" in plan  # the two size lookups
     assert "CartesianProduct" not in plan
     # top-50 must be TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan

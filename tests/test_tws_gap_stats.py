@@ -28,19 +28,35 @@ def test_merge_gap_state_matches_bruteforce(ts):
 
 
 @given(
-    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20),
-    st.lists(st.integers(min_value=0, max_value=10**9), max_size=20),
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=40),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=80, deadline=None)
+def test_merge_gap_state_batch_split_invariant(ts, cut):
+    """Folding two event-time-ordered batches sequentially == folding
+    their union once — the property that makes a multi-micro-batch
+    stream equal the batch oracle. The split point is arbitrary but the
+    boundary respects event-time order (in-order source semantics)."""
+    ts = sorted(ts)
+    cut = min(cut, len(ts))
+    step1 = merge_gap_state(None, ts[:cut])
+    step2 = merge_gap_state(step1, ts[cut:])
+    assert step2 == merge_gap_state(None, ts)
+
+
+@given(
+    st.lists(st.integers(min_value=100, max_value=10**9), min_size=1, max_size=20),
+    st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=10),
 )
 @settings(max_examples=60, deadline=None)
-def test_merge_gap_state_batch_split_invariant(a, b):
-    """Folding two batches sequentially == folding their union once —
-    the property that makes a multi-micro-batch stream equal the batch
-    oracle. Batch boundaries in event-time order (watermarked source)."""
-    a, b = sorted(a), sorted(b)
-    lo, hi = (a, b) if (not b or (a and a[-1] <= b[0])) else (sorted(a + b), [])
-    step1 = merge_gap_state(None, lo)
-    step2 = merge_gap_state(step1, hi)
-    assert step2 == merge_gap_state(None, sorted(lo + hi))
+def test_merge_gap_state_drops_late_rows(ts, late):
+    """Out-of-order stragglers behind the high-water mark are dropped,
+    never folded into negative gaps (the documented late-data policy)."""
+    ts = sorted(ts)
+    base = merge_gap_state(None, ts)
+    after_late = merge_gap_state(base, sorted(late))  # all < min(ts) <= last_us
+    assert after_late == base
+    assert after_late[2] is None or after_late[2] >= 0
 
 
 def test_streaming_gap_stats_e2e(spark, sf_dir):
