@@ -1404,3 +1404,48 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_cap — per-source hard cap: keep at most K documents per
+# source, selected by deterministic hash priority (md5 of doc_id) with
+# doc_id tie-break — the "no domain may contribute more than K docs"
+# rule corpus curation applies against crawl-dominance, complementary
+# to q_mix_rebalance's RATE downsample (a rate can't bound a single
+# huge source; a cap can't rebalance mid-sized ones). Hash priority,
+# not recency or position, so the kept subset is unbiased and
+# reproducible across engines/retries/corpus growth within a source.
+# Scale: one partitioned window (bounded: rows per source), no global
+# sort, no shuffle beyond the source-key exchange.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP_K = 50
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT source, doc_id, pri
+FROM (
+    SELECT source, doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS pri,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+WHERE rk <= {_SOURCE_CAP_K}
+"""
+
+
+@register("q_source_cap", oracle=_SOURCE_CAP_ORACLE, tags=("phase3", "curation", "sampling"))
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep <=K docs per source by deterministic hash priority."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", pri.alias("pri"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP_K)
+        .drop("rk")
+    )
