@@ -50,6 +50,13 @@ _QUERIES = [
     "q_frame_sample",
     "q_binary_features",
     "q_resize_assets",
+    # round-5 dedup/curation additions: doc 7 (the non-ASCII doc) IS the
+    # incremental batch (doc_id % 10 == 7); docs 5/6 are exact dups so
+    # candidates/containment/curve all have non-trivial rows
+    "q_incremental_dedup",
+    "q_shingle_containment",
+    "q_lsh_tuning_curve",
+    "q_source_cap",
 ]
 
 

@@ -297,3 +297,23 @@ def test_exact_global_rank_equals_global_row_number(spark):
     j = got.join(want, ["id", "v", "tie"])
     assert j.filter(F.col("rk") != F.col("rk_ref")).count() == 0
     assert got.count() == 997
+
+
+def test_exact_global_rank_constant_key_degenerates_correctly(spark):
+    """All-equal leading keys collapse to ONE bucket (every tie must
+    share a bucket) — the worst-case balance, but the rank must still
+    equal the global row_number under the tie-broken order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.rank import exact_global_rank
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(500)], "id bigint, v double"
+    )
+    got = exact_global_rank(
+        df, [F.asc("v"), F.asc("id")], F.col("v"), n_buckets=8, rank_name="rk"
+    )
+    want = df.withColumn("rk_ref", F.row_number().over(W.orderBy("v", "id")))
+    j = got.join(want, ["id", "v"])
+    assert j.filter(F.col("rk") != F.col("rk_ref")).count() == 0
