@@ -561,14 +561,14 @@ class ETLPipeline:
             .select("q_vec_id", "rank", "c_vec_id", "rrf")
         )
 
-    def search(self, queries: Sequence[str], k: int = 5) -> DataFrame:
-        """Exact cosine top-k over the index (V4; query side broadcast).
-
-        At 100 TB the same call runs against the bucketed table with an
-        IVF/LSH cell restriction (plans/similarity.py q_ivf_knn is that
-        path); exact scan is the correctness baseline.
-        """
-        from .operators.knn import exact_knn
+    def search(self, queries: Sequence[str], k: int = 5, threshold: int = 1024) -> DataFrame:
+        """Cost-gated cosine top-k over the index (V4): exact brute
+        force (broadcast query side) while the index holds <=
+        ``threshold`` rows, the in-memory IVF rewrite above it — the
+        SURVEY §4 planner rule (operators/planner.py::auto_knn) exposed
+        at the pipeline API, no prebuilt index required (build_ann_index
+        + ann_search remain the persisted-layout path)."""
+        from .operators.planner import auto_knn
 
         qdf = self.spark.createDataFrame(
             [(i, q) for i, q in enumerate(queries)], "q_vec_id long, query_text string"
@@ -577,4 +577,4 @@ class ETLPipeline:
             F.concat_ws("#", "filename", F.col("chunk_idx").cast("string")).alias("c_vec_id"),
             F.col("embedding").alias("c_emb"),
         )
-        return exact_knn(F.broadcast(qdf), corpus, k=k)
+        return auto_knn(qdf, corpus, k=k, threshold=threshold)

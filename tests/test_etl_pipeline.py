@@ -248,3 +248,20 @@ def test_hybrid_search_finds_lexical_and_dense_match(pipe, docs):
     # deterministic: same query, same ranking
     res2 = pipe.hybrid_search([target.text], k=3).collect()
     assert [(r.c_vec_id, r.rank) for r in res] == [(r.c_vec_id, r.rank) for r in res2]
+
+
+def test_cost_gated_search_both_branches(pipe, docs, spark):
+    """pipe.search() routes through the auto_knn planner: exact
+    (broadcast-NL) below the threshold, IVF cell join above it — and
+    the exact branch's top-1 hit for a chunk's own text is that chunk."""
+    pipe.ingest(docs)
+    res = pipe.search(["word1 word1", "word5"], k=2, threshold=10**6)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "cell" not in plan
+    hits = res.collect()
+    assert len(hits) >= 2 and all(h.score <= 1.000001 for h in hits)
+    # force the IVF branch on the same tiny index
+    res2 = pipe.search(["word1 word1"], k=2, threshold=1)
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan2
+    assert len(res2.collect()) >= 1
