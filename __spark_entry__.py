@@ -66,6 +66,11 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # nearest-centroid assignment deduped into operators/ivf.assign_cells
     # (identical expression tree; re-verify out of caution):
     "q_ivf_knn", "q_ivf_recall",
+    # full-registry review fixes: pivot NULL->0 fill, ab_test degenerate
+    # guards (both engines), pmi count folded into plan, cohort_ltv
+    # broadcast unhinted, market_basket persist -> DISK_ONLY:
+    "q_pivot", "q_ab_test", "q_pmi_collocations", "q_cohort_ltv",
+    "q_market_basket",
 })
 
 

@@ -189,3 +189,24 @@ def lsh_candidate_pairs(signatures: DataFrame, key: str = "doc_id") -> DataFrame
         .groupBy("doc1", "doc2")
         .agg(F.countDistinct("seed").alias("n_shared_bands"))
     )
+
+
+def shingle_pair_stats(shingles: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc1, doc2, n_common, n_sh1, n_sh2) for every co-shingled pair
+    via the inverted index — the ONE implementation of the
+    pairs+sizes block behind Jaccard, containment and the LSH
+    estimate/tuning evals (tie-break doc1 < doc2; pair volume bounded
+    per shingle by the DF cap upstream, never corpus²)."""
+    sizes = shingles.groupBy(key).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(key).alias("doc1"), "shingle")
+    b = shingles.select(F.col(key).alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col(key).alias("doc1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col(key).alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    # per-doc sizes are corpus-unbounded: no broadcast hint (planner picks)
+    return pairs.join(s1, "doc1").join(s2, "doc2")

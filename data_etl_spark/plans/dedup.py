@@ -94,20 +94,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle set feeds both sides of the self-join and the
     # size lookup; without it the whole tokenize+explode subtree runs 3x.
     sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
     return (
-        pairs.join(s1, "doc1")
-        .join(s2, "doc2")
+        DD.shingle_pair_stats(sh)
         .select(
             "doc1",
             "doc2",
@@ -175,7 +163,7 @@ def _hexval_sql(h: str) -> str:
     return f"((({nib(1)} * 16 + {nib(2)}) * 16 + {nib(3)}) * 16 + {nib(4)})"
 
 
-def _simhash_select(engine: str) -> str:
+def _simhash_select() -> str:
     """Shared SQL text for the SimHash aggregation (valid in both dialects)."""
     bits = []
     for k in range(16):
@@ -196,7 +184,7 @@ _SIMHASH_WORDCOUNT_SQL = """
 _SIMHASH_ORACLE = f"""
 WITH wc AS ({_SIMHASH_WORDCOUNT_SQL}),
 hv AS (SELECT doc_id, cnt, {_hexval_sql('md5(word)')} AS v FROM wc)
-SELECT doc_id, {_simhash_select('duckdb')} AS simhash
+SELECT doc_id, {_simhash_select()} AS simhash
 FROM hv
 GROUP BY doc_id
 """
@@ -215,7 +203,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hv = wc.select("doc_id", "cnt", F.expr(_hexval_sql("md5(word)")).alias("v"))
     return hv.groupBy("doc_id").agg(
-        F.expr(_simhash_select("spark")).alias("simhash")
+        F.expr(_simhash_select()).alias("simhash")
     )
 
 
@@ -238,7 +226,7 @@ _SIMHASH_PAIRS_ORACLE = f"""
 WITH wc AS ({_SIMHASH_WORDCOUNT_SQL}),
 hv AS (SELECT doc_id, cnt, {_hexval_sql('md5(word)')} AS v FROM wc),
 sh AS (
-    SELECT doc_id, {_simhash_select('duckdb')} AS simhash
+    SELECT doc_id, {_simhash_select()} AS simhash
     FROM hv
     GROUP BY doc_id
 ),
@@ -452,23 +440,12 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh)).withColumnRenamed(
         "n_shared_bands", "n_agree"
     )
-    sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    exact = (
-        sha.join(shb, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
     est = F.col("n_agree").cast("double") / F.lit(8)
-    ex = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    ex = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
     return (
-        cand.join(exact, ["doc1", "doc2"])
-        .join(s1, "doc1")
-        .join(s2, "doc2")
+        cand.join(DD.shingle_pair_stats(sh), ["doc1", "doc2"])
         .select(
             "doc1",
             "doc2",
@@ -1382,24 +1359,11 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh)).withColumnRenamed(
         "n_shared_bands", "n_agree"
     )
-    sha = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    exact = (
-        sha.join(shb, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
     )
     scored = (
-        cand.join(exact, ["doc1", "doc2"])
-        .join(s1, "doc1")  # unbounded per-doc table: no broadcast hint
-        .join(s2, "doc2")
+        cand.join(DD.shingle_pair_stats(sh), ["doc1", "doc2"])
         .select("n_agree", (jac >= _TUNE_TAU).cast("int").alias("is_true"))
         .persist()  # candidate-pair-sized; feeds the total and all 8 thresholds
     )

@@ -786,13 +786,13 @@ w AS (
            a.n AS n_a, b.n AS n_b,
            CAST(a.sv AS DOUBLE) / a.n AS mean_a,
            CAST(b.sv AS DOUBLE) / b.n AS mean_b,
-           (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * a.sv / a.n) / (a.n - 1) AS var_a,
-           (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * b.sv / b.n) / (b.n - 1) AS var_b
+           (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * a.sv / a.n) / nullif(a.n - 1, 0) AS var_a,
+           (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * b.sv / b.n) / nullif(b.n - 1, 0) AS var_b
     FROM s a JOIN s b ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
 )
 SELECT event_type, n_a, n_b,
        round(mean_a - mean_b, 6) AS mean_diff_cents_q6,
-       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat_q6
+       round((mean_a - mean_b) / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat_q6
 FROM w
 """
 
@@ -821,15 +821,20 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, "event_type")
     mean_a = F.col("sv_a").cast("double") / F.col("n_a")
     mean_b = F.col("sv_b").cast("double") / F.col("n_b")
+    # degenerate-group guards (NULL in BOTH engines, see oracle's
+    # nullif): n=1 has no sample variance; a zero pooled variance has
+    # no finite t. Unguarded, Spark's NULL-on-/0 vs DuckDB's IEEE inf
+    # would diverge the hash on any fixture with such a group.
     var_a = (
         F.col("svv_a").cast("double")
         - F.col("sv_a").cast("double") * F.col("sv_a") / F.col("n_a")
-    ) / (F.col("n_a") - 1)
+    ) / F.when(F.col("n_a") > 1, F.col("n_a") - 1)
     var_b = (
         F.col("svv_b").cast("double")
         - F.col("sv_b").cast("double") * F.col("sv_b") / F.col("n_b")
-    ) / (F.col("n_b") - 1)
-    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    ) / F.when(F.col("n_b") > 1, F.col("n_b") - 1)
+    t_den = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    t = (mean_a - mean_b) / F.when(t_den != 0, t_den)
     return j.select(
         "event_type", "n_a", "n_b",
         F.round(mean_a - mean_b, 6).alias("mean_diff_cents_q6"),
@@ -1003,7 +1008,9 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     rev = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(firsts), "user_id")
+        # no broadcast hint: firsts is one row per user — unbounded at
+        # corpus scale; the planner decides (q_retention_cohort rule)
+        .join(firsts, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))

@@ -419,7 +419,15 @@ GROUP BY o_orderstatus
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (no extra job to discover values)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").pivot("o_orderpriority", _PIVOT_VALUES).count()
+    # fill(0): pivot().count() yields NULL for an empty (status, priority)
+    # combo while the oracle's count(*) FILTER yields 0 — align on 0 so
+    # sparse fixtures can't diverge (current fixtures are dense; latent)
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_VALUES)
+        .count()
+        .na.fill(0, subset=_PIVOT_VALUES)
+    )
 
 
 _SCALAR_SUBQUERY_ORACLE = """
@@ -2313,8 +2321,14 @@ WHERE p.c_pair >= 3
 @register("q_market_basket", oracle=_BASKET_ORACLE, tags=("phase1", "mining", "basket"))
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (support/confidence/lift) with count floor."""
+    from pyspark.storagelevel import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct().persist()
+    # DISK_ONLY: one row per distinct lineitem — corpus-scale (the
+    # dedup.py persist policy; memory-caching would evict hotter blocks)
+    items = li.select("l_orderkey", "l_partkey").distinct().persist(
+        StorageLevel.DISK_ONLY
+    )
     # basket count rides the plan as a broadcast 1-row crossJoin — no
     # driver-side count job (the lm_perplexity rule)
     n_df = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))

@@ -328,7 +328,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # machinery does not perturb content.
 # ---------------------------------------------------------------------------
 
-from .sinks import _pysrc_oracle as _pysrc_oracle_sql  # noqa: E402
+from .sinks import _PYSRC_N, _pysrc_oracle as _pysrc_oracle_sql  # noqa: E402
 
 
 @register(
@@ -344,7 +344,7 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(make_synthetic_docs_stream_source())
     sdf = (
         spark.readStream.format("synthetic_docs_stream")
-        .option("n_rows", 1000)
+        .option("n_rows", _PYSRC_N)  # same constant as the oracle builder
         .load()
     )
     agg = sdf.groupBy("lang").agg(

@@ -949,7 +949,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = d.select("doc_id", TX.words(F.col("text")).alias("w"))
     tok = ws.select(F.explode("w").alias("word"))
     uni = tok.groupBy("word").agg(F.count("*").alias("c"))
-    n_tok = tok.count()  # O(1) scalar, the corpus token count
+    # corpus token count folded into the plan as a broadcast 1-row
+    # crossJoin (the lm_perplexity rule): no driver-side count job at
+    # plan-construction time
+    ntok = tok.agg(F.count("*").cast("double").alias("__n_tok"))
     cnt = F.greatest(F.size("w") - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice("w", 1, cnt), F.slice("w", 2, cnt),
@@ -965,10 +968,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("word").alias("b"), F.col("c").alias("c_b"))
     pmi = F.log(
-        (F.lit(float(n_tok)) * F.col("c_ab")) / (F.col("c_a").cast("double") * F.col("c_b"))
+        (F.col("__n_tok") * F.col("c_ab")) / (F.col("c_a").cast("double") * F.col("c_b"))
     )
     return (
-        pair.join(F.broadcast(ua), "a")
+        pair.crossJoin(F.broadcast(ntok))
+        .join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
         .select("a", "b", "c_ab", "c_a", "c_b", F.round(pmi, 6).alias("pmi_q6"))
     )
