@@ -1192,3 +1192,166 @@ def q_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("carried_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_survival_curve — discrete-time survival analysis of click->purchase
+# conversion (the Kaplan-Meier life table, day granularity): per user,
+# event day = days from first click to first subsequent purchase,
+# right-censored at min(horizon, days of observation remaining). Per
+# day k: n_at_risk (users whose event/censor day >= k), n_events
+# (conversions at exactly k), hazard = events/at_risk, and the survival
+# function S(k) = prod_{j<=k} (1 - hazard_j), computed as
+# exp(sum round(ln(1-h), 6)) — the bm25 ln-quantization rule — via a
+# self-join on the <=horizon+1-row life table (window-free cumsum).
+# Scale: one per-user aggregate (keyed shuffle), then everything is a
+# <=15-row table; no global windows, nothing unbounded.
+# ---------------------------------------------------------------------------
+
+_SURV_H = 14  # censoring horizon in days
+
+_SURV_ORACLE = f"""
+WITH {EVENTS_US},
+clicks AS (
+    SELECT user_id, min(ts) AS first_click
+    FROM events_us WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+    SELECT c.user_id,
+           min(CASE WHEN p.ts >= c.first_click THEN p.ts END) AS conv_ts
+    FROM clicks c
+    LEFT JOIN events_us p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+),
+horizon AS (SELECT max(ts) AS max_ts FROM events_us),
+per_user AS (
+    SELECT c.user_id,
+           CASE WHEN v.conv_ts IS NOT NULL
+                     AND date_diff('day', c.first_click, v.conv_ts) <= {_SURV_H}
+                THEN date_diff('day', c.first_click, v.conv_ts) END AS event_day,
+           least(date_diff('day', c.first_click, h.max_ts), {_SURV_H}) AS censor_day
+    FROM clicks c JOIN conv v ON v.user_id = c.user_id CROSS JOIN horizon h
+),
+life AS (
+    SELECT k,
+           count(*) FILTER (coalesce(event_day, censor_day + 1) >= k
+                            AND censor_day >= k) AS n_at_risk,
+           count(*) FILTER (event_day = k) AS n_events
+    FROM per_user, unnest(generate_series(0, {_SURV_H})) AS g(k)
+    GROUP BY k
+),
+haz AS (
+    SELECT k, n_at_risk, n_events,
+           CAST(n_events AS DOUBLE) / nullif(n_at_risk, 0) AS hazard
+    FROM life
+)
+SELECT a.k AS day_k,
+       CAST(a.n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(a.n_events AS BIGINT) AS n_events,
+       round(a.hazard, 6) AS hazard_q6,
+       -- hazard = 1 (everyone converts) zeroes survival from that day
+       -- on; the ln term is NULL-gated so DuckDB never takes ln(0)
+       -- (Spark's log(0) would return NULL silently — align via CASE)
+       CASE WHEN max(CASE WHEN b.hazard >= 1 THEN 1 ELSE 0 END) = 1 THEN 0.0
+            ELSE round(exp(sum(round(ln(
+                     1 - CASE WHEN b.hazard >= 1 THEN CAST(NULL AS DOUBLE)
+                              ELSE b.hazard END), 6))), 6)
+       END AS survival_q6
+FROM haz a JOIN haz b ON b.k <= a.k
+GROUP BY a.k, a.n_at_risk, a.n_events, a.hazard
+"""
+
+
+@register("q_survival_curve", oracle=_SURV_ORACLE, tags=("phase4", "events", "survival"))
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase discrete survival life table (day granularity)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        clicks.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts")
+            ),
+            "user_id",
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(
+            F.min(
+                F.when(F.col("p_ts") >= F.col("first_click"), F.col("p_ts"))
+            ).alias("conv_ts")
+        )
+    )
+    horizon = e.agg(F.max("ts").alias("max_ts"))
+    ev_day = F.datediff(F.col("conv_ts"), F.col("first_click"))
+    per_user = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("conv_ts").isNotNull() & (ev_day <= _SURV_H), ev_day
+        ).alias("event_day"),
+        F.least(
+            F.datediff(F.col("max_ts"), F.col("first_click")), F.lit(_SURV_H)
+        ).alias("censor_day"),
+    )
+    ks = per_user.select(
+        "event_day", "censor_day",
+        F.explode(F.sequence(F.lit(0), F.lit(_SURV_H))).alias("k"),
+    )
+    life = ks.groupBy("k").agg(
+        F.count_if(
+            (F.coalesce("event_day", F.col("censor_day") + 1) >= F.col("k"))
+            & (F.col("censor_day") >= F.col("k"))
+        ).alias("n_at_risk"),
+        F.count_if(F.col("event_day") == F.col("k")).alias("n_events"),
+    )
+    haz = life.select(
+        "k", "n_at_risk", "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.when(F.col("n_at_risk") > 0, F.col("n_at_risk"))
+        ).alias("hazard"),
+    )
+    a = haz.alias("a")
+    b = haz.alias("b")
+    return (
+        a.join(b, F.col("b.k") <= F.col("a.k"))
+        .groupBy(
+            F.col("a.k").alias("day_k"),
+            F.col("a.n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("a.n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("a.hazard"), 6).alias("hazard_q6"),
+        )
+        .agg(
+            F.when(
+                F.max(
+                    F.when(F.col("b.hazard") >= 1, F.lit(1)).otherwise(F.lit(0))
+                )
+                == 1,
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.round(
+                                F.log(
+                                    F.lit(1)
+                                    - F.when(
+                                        F.col("b.hazard") >= 1,
+                                        F.lit(None).cast("double"),
+                                    ).otherwise(F.col("b.hazard"))
+                                ),
+                                6,
+                            )
+                        )
+                    ),
+                    6,
+                )
+            )
+            .alias("survival_q6")
+        )
+    )
