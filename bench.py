@@ -73,6 +73,7 @@ HEADLINE = [
     "q_knn_auto",  # cost gate flips to the IVF branch at the bench SF
     "q_incremental_dedup",  # batch-vs-corpus ingest dedup family
     "q_lsh_tuning_curve",   # candidate-confined eval family
+    "q_interval_sweep",     # window-free global cumsum (sweep line)
 ]
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "boundary_accuracy",
     "boundary_probes",
+    "exact_global_cumsum",
     "exact_global_rank",
     "ntile_from_rank",
 ]
@@ -66,6 +67,51 @@ def boundary_accuracy(n_buckets: int) -> int:
 def _idiv(a: Column, b: Column) -> Column:
     """Exact floor division for non-negative bigint-valued columns."""
     return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def _range_buckets(
+    df: DataFrame,
+    range_expr: Column,
+    *,
+    n_buckets: int | None,
+    bounds: Sequence[float] | None,
+) -> DataFrame:
+    """Tag each row with a deterministic range bucket ``__bkt`` of
+    ``range_expr`` (``__rng``). Shared boundary/assignment pass for
+    :func:`exact_global_rank` and :func:`exact_global_cumsum` — one
+    sampled-quantile job, then a pure row-local bucket function (stable
+    across re-executions, unlike repartitionByRange's resampled
+    boundaries)."""
+    if n_buckets is None:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.withColumn("__rng", range_expr.cast("double"))
+    # One boundary pass as a partial-aggregated percentile_approx (3x
+    # faster than df.stat.approxQuantile's RDD path, measured sf0.1).
+    if bounds is None:
+        qrow = tagged.agg(
+            F.percentile_approx(
+                "__rng",
+                F.lit(boundary_probes(n_buckets)).cast("array<double>"),
+                F.lit(boundary_accuracy(n_buckets)),
+            ).alias("q")
+        ).collect()
+        bounds = qrow[0]["q"] or []
+    bounds = sorted(set(bounds))
+    if not bounds:
+        bucket = F.lit(0)
+    elif len(bounds) <= 256:
+        # codegen-friendly comparison chain: bucket = first boundary the
+        # value does not exceed (ties share a bucket; order-preserving)
+        expr = F.lit(len(bounds))
+        for i in range(len(bounds) - 1, -1, -1):
+            expr = F.when(F.col("__rng") <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+        bucket = expr
+    else:
+        # thousands of buckets (big-cluster configs): O(B) CASE chains
+        # bloat codegen, fall back to the array higher-order count
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("__rng") > b))
+    return tagged.withColumn("__bkt", bucket)
 
 
 def exact_global_rank(
@@ -97,36 +143,7 @@ def exact_global_rank(
     compute all boundary sets in a single agg job (see q_rfm_segments)
     and pass them here, skipping this function's per-call boundary pass.
     """
-    if n_buckets is None:
-        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    tagged = df.withColumn("__rng", range_expr.cast("double"))
-    # One boundary pass as a partial-aggregated percentile_approx (3x
-    # faster than df.stat.approxQuantile's RDD path, measured sf0.1).
-    if bounds is None:
-        qrow = tagged.agg(
-            F.percentile_approx(
-                "__rng",
-                F.lit(boundary_probes(n_buckets)).cast("array<double>"),
-                F.lit(boundary_accuracy(n_buckets)),
-            ).alias("q")
-        ).collect()
-        bounds = qrow[0]["q"] or []
-    bounds = sorted(set(bounds))
-    if not bounds:
-        bucket = F.lit(0)
-    elif len(bounds) <= 256:
-        # codegen-friendly comparison chain: bucket = first boundary the
-        # value does not exceed (ties share a bucket; order-preserving)
-        expr = F.lit(len(bounds))
-        for i in range(len(bounds) - 1, -1, -1):
-            expr = F.when(F.col("__rng") <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
-        bucket = expr
-    else:
-        # thousands of buckets (big-cluster configs): O(B) CASE chains
-        # bloat codegen, fall back to the array higher-order count
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col("__rng") > b))
-    b = tagged.withColumn("__bkt", bucket)
+    b = _range_buckets(df, range_expr, n_buckets=n_buckets, bounds=bounds)
     # ≤ n_buckets rows; persisted so the offset self-join and any total
     # computed from it read one materialization (KBs, leak-safe).
     counts = b.groupBy("__bkt").agg(F.count("*").alias("__cnt")).persist()
@@ -147,6 +164,56 @@ def exact_global_rank(
         total = counts.agg(F.sum("__cnt").cast("bigint").alias(total_name))
         ranked = ranked.crossJoin(F.broadcast(total))
     return ranked
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    range_expr: Column,
+    value_col: Column,
+    *,
+    n_buckets: int | None = None,
+    cumsum_name: str = "cumsum",
+    bounds: Sequence[float] | None = None,
+) -> DataFrame:
+    """Add ``cumsum_name`` = exact global running sum of ``value_col``
+    (inclusive of the current row) under the total order ``order_cols``
+    — the window-free generalization of :func:`exact_global_rank`
+    (a rank is the cumsum of 1s).
+
+    Same contract as :func:`exact_global_rank`: ``range_expr`` must be
+    numeric, non-null and monotone non-decreasing in the leading order
+    column; ``order_cols`` must totally order the rows. ``value_col``
+    must be bigint-valued (cast upstream — exact, order-independent
+    partial sums; signed values are fine, e.g. the ±1 deltas of a
+    sweep line).
+
+    Physical shape: sampled boundary pass, partitioned within-bucket
+    running sum, a ≤n_buckets-row per-bucket total persisted and turned
+    into broadcast cumulative offsets — every shuffle partitioned, no
+    single-task WindowExec.
+    """
+    b = _range_buckets(df, range_expr, n_buckets=n_buckets, bounds=bounds)
+    val = value_col.cast("bigint").alias("__val")
+    b = b.withColumn("__val", val)
+    sums = b.groupBy("__bkt").agg(F.sum("__val").alias("__bsum")).persist()
+    offs = (
+        sums.alias("a")
+        .join(sums.alias("b"), F.col("b.__bkt") < F.col("a.__bkt"), "left")
+        .groupBy(F.col("a.__bkt").alias("__bkt"))
+        .agg(F.sum(F.coalesce(F.col("b.__bsum"), F.lit(0))).alias("__off"))
+    )
+    w = (
+        W.partitionBy("__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        b.withColumn("__run", F.sum("__val").over(w))
+        .join(F.broadcast(offs), "__bkt")
+        .withColumn(cumsum_name, (F.col("__off") + F.col("__run")).cast("bigint"))
+        .drop("__rng", "__bkt", "__val", "__run", "__off")
+    )
 
 
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:

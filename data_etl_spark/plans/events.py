@@ -1355,3 +1355,147 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival_q6")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_sweep — sweep-line interval analytics over event "sessions"
+# (each event holds a resource for `value` minutes): peak concurrency,
+# number of busy islands (maximal stretches with >=1 interval active) and
+# total covered time. The classic formulation is a GLOBAL running sum of
+# +1/-1 deltas ordered by time — an unpartitioned window, the exact
+# single-task scale-killer this repo bans. Here both running sums (the
+# concurrency level and the island counter) go through
+# operators/rank.exact_global_cumsum: sampled range buckets on t_us,
+# partitioned within-bucket window sums, broadcast per-bucket offsets —
+# identical values, no partition-free WindowExec. The two cumsum passes
+# share ONE boundary sketch (computed once, passed via bounds=) so bucket
+# assignment is consistent and the sampling job is not repeated, and the
+# first pass's result is persisted DISK_ONLY (corpus-scale intermediate,
+# same storage policy as q_dup_spans' shingle table) so the second pass
+# does not recompute the union + cumsum subtree.
+#
+# Ordering contract: change points totally ordered by (t_us, delta,
+# event_id) — ends (-1) sort before starts (+1) at the same instant, so
+# back-to-back intervals neither overlap (half-open semantics) nor split
+# an island incorrectly; islands close exactly when the level returns to
+# zero. Durations are floored to µs and clamped to >=1 so every interval
+# is non-degenerate (its own end can never precede its start). DuckDB
+# sums of BIGINT widen to HUGEINT, so every aggregate is CAST back.
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = f"""
+WITH {EVENTS_US}
+, iv AS (
+    SELECT event_id,
+           epoch_ns(ts) // 1000 AS s_us,
+           epoch_ns(ts) // 1000
+             + greatest(CAST(floor(value * 60000000) AS BIGINT), 1) AS e_us
+    FROM events_us
+),
+chg AS (
+    SELECT event_id, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM iv
+    UNION ALL
+    SELECT event_id, e_us AS t_us, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+lvl AS (
+    SELECT *,
+           sum(delta) OVER (
+               ORDER BY t_us, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run
+    FROM chg
+),
+isl AS (
+    SELECT *,
+           sum(CASE WHEN delta = 1 AND run = 1 THEN 1 ELSE 0 END) OVER (
+               ORDER BY t_us, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island_id
+    FROM lvl
+),
+spans AS (
+    SELECT island_id, min(t_us) AS open_us, max(t_us) AS close_us
+    FROM isl GROUP BY island_id
+)
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_intervals,
+    (SELECT CAST(max(run) AS BIGINT) FROM lvl) AS max_concurrent,
+    (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_islands,
+    (SELECT CAST(sum(close_us - open_us) AS BIGINT) FROM spans) AS covered_us
+"""
+
+
+@register(
+    "q_interval_sweep",
+    oracle=_SWEEP_ORACLE,
+    tags=("phase4", "events", "sweepline", "bench"),
+)
+def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency + busy islands + covered time, window-free.
+
+    Sweep line over [ts, ts + value minutes) intervals with both global
+    running sums computed by the two-pass bucketed cumsum
+    (operators/rank.exact_global_cumsum) — no single-partition sort
+    anywhere in the plan.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.rank import (
+        boundary_accuracy,
+        boundary_probes,
+        exact_global_cumsum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    dur = F.greatest(F.floor(F.col("value") * 60000000).cast("bigint"), F.lit(1))
+    iv = ev.select(
+        "event_id", s_us.alias("s_us"), (s_us + dur).alias("e_us")
+    )
+    chg = iv.select(
+        "event_id", F.col("s_us").alias("t_us"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_id",
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    order = [F.col("t_us"), F.col("delta"), F.col("event_id")]
+    # One shared boundary sketch for both cumsum passes (consistent
+    # buckets, one sampling job instead of two).
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qrow = chg.agg(
+        F.percentile_approx(
+            F.col("t_us").cast("double"),
+            F.lit(boundary_probes(n_buckets)).cast("array<double>"),
+            F.lit(boundary_accuracy(n_buckets)),
+        ).alias("q")
+    ).collect()
+    bounds = qrow[0]["q"] or []
+    lvl = exact_global_cumsum(
+        chg, order, F.col("t_us"), F.col("delta"), cumsum_name="run", bounds=bounds
+    ).persist(StorageLevel.DISK_ONLY)
+    opener = (F.col("delta") == 1) & (F.col("run") == 1)
+    isl = exact_global_cumsum(
+        lvl,
+        order,
+        F.col("t_us"),
+        F.when(opener, F.lit(1)).otherwise(F.lit(0)),
+        cumsum_name="island_id",
+        bounds=bounds,
+    )
+    spans = isl.groupBy("island_id").agg(
+        F.min("t_us").alias("open_us"), F.max("t_us").alias("close_us")
+    )
+    m_points = lvl.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+        F.max("run").cast("bigint").alias("max_concurrent"),
+    )
+    m_islands = spans.agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("close_us") - F.col("open_us")).cast("bigint").alias("covered_us"),
+    )
+    return m_points.crossJoin(F.broadcast(m_islands)).select(
+        "n_intervals", "max_concurrent", "n_islands", "covered_us"
+    )

@@ -317,3 +317,26 @@ def test_exact_global_rank_constant_key_degenerates_correctly(spark):
     want = df.withColumn("rk_ref", F.row_number().over(W.orderBy("v", "id")))
     j = got.join(want, ["id", "v"])
     assert j.filter(F.col("rk") != F.col("rk_ref")).count() == 0
+
+
+def test_exact_global_cumsum_equals_global_window_sum(spark):
+    """Bucketed two-pass cumsum == unpartitioned running sum, with
+    signed values (sweep-line ±1 deltas) and tied leading keys."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.rank import exact_global_cumsum
+
+    rows = [
+        (i, float((i * 5) % 11), 1 if (i * 13) % 3 else -1) for i in range(997)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t double, delta bigint")
+    got = exact_global_cumsum(
+        df, [F.asc("t"), F.asc("id")], F.col("t"), F.col("delta"),
+        n_buckets=8, cumsum_name="cs",
+    )
+    w = W.orderBy("t", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("cs_ref", F.sum("delta").over(w))
+    j = got.join(want, ["id", "t", "delta"])
+    assert j.filter(F.col("cs") != F.col("cs_ref")).count() == 0
+    assert got.count() == 997
