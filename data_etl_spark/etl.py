@@ -288,6 +288,7 @@ class ETLPipeline:
         text_col: str = "text",
         force: bool = True,
         gate: bool = True,
+        observe: bool = True,
     ) -> dict:
         """Idempotent document ingestion (E1/E3: delete-then-add per filename).
 
@@ -316,11 +317,38 @@ class ETLPipeline:
             .collect()
         }
         new_chunks = self.chunk_documents(batch, filename_col, text_col)
+        # Pipeline observability (DataFrame.observe / CollectMetricsExec):
+        # batch metrics ride the write job's own scan — zero extra pass,
+        # exact under task retries. countDistinct is not observable
+        # (needs a shuffle); approx_count_distinct is the supported form.
+        # ``observe=False`` for callers running inside foreachBatch:
+        # Observation.get waits on a QueryExecutionListener that never
+        # fires for actions nested in a streaming micro-batch (it would
+        # hang) — streaming metrics belong to StreamingQuery progress.
+        from pyspark.sql import Observation
+
+        obs = None
+        if observe:
+            obs = Observation()
+            new_chunks = new_chunks.observe(
+                obs,
+                F.count(F.lit(1)).alias("chunks_written"),
+                F.approx_count_distinct("filename").alias("docs_in_batch_approx"),
+                F.coalesce(F.sum(F.length("chunk_text")), F.lit(0)).alias(
+                    "chars_written"
+                ),
+            )
+        wrote = False
         if not self._exists():
             self._rewrite(new_chunks)
+            wrote = True
         elif buckets:
             merged = merge_by_key(self._read_buckets(buckets), new_chunks, keys=["filename"])
             self._swap_buckets(merged, buckets)
+            wrote = True
+        #: metrics of the batch the write ACTUALLY ingested (post-gate,
+        #: post-skip) — {} when nothing was written (or not observed).
+        self.last_ingest_metrics = dict(obs.get) if (wrote and obs is not None) else {}
         stats = (
             self.index_table()
             .groupBy()
@@ -413,7 +441,7 @@ class ETLPipeline:
         )
 
         def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-            self.ingest(batch_df, force=True, gate=True)
+            self.ingest(batch_df, force=True, gate=True, observe=False)
 
         q = (
             docs.writeStream.foreachBatch(upsert_batch)

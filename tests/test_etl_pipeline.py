@@ -265,3 +265,17 @@ def test_cost_gated_search_both_branches(pipe, docs, spark):
     plan2 = res2._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan2
     assert len(res2.collect()) >= 1
+
+
+def test_ingest_observes_batch_metrics(pipe, docs):
+    pipe.ingest(docs)
+    m = pipe.last_ingest_metrics
+    # 5 docs survive the extension gate; chunk/char counts ride the
+    # write job via DataFrame.observe (no extra scan).
+    assert m["chunks_written"] == pipe.index_table().count()
+    assert m["docs_in_batch_approx"] >= 4  # approx_count_distinct of 5
+    assert m["chars_written"] > 0
+
+    # force=False + nothing new -> no write happens -> metrics empty
+    pipe.ingest(docs, force=False)
+    assert pipe.last_ingest_metrics == {}
