@@ -71,6 +71,15 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # broadcast unhinted, market_basket persist -> DISK_ONLY:
     "q_pivot", "q_ab_test", "q_pmi_collocations", "q_cohort_ltv",
     "q_market_basket",
+    # zero-denominator contract (fuzz-found): cosine family now
+    # try_divide (NULL on zero norm), token ratio NULL on 0 tokens —
+    # values unchanged on driver data, plans changed, re-verify:
+    # (q_hybrid_rrf / q_ivf_* / q_embed_dedup_clusters share the same
+    # changed cosine helper but lost the window-slot lottery — values
+    # are unchanged on driver data and their local oracle tests ran)
+    "q_token_counts", "q_knn_exact", "q_cosine_pairs", "q_vector_stats",
+    "q_semantic_dedup", "q_sq_knn", "q_pq_knn",
+    "q_rp_lsh_pairs",
 })
 
 

@@ -65,8 +65,15 @@ def l2_norm_sql(a: str) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cosine(a,b) = dot / (||a|| * ||b||); inputs must be double arrays."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cosine(a,b) = dot / (||a|| * ||b||); inputs must be double arrays.
+
+    Zero-norm contract: NULL when either vector has zero norm
+    (``try_divide``), matching DuckDB's ``x / 0 -> NULL`` so the
+    oracles agree without special-casing — and NULL scores sort last
+    under ``DESC`` in both engines, so zero vectors never win a top-k.
+    Under ANSI mode a plain ``/`` would hard-fail the whole job on the
+    first zero embedding (found by tests/test_fuzz_differential.py)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -81,9 +88,9 @@ def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     of a similarity join only pays one fold per pair instead of three.
     Precompute norms per VECTOR before the join; at 100 TB this is the
     difference between 1x and 3x the interpreted-HOF cost on the blown-up
-    pair set.
+    pair set. Same zero-norm -> NULL contract as :func:`cosine`.
     """
-    return dot(a, b) / (norm_a * norm_b)
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -127,12 +134,18 @@ def seq_dot(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def seq_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Full cosine (norms included), Arrow-batched (== :func:`cosine`)."""
+    """Full cosine (norms included), Arrow-batched (== :func:`cosine`).
+
+    Zero-norm -> NULL (pandas nullable Float64 so Arrow carries a real
+    null, not NaN), matching :func:`cosine`'s try_divide contract."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
     A, B = _mat(a), _mat(b)
     d = _seq_sum(A * B)
-    return pd.Series(d / (np.sqrt(_seq_sum(A * A)) * np.sqrt(_seq_sum(B * B))))
+    denom = np.sqrt(_seq_sum(A * A)) * np.sqrt(_seq_sum(B * B))
+    out = pd.array(d / np.where(denom == 0.0, 1.0, denom), dtype="Float64")
+    out[denom == 0.0] = pd.NA
+    return pd.Series(out)
 
 
 @F.pandas_udf(DoubleType())
@@ -146,5 +159,6 @@ def seq_l2sq(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def seq_cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    """Arrow-path :func:`cosine_pre`: numpy dot / precomputed-norm product."""
-    return seq_dot(a, b) / (norm_a * norm_b)
+    """Arrow-path :func:`cosine_pre`: numpy dot / precomputed-norm product.
+    Same zero-norm -> NULL contract (try_divide)."""
+    return F.try_divide(seq_dot(a, b), norm_a * norm_b)

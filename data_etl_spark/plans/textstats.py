@@ -40,7 +40,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.ws_token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
-        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+        # try_divide: empty text has 0 tokens; NULL ratio matches
+        # DuckDB's x/0 -> NULL (ANSI / would fail the job on one
+        # empty doc — tests/test_fuzz_differential.py).
+        F.try_divide(F.length("text").cast("double"), bpe).alias(
+            "chars_per_token"
+        ),
     )
 
 
