@@ -146,29 +146,32 @@ def fuzz_dir(request, tmp_path_factory):
     return d
 
 
-# One query per family that reads only documents/events/embeddings.
-_QUERIES = [
-    # documents / text analysis
-    "q_exact_dedup",
-    "q_sentence_dedup",
-    "q_lang_id",
-    "q_text_quality",
-    "q_token_counts",
-    "q_doc_fingerprint",
-    "q_mix_rebalance",
-    "q_top_bigrams",
-    # events
-    "q_tumbling_window",
-    "q_session_window",
-    "q_funnel",
-    "q_markov_transitions",
-    "q_locf_backfill",
-    "q_interval_sweep",
-    "q_attribution_linear",
-    # embeddings
-    "q_vector_stats",
-    "q_knn_exact",
-]
+# Auto-discovered: every oracle-backed query whose SQL references only
+# the three fuzzable tables. Streaming twins are excluded (each runs a
+# real AvailableNow drain — minutes of suite time for semantics their
+# batch twins already cover here).
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+_FUZZABLE = {"documents", "events", "embeddings"}
+_EXCLUDE_PREFIX = ("q_streaming_",)
+
+
+def _eligible():
+    import re as _re
+
+    names = []
+    for n, q in sorted(REGISTRY.items()):
+        if q.oracle is None or n.startswith(_EXCLUDE_PREFIX):
+            continue
+        used = {t for t in _TABLES if _re.search(rf"\b{t}\b", q.oracle)}
+        if used and used <= _FUZZABLE:
+            names.append(n)
+    return names
+
+
+_QUERIES = _eligible()
 
 
 def _canon(rows, cols):
