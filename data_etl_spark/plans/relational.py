@@ -1959,29 +1959,56 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the exact percentile and whether the sketch landed inside its
     guaranteed envelope. A FALSE anywhere fails the hash check, so the
     correctness gate doubles as the sketch's acceptance test.
+
+    The envelope is checked in RANK space, which is what GK actually
+    guarantees: the returned element's rank interval
+    [count(x < v) + 1, count(x <= v)] must overlap
+    [ceil(p*n) - 2*eps*n, ceil(p*n) + 2*eps*n]. The earlier
+    value-envelope form ([percentile(p-2eps), percentile(p+2eps)])
+    is WRONG under heavy ties — interpolated value bounds can be
+    strictly narrower than the rank guarantee (found by the fuzz
+    corpus, where l_quantity has ~50 distinct values; latent on driver
+    data). One sketch pass (array percentiles) + one rank pass replace
+    the old four-scan union.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    rows = []
-    for p in _AQ_PS:
-        lo = max(0.0, p - _AQ_EPS2)
-        hi = min(1.0, p + _AQ_EPS2)
-        rows.append(
-            li.groupBy("l_returnflag").agg(
-                F.lit(p).alias("p"),
-                F.percentile("l_quantity", F.lit(p)).alias("exact_val"),
-                F.approx_percentile("l_quantity", F.lit(p), F.lit(_AQ_ACCURACY)).alias("__apx"),
-                F.percentile("l_quantity", F.lit(lo)).alias("__lo"),
-                F.percentile("l_quantity", F.lit(hi)).alias("__hi"),
-            )
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    ps = F.lit(list(_AQ_PS)).cast("array<double>")
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", ps).alias("__ex"),
+        F.approx_percentile("l_quantity", ps, F.lit(_AQ_ACCURACY)).alias("__apx"),
+        F.count("*").alias("__n"),
+    )
+    per_p = sk.select(
+        "l_returnflag",
+        "__n",
+        F.posexplode(F.arrays_zip(F.lit(list(_AQ_PS)).cast("array<double>"), "__ex", "__apx")).alias(
+            "__i", "__z"
+        ),
+    ).select(
+        "l_returnflag",
+        "__n",
+        F.col("__z.0").alias("p"),
+        F.col("__z.__ex").alias("exact_val"),
+        F.col("__z.__apx").alias("__apx_v"),
+    )
+    ranked = (
+        li.join(F.broadcast(per_p), "l_returnflag")
+        .groupBy("l_returnflag", "p", "exact_val", "__apx_v", "__n")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") < F.col("__apx_v"), 1).otherwise(0)).alias("__lt"),
+            F.sum(F.when(F.col("l_quantity") <= F.col("__apx_v"), 1).otherwise(0)).alias("__le"),
         )
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
-    return u.select(
+    )
+    margin = F.lit(_AQ_EPS2) * F.col("__n")
+    target = F.ceil(F.col("p") * F.col("__n"))
+    return ranked.select(
         "l_returnflag",
         "p",
         "exact_val",
-        ((F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))).alias("within_bound"),
+        (
+            (F.col("__le") >= target - margin)
+            & (F.col("__lt") + F.lit(1) <= target + margin)
+        ).alias("within_bound"),
     )
 
 

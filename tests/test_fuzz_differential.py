@@ -95,6 +95,169 @@ def _gen_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
     return rows
 
 
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_ADJ = ["cold", "small", "large", "red", "green", "shiny", "dull"]
+_NOUN = ["widget", "bolt", "gear", "spring", "valve"]
+_MS_DAY = 86400_000
+
+
+def _write_relational(d: str, rng: random.Random):
+    """FK-consistent random star schema in the driver's shapes: negative
+    acctbals, date collisions (200 distinct order days), customers with
+    zero orders, duplicate part names, boundary discounts (0 and 0.1)."""
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+                ),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+                "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    n_cust, n_supp, n_part, n_ord = 60, 8, 40, 300
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+                "c_nationkey": pa.array(
+                    [rng.randrange(25) for _ in range(n_cust)], pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    [
+                        rng.choice([0.0, round(rng.uniform(-999, 9999), 2)])
+                        for _ in range(n_cust)
+                    ],
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    [rng.choice(_SEGMENTS) for _ in range(n_cust)]
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(
+                    [rng.randrange(25) for _ in range(n_supp)], pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    [round(rng.uniform(-999, 9999), 2) for _ in range(n_supp)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{rng.choice(_ADJ)} {rng.choice(_NOUN)}"
+                        for _ in range(n_part)
+                    ]
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{rng.randint(1, 25)}" for _ in range(n_part)]
+                ),
+                "p_type": pa.array([rng.choice(_PTYPES) for _ in range(n_part)]),
+                "p_size": pa.array(
+                    [rng.randint(1, 50) for _ in range(n_part)], pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    [round(rng.uniform(100, 2000), 2) for _ in range(n_part)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    base_ms = 788918400_000  # 1995-01-01 UTC
+    day_slots = sorted(rng.randrange(0, 2400) for _ in range(200))
+    orders, lines = [], []
+    for ok in range(n_ord):
+        odate = base_ms + rng.choice(day_slots) * _MS_DAY
+        orders.append(
+            (
+                ok,
+                rng.randrange(0, n_cust - 5),  # last 5 customers dormant
+                rng.choice("FOP"),
+                round(rng.uniform(100, 100000), 2),
+                odate,
+                rng.choice(_PRIORITIES),
+            )
+        )
+        for ln in rng.sample(range(8), rng.randint(1, 7)):
+            lines.append(
+                (
+                    ok,
+                    rng.randrange(n_part),
+                    rng.randrange(n_supp),
+                    ln,
+                    float(rng.randint(1, 50)),
+                    round(rng.uniform(100, 50000), 2),
+                    rng.choice([0.0, 0.1, round(rng.uniform(0, 0.1), 2)]),
+                    round(rng.uniform(0, 0.08), 2),
+                    rng.choice("ANR"),
+                    rng.choice("FO"),
+                    odate + rng.randint(1, 120) * _MS_DAY,
+                )
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderstatus": pa.array([o[2] for o in orders]),
+                "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+                "o_orderdate": pa.array(
+                    [o[4] for o in orders], pa.timestamp("ms")
+                ),
+                "o_orderpriority": pa.array([o[5] for o in orders]),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([x[0] for x in lines], pa.int64()),
+                "l_partkey": pa.array([x[1] for x in lines], pa.int64()),
+                "l_suppkey": pa.array([x[2] for x in lines], pa.int64()),
+                "l_linenumber": pa.array([x[3] for x in lines], pa.int32()),
+                "l_quantity": pa.array([x[4] for x in lines], pa.float64()),
+                "l_extendedprice": pa.array([x[5] for x in lines], pa.float64()),
+                "l_discount": pa.array([x[6] for x in lines], pa.float64()),
+                "l_tax": pa.array([x[7] for x in lines], pa.float64()),
+                "l_returnflag": pa.array([x[8] for x in lines]),
+                "l_linestatus": pa.array([x[9] for x in lines]),
+                "l_shipdate": pa.array([x[10] for x in lines], pa.timestamp("ms")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+
+
 @pytest.fixture(scope="module", params=_SEEDS)
 def fuzz_dir(request, tmp_path_factory):
     seed = request.param
@@ -143,18 +306,22 @@ def fuzz_dir(request, tmp_path_factory):
         ),
         os.path.join(d, "embeddings.parquet"),
     )
-    return d
+    _write_relational(d, rng)
+    return d, seed
 
 
-# Auto-discovered: every oracle-backed query whose SQL references only
-# the three fuzzable tables. Streaming twins are excluded (each runs a
-# real AvailableNow drain — minutes of suite time for semantics their
-# batch twins already cover here).
+# Auto-discovered: every oracle-backed query (all ten tables are
+# generated). Streaming twins are excluded (each runs a real
+# AvailableNow drain — minutes of suite time for semantics their batch
+# twins already cover here). Doc/event/embedding queries run on both
+# seeds; purely-relational queries run on seed 7 only to bound suite
+# time (the corpus tables carry the higher divergence risk: unicode,
+# duplicates, empty text).
 _TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-_FUZZABLE = {"documents", "events", "embeddings"}
+_CORPUS_TABLES = {"documents", "events", "embeddings"}
 _EXCLUDE_PREFIX = ("q_streaming_",)
 
 
@@ -166,8 +333,8 @@ def _eligible():
         if q.oracle is None or n.startswith(_EXCLUDE_PREFIX):
             continue
         used = {t for t in _TABLES if _re.search(rf"\b{t}\b", q.oracle)}
-        if used and used <= _FUZZABLE:
-            names.append(n)
+        if used:
+            names.append((n, bool(used & _CORPUS_TABLES)))
     return names
 
 
@@ -175,6 +342,8 @@ _QUERIES = _eligible()
 
 
 def _canon(rows, cols):
+    import datetime as _dt
+
     out = []
     for row in rows:
         vals = []
@@ -182,22 +351,27 @@ def _canon(rows, cols):
             v = row[c] if isinstance(row, dict) else getattr(row, c)
             if isinstance(v, float):
                 v = None if math.isnan(v) else round(v, 6)
+            elif isinstance(v, _dt.datetime):
+                v = v.isoformat()  # Timestamp/datetime -> one repr
+            elif isinstance(v, _dt.date):
+                v = _dt.datetime(v.year, v.month, v.day).isoformat()
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-@pytest.mark.parametrize("name", _QUERIES)
-def test_fuzz_matches_oracle(spark, fuzz_dir, name):
+@pytest.mark.parametrize("name,is_corpus", _QUERIES)
+def test_fuzz_matches_oracle(spark, fuzz_dir, name, is_corpus):
+    d, seed = fuzz_dir
+    if not is_corpus and seed != _SEEDS[0]:
+        pytest.skip("relational-only queries fuzz on the first seed")
     q = REGISTRY[name]
-    sdf = q.fn(spark, fuzz_dir)
+    sdf = q.fn(spark, d)
     spark_rows = [r.asDict() for r in sdf.collect()]
 
     con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet'"
-        )
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     odf = con.execute(q.oracle).df()
     oracle_rows = odf.to_dict("records")
 
