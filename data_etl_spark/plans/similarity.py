@@ -761,9 +761,13 @@ matches AS (
 SELECT p.q_vec_id,
        coalesce(m.n_overlap, 0) AS n_overlap,
        coalesce(m.n_overlap, 0) / 5.0 AS recall
-FROM (SELECT DISTINCT q_vec_id FROM exact) p
+FROM (SELECT q_vec_id FROM q) p
 LEFT JOIN matches m ON p.q_vec_id = m.q_vec_id
 """
+# base rows come from the PROBE set, mirroring the engine's
+# ``base = probe.select(...)`` — deriving them from ``exact`` instead
+# silently drops every probe when the corpus slice is empty (engine
+# reports recall 0 rows, oracle nothing; found by the torture corpus).
 
 
 @register("q_ivf_recall", oracle=_RECALL_ORACLE, tags=("phase3", "similarity", "eval"))

@@ -835,8 +835,13 @@ def q_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             # re.split, NOT str.split(): an empty document must yield ['']
             # (one empty segment), matching the engine-wide words()
             # semantics (regexp split of the trimmed text) — str.split()
-            # returns [] and silently drops the document.
-            ws = re.split(r"\s+", text.strip())
+            # returns [] and silently drops the document. And strip(" "),
+            # NOT strip(): SQL trim() removes SPACES only in both Spark
+            # and DuckDB, so "\t\n" must split to ['', ''] — Python's
+            # all-whitespace strip() collapsed it to [''] (found by the
+            # torture corpus; latent on driver data, which never has
+            # leading/trailing non-space whitespace).
+            ws = re.split(r"\s+", text.strip(" "))
             for i in range(0, len(ws), _UDTF_WIN):
                 yield i // _UDTF_WIN, " ".join(ws[i : i + _UDTF_WIN])
 

@@ -22,7 +22,14 @@ import pytest
 
 from data_etl_spark.plans import REGISTRY
 
-_SEEDS = [7, 23]
+# 7 and 23: random adversarial corpora. 0: the deterministic "torture"
+# corpus — whitespace-only/empty documents, a single repeated event
+# timestamp, an all-zero embedding table (empty IVF corpus slice).
+# Round-5 catches from this trio: ANSI divide-by-zero in cosine and
+# token ratios, the GK value-vs-rank envelope bug, the UDTF's
+# all-whitespace strip() divergence, and q_ivf_recall's oracle dropping
+# probes when the corpus slice is empty.
+_SEEDS = [7, 23, 0]
 
 _VOCAB = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
@@ -258,13 +265,33 @@ def _write_relational(d: str, rng: random.Random):
     )
 
 
+def _torture_documents():
+    return [
+        (0, "", "en", "src0", 0),
+        (1, " ", "en", "src0", 1),
+        (2, "\t\n", "de", "src0", 2),
+        (3, "x", "fr", "src1", 1),
+        (4, "", "zh", "src1", 0),
+        (5, "  ", "es", "src1", 2),
+    ]
+
+
+def _torture_events():
+    base = 1704067200_000_000
+    return [(i, base, 5, "click", 0.01, '{"k": 1}') for i in range(3)]
+
+
+def _torture_embeddings(dim: int = 64):
+    return [(i, [0.0] * dim, i % 3) for i in range(12)]
+
+
 @pytest.fixture(scope="module", params=_SEEDS)
 def fuzz_dir(request, tmp_path_factory):
     seed = request.param
     rng = random.Random(seed)
     d = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
 
-    docs = _gen_documents(rng)
+    docs = _torture_documents() if seed == 0 else _gen_documents(rng)
     pq.write_table(
         pa.table(
             {
@@ -278,7 +305,7 @@ def fuzz_dir(request, tmp_path_factory):
         os.path.join(d, "documents.parquet"),
     )
 
-    ev = _gen_events(rng)
+    ev = _torture_events() if seed == 0 else _gen_events(rng)
     pq.write_table(
         pa.table(
             {
@@ -293,7 +320,7 @@ def fuzz_dir(request, tmp_path_factory):
         os.path.join(d, "events.parquet"),
     )
 
-    emb = _gen_embeddings(rng)
+    emb = _torture_embeddings() if seed == 0 else _gen_embeddings(rng)
     pq.write_table(
         pa.table(
             {
