@@ -338,12 +338,13 @@ def fuzz_dir(request, tmp_path_factory):
 
 
 # Auto-discovered: every oracle-backed query (all ten tables are
-# generated). Streaming twins are excluded (each runs a real
-# AvailableNow drain — minutes of suite time for semantics their batch
-# twins already cover here). Doc/event/embedding queries run on both
-# seeds; purely-relational queries run on seed 7 only to bound suite
-# time (the corpus tables carry the higher divergence risk: unicode,
-# duplicates, empty text).
+# generated). Doc/event/embedding queries run on every seed;
+# purely-relational queries and the streaming twins (each a real
+# AvailableNow drain, ~2-10 s apiece) run on the first seed only to
+# bound suite time (the corpus tables carry the higher divergence risk:
+# unicode, duplicates, empty text, timestamp collisions — and one
+# streaming pass under collisions exercises watermark/state semantics
+# the batch twins don't).
 _TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
@@ -357,11 +358,15 @@ def _eligible():
 
     names = []
     for n, q in sorted(REGISTRY.items()):
-        if q.oracle is None or n.startswith(_EXCLUDE_PREFIX):
+        if q.oracle is None:
             continue
         used = {t for t in _TABLES if _re.search(rf"\b{t}\b", q.oracle)}
-        if used:
-            names.append((n, bool(used & _CORPUS_TABLES)))
+        if not used:
+            continue
+        every_seed = bool(used & _CORPUS_TABLES) and not n.startswith(
+            _EXCLUDE_PREFIX
+        )
+        names.append((n, every_seed))
     return names
 
 
@@ -387,11 +392,11 @@ def _canon(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-@pytest.mark.parametrize("name,is_corpus", _QUERIES)
-def test_fuzz_matches_oracle(spark, fuzz_dir, name, is_corpus):
+@pytest.mark.parametrize("name,every_seed", _QUERIES)
+def test_fuzz_matches_oracle(spark, fuzz_dir, name, every_seed):
     d, seed = fuzz_dir
-    if not is_corpus and seed != _SEEDS[0]:
-        pytest.skip("relational-only queries fuzz on the first seed")
+    if not every_seed and seed != _SEEDS[0]:
+        pytest.skip("relational/streaming queries fuzz on the first seed")
     q = REGISTRY[name]
     sdf = q.fn(spark, d)
     spark_rows = [r.asDict() for r in sdf.collect()]
