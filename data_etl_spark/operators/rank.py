@@ -193,6 +193,11 @@ def exact_global_cumsum(
     into broadcast cumulative offsets — every shuffle partitioned, no
     single-task WindowExec.
     """
+    if cumsum_name in {"__rng", "__bkt", "__val", "__run", "__off", "__bsum"}:
+        raise ValueError(
+            f"cumsum_name {cumsum_name!r} collides with an internal "
+            "working column of exact_global_cumsum"
+        )
     b = _range_buckets(df, range_expr, n_buckets=n_buckets, bounds=bounds)
     val = value_col.cast("bigint").alias("__val")
     b = b.withColumn("__val", val)

@@ -1463,3 +1463,69 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SOURCE_CAP_K)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pack_global — corpus-GLOBAL sequence packing: one continuous token
+# stream in doc_id order, no shard boundaries. q_pack_sequences keeps
+# packing shard-local precisely to avoid a global ordered window; this
+# variant removes the shard discontinuities (no partially-filled
+# sequence per shard tail) by computing the global running token sum
+# with operators/rank.exact_global_cumsum — sampled range buckets on
+# doc_id, partitioned within-bucket sums, broadcast offsets. Same
+# output contract as a single `sum() OVER (ORDER BY doc_id)` window,
+# zero single-task sorts. Pick q_pack_sequences when shard-parallel
+# writers consume the output; pick this when the training job needs one
+# global sequence index space.
+# ---------------------------------------------------------------------------
+
+_PACK_GLOBAL_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {TX.bpeish_token_count_sql('text')} AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+    FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {_PACK_SEQ_LEN} AS BIGINT) AS seq_idx,
+       CAST(start_tok % {_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+
+@register(
+    "q_pack_global",
+    oracle=_PACK_GLOBAL_ORACLE,
+    tags=("phase3", "textstats", "packing", "sweepline"),
+)
+def q_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-sequence packing via the two-pass bucketed cumsum."""
+    from ..operators.rank import exact_global_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        TX.bpeish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    run = exact_global_cumsum(
+        t,
+        [F.asc("doc_id")],
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        cumsum_name="run_tok",
+    )
+    start = (F.col("run_tok") - F.col("n_tokens")).cast("bigint")
+    seq_len = F.lit(_PACK_SEQ_LEN).cast("bigint")
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        ((start - F.pmod(start, seq_len)) / seq_len).cast("bigint").alias("seq_idx"),
+        F.pmod(start, seq_len).cast("bigint").alias("seq_offset"),
+    )
