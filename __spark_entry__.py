@@ -82,7 +82,9 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # (q_hybrid_rrf / q_ivf_* / q_embed_dedup_clusters share the same
     # changed cosine helper but lost the window-slot lottery — values
     # are unchanged on driver data and their local oracle tests ran)
-    "q_token_counts", "q_knn_exact", "q_vector_stats",
+    # (q_vector_stats not listed: it uses l2_norm only — no division,
+    # unaffected by the cosine try_divide change)
+    "q_token_counts", "q_knn_exact",
     "q_semantic_dedup", "q_sq_knn", "q_pq_knn",
     "q_rp_lsh_pairs",
     # GK envelope corrected to rank space (fuzz-found; TRUE on driver

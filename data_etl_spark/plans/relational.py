@@ -2992,3 +2992,43 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cust").cast("bigint").alias("sum_cust"),
         F.count_if(F.col("prio") == "1-URGENT").cast("bigint").alias("n_urgent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bitwise_funcs — bitwise scalar coverage (§2.3): shifts, masks,
+# xor, single-bit probe, popcount. Engine-relevant shapes: hash
+# partitioning (key & (2^k - 1)), bitmap membership, simhash-style
+# popcount distance (the aggregate form lives in q_simhash_pairs).
+# Everything stays bigint: DuckDB << returns BIGINT while Spark
+# shiftleft preserves width, and bit_count returns INT in Spark vs
+# BIGINT in DuckDB — both sides cast explicitly.
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT p_partkey,
+       CAST(p_partkey << 2 AS BIGINT) AS shl2,
+       CAST(p_partkey >> 1 AS BIGINT) AS shr1,
+       CAST(p_partkey & 255 AS BIGINT) AS low8,
+       CAST(p_partkey | 16 AS BIGINT) AS or16,
+       CAST(xor(p_partkey, CAST(p_size AS BIGINT)) AS BIGINT) AS xor_size,
+       CAST((p_partkey >> 3) & 1 AS BIGINT) AS bit3,
+       CAST(bit_count(p_partkey) AS BIGINT) AS popcount
+FROM part
+"""
+
+
+@register("q_bitwise_funcs", oracle=_BITWISE_ORACLE, tags=("phase1", "functions"))
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions over part keys (shifts/masks/popcount)."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 1).cast("bigint").alias("shr1"),
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low8"),
+        k.bitwiseOR(F.lit(16)).cast("bigint").alias("or16"),
+        k.bitwiseXOR(F.col("p_size").cast("bigint")).cast("bigint").alias("xor_size"),
+        F.shiftright(k, 3).bitwiseAND(F.lit(1)).cast("bigint").alias("bit3"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
