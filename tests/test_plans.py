@@ -472,3 +472,21 @@ def test_lsh_tuning_curve_broadcasts_total(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the 1-row truth total rides a broadcast nested loop, never a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_interval_sweep_plan_shape(spark, sf_dir):
+    # both global running sums go through the bucketed two-pass cumsum:
+    # per-bucket offsets ride in as broadcast joins, the within-bucket
+    # windows are partitioned (the registry-wide sweep enforces zero
+    # partition-free Window nodes), and no cartesian product appears
+    plan = _plan(spark, sf_dir, "q_interval_sweep")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the change-point stream is persisted once for the second pass
+    assert "InMemoryTableScan" in plan
+
+
+def test_pack_global_plan_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_pack_global")
+    assert "BroadcastHashJoin" in plan  # cumulative offsets broadcast
+    assert "CartesianProduct" not in plan
