@@ -74,6 +74,7 @@ HEADLINE = [
     "q_incremental_dedup",  # batch-vs-corpus ingest dedup family
     "q_lsh_tuning_curve",   # candidate-confined eval family
     "q_interval_sweep",     # window-free global cumsum (sweep line)
+    "q_pack_global",        # corpus-global packing on the same operator
 ]
 
 
