@@ -1219,3 +1219,97 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto_knn(
         q, c, k=_AUTO_K, threshold=_AUTO_THRESHOLD, n_centroids=_AUTO_NCENT
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_adaptive — the second cost-gated planner rule (after
+# q_knn_auto's exact-vs-IVF gate): LSH band WIDTH chosen from corpus
+# cardinality. A narrow signature on a big corpus is the classic LSH
+# failure (2^8 buckets over 10^9 vectors -> ~10^7-row buckets -> a
+# quadratic bucket self-join); a wide signature on a tiny corpus
+# needlessly splits true near-dups across buckets. The rule: W = 8 bits
+# while the corpus holds <= _ADAPT_N rows, 16 above — i.e. keep
+# 2^W >= corpus/occupancy_target, the "band width ~ log2(n) + margin"
+# guidance in q_rp_lsh_pairs' docstring, operationalized.
+#
+# Spark-first detail: the gate is IN the plan, not a driver decision —
+# the corpus count rides in as a broadcast 1-row crossJoin and the mask
+# is a CASE on that column, so the whole query stays one lazy plan with
+# zero driver actions (house pattern from q_market_basket's basket
+# count). The 8-bit signature IS the low byte of the 16-bit one (same
+# plane pool), so one Arrow signature pass serves both branches and the
+# oracle reproduces the gate with the same `& 255` CASE.
+# ---------------------------------------------------------------------------
+
+_ADAPT_N = 256
+
+_ADAPT_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+n AS (SELECT count(*) AS c FROM e),
+sig AS (SELECT vec_id, emb, {_band_sql(0)} AS s16 FROM e),
+masked AS (
+    SELECT vec_id, emb,
+           CASE WHEN (SELECT c FROM n) <= {_ADAPT_N} THEN s16 & 255 ELSE s16 END AS s,
+           CASE WHEN (SELECT c FROM n) <= {_ADAPT_N} THEN 8 ELSE 16 END AS w
+    FROM sig
+),
+cand AS (
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.emb AS emb1, b.emb AS emb2, a.w
+    FROM masked a JOIN masked b ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2, cos_sim, CAST(w AS BIGINT) AS band_bits FROM (
+    SELECT vec1, vec2, {V.cosine_sql('emb1', 'emb2')} AS cos_sim, w FROM cand
+)
+WHERE cos_sim >= {_RP_TAU}
+"""
+
+
+@register(
+    "q_lsh_adaptive",
+    oracle=_ADAPT_ORACLE,
+    tags=("phase3", "similarity", "dedup", "planner"),
+)
+def q_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-size-adaptive LSH: 8-bit bands on small corpora, 16 above."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    cnt = e.agg(F.count("*").alias("__c"))
+    sig = (
+        e.withColumn("sg", _band_sigs("emb"))
+        .select(
+            "vec_id", "emb", F.col("sg.s0").alias("s16"),
+            V.l2_norm(F.col("emb")).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.when(
+                F.col("__c") <= _ADAPT_N, F.col("s16").bitwiseAND(F.lit(255))
+            )
+            .otherwise(F.col("s16"))
+            .alias("s"),
+            F.when(F.col("__c") <= _ADAPT_N, F.lit(8))
+            .otherwise(F.lit(16))
+            .cast("bigint")
+            .alias("band_bits"),
+        )
+        .persist()
+    )
+    a = sig.select(
+        F.col("s").alias("k"), F.col("vec_id").alias("vec1"),
+        F.col("emb").alias("emb1"), F.col("nrm").alias("n1"), "band_bits",
+    )
+    b = sig.select(
+        F.col("s").alias("k"), F.col("vec_id").alias("vec2"),
+        F.col("emb").alias("emb2"), F.col("nrm").alias("n2"),
+    )
+    cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cos.alias("cos_sim"), "band_bits")
+        .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
+    )
