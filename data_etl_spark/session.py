@@ -32,6 +32,18 @@ def build_session(app_name: str = "data-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # RocksDB state store for stateful streaming: state lives
+        # off-heap/on-disk with incremental (changelog) checkpoints, so
+        # per-key state scales past executor heap — the HDFS-backed
+        # default materializes the whole store into memory per batch
+        # and full-snapshots every checkpoint, which caps session/dedup
+        # state at heap size on a 100 TB ingest. Also the required
+        # provider for transformWithState.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
