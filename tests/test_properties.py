@@ -340,3 +340,36 @@ def test_exact_global_cumsum_equals_global_window_sum(spark):
     j = got.join(want, ["id", "t", "delta"])
     assert j.filter(F.col("cs") != F.col("cs_ref")).count() == 0
     assert got.count() == 997
+
+
+def test_adaptive_lsh_narrow_band_candidates_superset(spark, sf_dir):
+    """The 8-bit signature is the low byte of the 16-bit one, so any
+    pair colliding on the wide signature must also collide on the
+    narrow — the adaptive gate can only ADD candidates when it narrows
+    the band, never lose them. Checked on the real embeddings by
+    recomputing both widths from one signature pass."""
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.plans.similarity import _band_sigs
+    from data_etl_spark.functions import vectors as V
+    from data_etl_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("emb")
+    )
+    sig = e.withColumn("sg", _band_sigs("emb")).select(
+        "vec_id", F.col("sg.s0").alias("s16"),
+        F.col("sg.s0").bitwiseAND(F.lit(255)).alias("s8"),
+    )
+
+    def pairs(col):
+        a = sig.select(F.col(col).alias("k"), F.col("vec_id").alias("v1"))
+        b = sig.select(F.col(col).alias("k"), F.col("vec_id").alias("v2"))
+        return (
+            a.join(b, "k").filter(F.col("v1") < F.col("v2")).select("v1", "v2")
+        )
+
+    wide, narrow = pairs("s16"), pairs("s8")
+    missing = wide.join(narrow, ["v1", "v2"], "left_anti").count()
+    assert missing == 0
+    assert narrow.count() >= wide.count()
