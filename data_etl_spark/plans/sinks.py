@@ -110,7 +110,11 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch(sf_dir, "events_by_type")
     e.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: an EMPTY source (an empty ingest day) writes no
+    # data files, and a schema-inferring read of a fileless dataset
+    # throws UNABLE_TO_INFER_SCHEMA — the writer knows the schema, so
+    # the reader never needs to infer it (empty-tables probe).
+    back = spark.read.schema(e.schema).parquet(path)
     return back.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
     )
