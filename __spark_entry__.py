@@ -60,11 +60,12 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # raw-shingle persists -> DISK_ONLY (word_shingles internal + plan
     # sites; storage level only, values unchanged — re-verify anyway):
     "q_minhash_lsh_pairs",
-    "q_minhash_banded_pairs", "q_decontaminate",
-    # (q_minhash_signatures / q_minhash_estimate / q_ngram_jaccard
-    # dropped from the window: persist-level-only changes — displaced
-    # by the torture-found contract fixes below and round-5 fresh
-    # queries; all remain green in the local oracle + 3-seed fuzz)
+    "q_minhash_banded_pairs",
+    # (q_minhash_signatures / q_minhash_estimate / q_ngram_jaccard /
+    # q_decontaminate dropped from the window: persist-level-only
+    # changes — displaced by the torture/empty-probe contract fixes
+    # below and round-5 fresh queries; all remain green in the local
+    # oracle + 3-seed fuzz)
     "q_udtf_word_windows",  # spaces-only strip matches SQL trim
     "q_ivf_recall",         # oracle base rows from probe set, not exact
     "q_dup_triangles", "q_simhash_eval", "q_pagerank_dupgraph",
@@ -91,6 +92,9 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # GK envelope corrected to rank space (fuzz-found; TRUE on driver
     # data before and after, plan + bound semantics changed):
     "q_approx_quantile_eval",
+    # empty-source fix: read-back now uses the writer's schema
+    # (values unchanged on driver data):
+    "q_partitioned_write",
 })
 
 
