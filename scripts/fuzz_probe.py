@@ -1,0 +1,146 @@
+"""One-off fuzz probe: run the registry's oracle-backed queries against
+a generated corpus and report divergences, without editing the suite.
+
+Usage:
+  python scripts/fuzz_probe.py --seed 404          # random corpus, seed 404
+  python scripts/fuzz_probe.py --seed 404 --relational-too
+  python scripts/fuzz_probe.py --torture           # degenerate corpus
+  python scripts/fuzz_probe.py --empty             # all tables empty
+  python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
+
+The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
+regression; this script explores NEW seeds when hunting for divergence
+classes the pinned corpora miss. Streaming queries are skipped unless
+named explicitly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from tests import test_fuzz_differential as T  # noqa: E402
+from data_etl_spark.plans import REGISTRY  # noqa: E402
+from data_etl_spark.session import build_session  # noqa: E402
+
+
+def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
+    if mode == "empty":
+        docs, ev, emb = [], [], []
+    elif mode == "torture":
+        docs = T._torture_documents()
+        ev = T._torture_events()
+        emb = T._torture_embeddings()
+    else:
+        docs = T._gen_documents(rng)
+        ev = T._gen_events(rng)
+        emb = T._gen_embeddings(rng)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array([r[3] for r in ev], pa.string()),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array([r[5] for r in ev], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in emb], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--torture", action="store_true")
+    ap.add_argument("--empty", action="store_true")
+    ap.add_argument(
+        "--relational-too",
+        action="store_true",
+        help="also run purely-relational queries",
+    )
+    ap.add_argument("names", nargs="*", help="restrict to these queries")
+    args = ap.parse_args()
+
+    mode = "torture" if args.torture else ("empty" if args.empty else "random")
+    rng = random.Random(args.seed)
+    d = tempfile.mkdtemp(prefix=f"fuzz_probe_{mode}_{args.seed}_")
+    _write_corpus(d, rng, mode)
+    T._write_relational(d, rng)
+
+    spark = build_session("fuzz-probe")
+    only = set(args.names)
+    fails = []
+    n_run = 0
+    for name, every_seed in T._QUERIES:
+        if only and name not in only:
+            continue
+        if not only:
+            if name.startswith("q_streaming_"):
+                continue
+            if not every_seed and not args.relational_too:
+                continue
+        q = REGISTRY[name]
+        n_run += 1
+        try:
+            sdf = q.fn(spark, d)
+            srows = [r.asDict() for r in sdf.collect()]
+            con = duckdb.connect()
+            for t in T._TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+                )
+            odf = con.execute(q.oracle).df()
+            orows = odf.to_dict("records")
+            ok = sorted(sdf.columns) == sorted(odf.columns.tolist()) and (
+                T._canon(srows, sdf.columns) == T._canon(orows, sdf.columns)
+            )
+            if not ok:
+                fails.append((name, f"{len(srows)} vs {len(orows)} rows"))
+                print(f"FAIL {name}")
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            fails.append((name, f"{type(ex).__name__}: {str(ex)[:140]}"))
+            print(f"ERR  {name}: {type(ex).__name__}")
+    print(f"\n== {n_run - len(fails)}/{n_run} matched ({mode}, seed {args.seed}) ==")
+    for name, why in fails:
+        print(f"  {name}: {why}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
