@@ -59,13 +59,15 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     "q_dup_spans",            # repartition(doc_id) decision re-measured
     # raw-shingle persists -> DISK_ONLY (word_shingles internal + plan
     # sites; storage level only, values unchanged — re-verify anyway):
-    "q_minhash_lsh_pairs",
-    "q_minhash_banded_pairs",
-    # (q_minhash_signatures / q_minhash_estimate / q_ngram_jaccard /
-    # q_decontaminate dropped from the window: persist-level-only
-    # changes — displaced by the torture/empty-probe contract fixes
-    # below and round-5 fresh queries; all remain green in the local
-    # oracle + 3-seed fuzz)
+    # session-gap boundary contract (fuzz seed 555): oracles now use
+    # strict >, matching session_window's boundary-merge — re-verify:
+    "q_session_window", "q_streaming_sessionize",
+    # (the whole minhash persist-level batch — q_minhash_signatures /
+    # q_minhash_estimate / q_minhash_lsh_pairs / q_minhash_banded_pairs /
+    # q_ngram_jaccard / q_decontaminate — dropped from the window:
+    # storage-level-only changes, displaced by the torture/empty-probe/
+    # boundary contract fixes and round-5 fresh queries; all remain
+    # green in the local oracle + 3-seed fuzz)
     "q_udtf_word_windows",  # spaces-only strip matches SQL trim
     "q_ivf_recall",         # oracle base rows from probe set, not exact
     "q_dup_triangles", "q_simhash_eval", "q_pagerank_dupgraph",

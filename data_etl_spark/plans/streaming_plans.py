@@ -64,7 +64,7 @@ WITH {EVENTS_US},
 flagged AS (
     SELECT user_id, event_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events_us
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

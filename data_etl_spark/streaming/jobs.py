@@ -163,7 +163,7 @@ def sessionize_fn(key, pdf_iter, state):
             t = int(t)
             if open_sess is None:
                 open_sess = [t, t, 1]
-            elif t >= open_sess[1] + SESSION_GAP_US:
+            elif t > open_sess[1] + SESSION_GAP_US:
                 sessions.append(open_sess)
                 open_sess = [t, t, 1]
             else:

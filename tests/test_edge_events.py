@@ -25,6 +25,13 @@ _EVENTS = [
     (5, _T0, 3, "view", 1.0),            # all three events at one instant
     (6, _T0, 3, "click", 2.0),
     (7, _T0, 3, "purchase", 3.0),
+    # user 4: the session-gap BOUNDARY — second event exactly 30:00
+    # after the first (merges into one session: Spark's session_window
+    # extends on the boundary, strict > in the oracles; fuzz seed 555),
+    # third event 30:00.000001 after the second (strictly over, splits)
+    (8, _T0, 4, "click", 1.0),
+    (9, _T0 + 1_800_000_000, 4, "view", 2.0),
+    (10, _T0 + 3_600_000_001, 4, "purchase", 3.0),
 ]
 
 _QUERIES = [
