@@ -74,9 +74,13 @@ def _gen_events(rng: random.Random, n: int = 400):
     # collisions force every tie-break path
     base = 1704067200_000_000  # 2024-01-01 UTC, µs
     slots = sorted(rng.randrange(0, 3 * 86400) for _ in range(150))
+    # sub-second offsets incl. the .999999/.000001 bucket-boundary
+    # neighbors — second-aligned-only data never touches µs-truncation
+    # or window-edge paths
+    micros = [0, 0, 1, 999_999, 500_000]
     rows = []
     for i in range(n):
-        t_us = base + rng.choice(slots) * 1_000_000
+        t_us = base + rng.choice(slots) * 1_000_000 + rng.choice(micros)
         value = rng.choice([0.01, 0.01, round(rng.uniform(0.01, 500.0), 2)])
         rows.append(
             (
