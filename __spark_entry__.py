@@ -97,6 +97,11 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # empty-source fix: read-back now uses the writer's schema
     # (values unchanged on driver data):
     "q_partitioned_write",
+    # (q_json_funcs' dirty-payload hardening — try_cast + json_valid on
+    # both sides — is NOT window-listed: the window is at capacity and
+    # clean driver data takes neither new branch; exact-value clean-data
+    # equivalence is proven by tests/test_oracle.py and the dirty paths
+    # by the props fuzz corpus)
 })
 
 

@@ -818,12 +818,25 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY_CAST + json_valid guard: production event payloads contain
+# malformed JSON and non-numeric values for '$.k' (nested objects,
+# quoted strings). Spark's get_json_object returns NULL on bad JSON but
+# a plain ANSI cast hard-fails the JOB on a non-numeric extract
+# (props-fuzz probe: {"k": {"nested": 1}}); DuckDB's json_extract_string
+# errors on malformed JSON outright. try_cast/NULL-on-bad on both sides
+# makes dirty payloads degrade to NULL-ignored aggregates identically.
 _JSON_FUNCS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum(TRY_CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+       min(TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT)) AS min_k,
+       max(TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 """
@@ -833,7 +846,7 @@ GROUP BY event_type
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (T14 from_json analog) + agg over events."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(k).alias("sum_k"),

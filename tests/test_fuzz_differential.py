@@ -78,10 +78,20 @@ def _gen_events(rng: random.Random, n: int = 400):
     # neighbors — second-aligned-only data never touches µs-truncation
     # or window-edge paths
     micros = [0, 0, 1, 999_999, 500_000]
+    # ~20% dirty payloads: malformed JSON, missing/null/non-numeric k —
+    # production event logs contain all of these (json-parsing queries
+    # must NULL-degrade, not fail the job)
+    dirty = ["not json", "", "{}", '{"k": null}', '{"k": {"nested": 1}}',
+             '{"K": 3}', "[1,2]", '{"k": "7"}']
     rows = []
     for i in range(n):
         t_us = base + rng.choice(slots) * 1_000_000 + rng.choice(micros)
         value = rng.choice([0.01, 0.01, round(rng.uniform(0.01, 500.0), 2)])
+        props = (
+            rng.choice(dirty)
+            if rng.random() < 0.2
+            else json.dumps({"k": rng.randint(0, 99)})
+        )
         rows.append(
             (
                 i,
@@ -89,7 +99,7 @@ def _gen_events(rng: random.Random, n: int = 400):
                 rng.randint(0, 20),
                 rng.choice(_EVENT_TYPES),
                 value,
-                json.dumps({"k": rng.randint(0, 99)}),
+                props,
             )
         )
     return rows
