@@ -20,7 +20,7 @@ from data_etl_spark.plans import REGISTRY  # noqa: E402
 FLAGSHIP = "q_chunk_pipeline"
 
 # The driver records correctness rows for at most 50 queries per round;
-# the full registry (len(data_etl_spark.plans.REGISTRY); 189 as of round
+# the full registry (len(data_etl_spark.plans.REGISTRY); 194 as of round
 # 5) is every one oracle-tested locally in tests/test_oracle.py
 # (sf0.001 exact values) and scripts/driver_sim.py (sf0.01 driver
 # replica). The <=50-name window rotates automatically

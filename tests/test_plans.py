@@ -490,3 +490,14 @@ def test_pack_global_plan_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pack_global")
     assert "BroadcastHashJoin" in plan  # cumulative offsets broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_adaptive_gate_rides_plan(spark, sf_dir):
+    # the corpus-count gate is IN the plan (broadcast 1-row crossJoin +
+    # CASE), not a driver-side count() — a regression to a driver action
+    # would drop the BroadcastNestedLoopJoin
+    plan = _plan(spark, sf_dir, "q_lsh_adaptive")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one signature materialization feeds both self-join legs
+    assert "InMemoryTableScan" in plan
