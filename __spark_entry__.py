@@ -70,8 +70,9 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # green in the local oracle + 3-seed fuzz)
     "q_udtf_word_windows",  # spaces-only strip matches SQL trim
     "q_ivf_recall",         # oracle base rows from probe set, not exact
-    "q_dup_triangles", "q_simhash_eval", "q_pagerank_dupgraph",
+    "q_dup_triangles", "q_pagerank_dupgraph",
     "q_keep_best", "q_dedup_clusters", "q_corpus_filter",
+    # (q_simhash_eval also displaced: persist-level-only change)
     # nearest-centroid assignment deduped into operators/ivf.assign_cells
     # (identical expression tree; re-verify out of caution):
     "q_ivf_knn", "q_ivf_recall",

@@ -1504,3 +1504,89 @@ def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m_points.crossJoin(F.broadcast(m_islands)).select(
         "n_intervals", "max_concurrent", "n_islands", "covered_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_funnel_windowed — conversion funnel with per-step time windows: a
+# click counts only within 1 HOUR of the user's first view, a purchase
+# only within 1 DAY of that qualifying first click. q_funnel measures
+# eventual ordered conversion; this is the product-analytics standard
+# where conversions expire (attribution windows). Semantics pinned to
+# the half-open [step_ts, step_ts + window): boundary arithmetic runs
+# on epoch-µs BIGINTs in BOTH engines, so there is no interval-type
+# edge to diverge on. Same scale shape as q_funnel: per-stage min-agg
+# then keyed joins — each stage's table only shrinks, and the final
+# counts are three broadcast 1-row crossJoins (no driver action).
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+_FUNNEL_W_ORACLE = f"""
+WITH {EVENTS_US},
+s1 AS (
+    SELECT user_id, min(epoch_ns(ts) // 1000) AS v_us FROM events_us
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS c_us
+    FROM events_us e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click'
+      AND epoch_ns(e.ts) // 1000 >= s1.v_us
+      AND epoch_ns(e.ts) // 1000 < s1.v_us + {_HOUR_US}
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS p_us
+    FROM events_us e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND epoch_ns(e.ts) // 1000 >= s2.c_us
+      AND epoch_ns(e.ts) // 1000 < s2.c_us + {_DAY_US}
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_click_1h,
+       (SELECT count(*) FROM s3) AS n_purchase_1d
+"""
+
+
+@register(
+    "q_funnel_windowed",
+    oracle=_FUNNEL_W_ORACLE,
+    tags=("phase4", "events", "analytics"),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click-within-1h → purchase-within-1d funnel counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("v_us"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("t_us") >= F.col("v_us"))
+            & (F.col("t_us") < F.col("v_us") + F.lit(_HOUR_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("c_us"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("t_us") >= F.col("c_us"))
+            & (F.col("t_us") < F.col("c_us") + F.lit(_DAY_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("p_us"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_click_1h"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_purchase_1d"))))
+    )
