@@ -152,7 +152,13 @@ class ETLPipeline:
         """Current index contents (empty-but-typed if never written)."""
         if not self._exists():
             return self.spark.createDataFrame([], INDEX_SCHEMA)
-        df = self.spark.read.parquet(self.index_path)
+        # explicit schema (+ the bucket partition column): an index
+        # bootstrapped by an EMPTY ingest — or emptied by deletes — has
+        # no parquet files to infer from, which would fail the read
+        read_schema = T.StructType(
+            list(INDEX_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+        )
+        df = self.spark.read.schema(read_schema).parquet(self.index_path)
         return df.select([f.name for f in INDEX_SCHEMA.fields])
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -178,7 +184,12 @@ class ETLPipeline:
         """
         if not self._exists() or not buckets:
             return self.spark.createDataFrame([], INDEX_SCHEMA)
-        df = self.spark.read.parquet(self.index_path).filter(
+        # explicit schema: a fileless index (empty bootstrap / emptied
+        # by deletes) has nothing to infer from
+        read_schema = T.StructType(
+            list(INDEX_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+        )
+        df = self.spark.read.schema(read_schema).parquet(self.index_path).filter(
             F.col("bucket").isin(*[int(b) for b in buckets])
         )
         return df.select([f.name for f in INDEX_SCHEMA.fields])
@@ -348,7 +359,16 @@ class ETLPipeline:
             wrote = True
         #: metrics of the batch the write ACTUALLY ingested (post-gate,
         #: post-skip) — {} when nothing was written (or not observed).
-        self.last_ingest_metrics = dict(obs.get) if (wrote and obs is not None) else {}
+        if wrote and obs is not None:
+            try:
+                self.last_ingest_metrics = dict(obs.get)
+            except Exception:
+                # an all-empty batch can execute the write with zero
+                # tasks touching the CollectMetrics node — no metrics
+                # row exists to fetch (observed on empty bootstrap)
+                self.last_ingest_metrics = {}
+        else:
+            self.last_ingest_metrics = {}
         stats = (
             self.index_table()
             .groupBy()

@@ -279,3 +279,15 @@ def test_ingest_observes_batch_metrics(pipe, docs):
     # force=False + nothing new -> no write happens -> metrics empty
     pipe.ingest(docs, force=False)
     assert pipe.last_ingest_metrics == {}
+
+
+def test_ingest_empty_batch(pipe, docs, spark):
+    empty = spark.createDataFrame([], "filename string, text string")
+    # empty FIRST ingest: bootstraps a typed empty index, no crash
+    stats = pipe.ingest(empty)
+    assert stats == {"n_documents": 0, "n_chunks": 0}
+    # empty ingest into an EXISTING index: no bucket touched, stats stable
+    pipe.ingest(docs)
+    before = pipe.ingest(empty)
+    assert before["n_documents"] == 5
+    assert pipe.last_ingest_metrics == {}  # nothing written, not observed
