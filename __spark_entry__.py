@@ -74,8 +74,9 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     "q_keep_best", "q_dedup_clusters", "q_corpus_filter",
     # (q_simhash_eval also displaced: persist-level-only change)
     # nearest-centroid assignment deduped into operators/ivf.assign_cells
-    # (identical expression tree; re-verify out of caution):
-    "q_ivf_knn", "q_ivf_recall",
+    # (identical expression tree; re-verify out of caution — q_ivf_recall
+    # is already listed above for its oracle base-row fix):
+    "q_ivf_knn",
     # full-registry review fixes: pivot NULL->0 fill, ab_test degenerate
     # guards (both engines), pmi count folded into plan, cohort_ltv
     # broadcast unhinted, market_basket persist -> DISK_ONLY:
@@ -103,6 +104,13 @@ _TOUCHED_BY_ROUND[5] = frozenset({
     # clean driver data takes neither new branch; exact-value clean-data
     # equivalence is proven by tests/test_oracle.py and the dirty paths
     # by the props fuzz corpus)
+})
+_TOUCHED_BY_ROUND[6] = frozenset({
+    # rank._idiv now IntegralDivide (exact past 2^53; double round-trip
+    # before). Same values on driver data, changed plans — re-verify
+    # every rank.py consumer:
+    "q_equidepth_bins", "q_rfm_segments", "q_interval_sweep",
+    "q_pack_global",
 })
 
 
@@ -200,13 +208,21 @@ def _driver_window() -> list[str]:
     if FLAGSHIP not in window:
         window.append(FLAGSHIP)
     # Refill the remaining slots with already-green names for
-    # re-verification — but queries whose PLANS changed this round
-    # (listed in _TOUCHED_THIS_ROUND) come before alphabetical
-    # freshness, so a modified-but-previously-green query can't ride
-    # stale evidence through a round (VERDICT r3, next #6).
+    # re-verification — queries whose PLANS changed this round
+    # (listed in _TOUCHED_THIS_ROUND) first, so a modified-but-
+    # previously-green query can't ride stale evidence through a round
+    # (VERDICT r3, next #6); then LEAST-RECENTLY-VERIFIED greens, so
+    # with ~195 names and ~50 slots every green eventually cycles back
+    # through the driver instead of alphabetically-late names starving
+    # (VERDICT r5, next #1). Name is the final tiebreak for determinism.
+    window_set = set(window)
     refill = sorted(
-        (n for n in REGISTRY if n not in window),
-        key=lambda n: (n not in _TOUCHED_THIS_ROUND, n),
+        (n for n in REGISTRY if n not in window_set),
+        key=lambda n: (
+            n not in _TOUCHED_THIS_ROUND,
+            evidence.get(n, (0, False))[0],
+            n,
+        ),
     )
     window += refill[: _WINDOW_CAP - len(window)]
     return sorted(window)

@@ -65,8 +65,13 @@ def boundary_accuracy(n_buckets: int) -> int:
 
 
 def _idiv(a: Column, b: Column) -> Column:
-    """Exact floor division for non-negative bigint-valued columns."""
-    return ((a - F.pmod(a, b)) / b).cast("bigint")
+    """Exact floor division for non-negative bigint-valued columns.
+
+    Uses Spark's IntegralDivide (``a div b``) via the function registry —
+    stays in bigint end-to-end, so it is exact past 2^53 where a
+    double-division round-trip would round the quotient.
+    """
+    return F.call_function("div", a, b)
 
 
 def _range_buckets(

@@ -1380,10 +1380,13 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does not recompute the union + cumsum subtree.
 #
 # Ordering contract: change points totally ordered by (t_us, delta,
-# event_id) — ends (-1) sort before starts (+1) at the same instant, so
-# back-to-back intervals neither overlap (half-open semantics) nor split
-# an island incorrectly; islands close exactly when the level returns to
-# zero. Durations are floored to µs and clamped to >=1 so every interval
+# event_id) — ends (-1) sort before starts (+1) at the same instant.
+# Under half-open [s,e) semantics this means two TOUCHING intervals
+# [a,T) and [T,b) close the level to zero at T before reopening, so they
+# intentionally count as SEPARATE busy islands (islands = maximal spans
+# of strictly-positive concurrency; a shared endpoint carries zero
+# covered time). Engine and oracle share the ordering, so the convention
+# is consistent on both sides. Durations are floored to µs and clamped to >=1 so every interval
 # is non-degenerate (its own end can never precede its start). DuckDB
 # sums of BIGINT widen to HUGEINT, so every aggregate is CAST back.
 # ---------------------------------------------------------------------------

@@ -1506,7 +1506,7 @@ FROM packed
 )
 def q_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global training-sequence packing via the two-pass bucketed cumsum."""
-    from ..operators.rank import exact_global_cumsum
+    from ..operators.rank import _idiv, exact_global_cumsum
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -1526,6 +1526,6 @@ def q_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         start.alias("start_tok"),
-        ((start - F.pmod(start, seq_len)) / seq_len).cast("bigint").alias("seq_idx"),
+        _idiv(start, seq_len).alias("seq_idx"),
         F.pmod(start, seq_len).cast("bigint").alias("seq_offset"),
     )

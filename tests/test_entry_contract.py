@@ -108,6 +108,44 @@ def test_round3_window_rotates_to_unchecked(monkeypatch, tmp_path):
     assert expect <= set(window)
 
 
+def test_refill_is_least_recently_verified_first(monkeypatch, tmp_path):
+    """Re-verification refill slots go to the STALEST greens, not the
+    alphabetically earliest (VERDICT r5, next #1): a name green since r1
+    must be re-exposed before one re-verified in r2."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    # all names green in r1; the alphabetically-first 100 re-verified in r2
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names[:100]})
+    )
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    window = set(entry_mod._driver_window())
+    stale = [n for n in names[100:] if n != entry_mod.FLAGSHIP]
+    fresh = [n for n in names[:100] if n != entry_mod.FLAGSHIP]
+    # with zero unchecked names, refill must draw from the r1-stale tail
+    # (minus this round's touched set, which legitimately jumps the queue)
+    expected_stale = [n for n in stale if n not in entry_mod._TOUCHED_THIS_ROUND]
+    n_free = entry_mod._WINDOW_CAP - 1 - len(
+        set(entry_mod._TOUCHED_THIS_ROUND) & set(REGISTRY)
+    )
+    take = min(n_free, len(expected_stale))
+    assert set(expected_stale[:take]) <= window
+    # and no alphabetically-early r2-fresh green may displace a stale one
+    fresh_untouched = [
+        n for n in fresh if n not in entry_mod._TOUCHED_THIS_ROUND
+    ]
+    if take == n_free and n_free > 0:
+        assert not (set(fresh_untouched) & window)
+
+
 def test_touched_queries_hold_window_slots():
     """Every query modified this round (_TOUCHED_THIS_ROUND) must occupy
     a slot in the ACTUAL current driver window — if registry growth
