@@ -111,6 +111,10 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # every rank.py consumer:
     "q_equidepth_bins", "q_rfm_segments", "q_interval_sweep",
     "q_pack_global",
+    # rows-only -> HLL error-bound-verdict oracle (VERDICT r5, next #2);
+    # _driver_rows already re-exposes it as unchecked, listed for the
+    # contract test's slot accounting:
+    "q_approx_distinct",
 })
 
 

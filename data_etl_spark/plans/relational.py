@@ -309,14 +309,57 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct", oracle=None, tags=("phase1", "agg", "approx"))
+_AD_RSD = 0.02  # requested HLL++ relative standard deviation
+# Acceptance margin: the estimate's error is ~N(0, rsd*n), so 6 sigma is
+# a never-fires-by-chance bound (P < 1e-9 per group) that still catches
+# real sketch breakage (wrong hash width, lost merge, unit mixups).
+_AD_SIGMAS = 6.0
+
+_AD_ORACLE = f"""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS n_parts_exact,
+       count(DISTINCT l_orderkey) AS n_orders_exact,
+       TRUE AS parts_within_rsd,
+       TRUE AS orders_within_rsd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_approx_distinct", oracle=_AD_ORACLE, tags=("phase1", "agg", "approx", "eval"))
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle — approximate by design;
-    the exact counterpart is q_distinct_agg."""
+    """approx_count_distinct (HLL++) with an error-bound verdict oracle.
+
+    The HLL estimate itself never leaves the query (DuckDB cannot
+    reproduce Spark's sketch); what is emitted — and what the oracle
+    pins — is the exact distinct count plus whether the estimate landed
+    within ``_AD_SIGMAS`` standard deviations (sd = rsd * n_exact) of
+    it. A FALSE anywhere fails the hash check, so the correctness gate
+    doubles as the sketch's acceptance test — the same upgrade pattern
+    as q_approx_quantile_eval (VERDICT r5, next #2). The production
+    approximate path (no exact pass) stays available via the same
+    aggregate; the exact pass here is the acceptance harness.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_partkey", _AD_RSD).alias("__apx_p"),
+        F.approx_count_distinct("l_orderkey", _AD_RSD).alias("__apx_o"),
+    )
+
+    def _within(apx: str, exact: str):
+        margin = F.lit(_AD_SIGMAS * _AD_RSD) * F.col(exact)
+        return (
+            F.abs(F.col(apx).cast("double") - F.col(exact)) <= margin
+        ).alias(apx.replace("__apx", "within"))
+
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_orders_exact",
+        _within("__apx_p", "n_parts_exact").alias("parts_within_rsd"),
+        _within("__apx_o", "n_orders_exact").alias("orders_within_rsd"),
     )
 
 
