@@ -417,21 +417,66 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return hits
 
 
+def _node_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*"))
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the plan subtree rooted at lines[i] (indent-delimited)."""
+    d = _node_indent(lines[i])
+    out = [lines[i]]
+    for j in range(i + 1, len(lines)):
+        if _node_indent(lines[j]) <= d:
+            break
+        out.append(lines[j])
+    return out
+
+
+# Tables whose cardinality is FIXED at every scale factor (TPC-H region
+# = 5 rows, nation = 25 rows at 100 TB too). A shuffle Exchange whose
+# subtree scans only these tables means some join chose to shuffle a
+# <=25-row side — and therefore to shuffle its fact partner as well —
+# the exact shape a dropped broadcast leaves behind.
+_FIXED_DIM_TABLES = {"region", "nation"}
+
+import re as _re
+
+
+def _fixed_dim_shuffles(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    hits = []
+    for i, raw in enumerate(lines):
+        stripped = raw.lstrip(" :+-*(0123456789) ")
+        if not stripped.startswith("Exchange hashpartitioning"):
+            continue
+        sub = "\n".join(_subtree(lines, i))
+        scans = set(_re.findall(r"/(\w+)\.parquet", sub))
+        if scans and scans <= _FIXED_DIM_TABLES:
+            hits.append(f"{stripped[:100]} scans={sorted(scans)}")
+    return hits
+
+
 def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
     # Streaming queries are excluded: their fn() executes a full
     # AvailableNow stream and returns a scan of the materialized result
     # (no Window nodes); the streaming engine shards state by key.
-    # The same sweep also bans CartesianProduct registry-wide: every
-    # deliberate cross join must be the broadcast nested-loop form
-    # (small side broadcast), never a shuffled cartesian.
+    # The same sweep also bans, registry-wide: CartesianProduct (every
+    # deliberate cross join must be the broadcast nested-loop form) and
+    # shuffle Exchanges whose subtree scans only fixed-cardinality dims
+    # (region/nation) — the silent-broadcast-loss shape (VERDICT r5,
+    # next #4).
     offenders = {}
     cartesian = []
+    dim_shuffles = {}
     for name, q in sorted(REGISTRY.items()):
         if "streaming" in q.tags:
             continue
         plan = _plan(spark, sf_dir, name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
+        ds = _fixed_dim_shuffles(plan)
+        if ds:
+            dim_shuffles[name] = ds
         if name in _GLOBAL_WINDOW_WHITELIST:
             continue
         hits = _unpartitioned_windows(plan)
@@ -439,6 +484,40 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir):
             offenders[name] = hits
     assert not offenders, f"unpartitioned ordered Window nodes: {offenders}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not dim_shuffles, f"fixed-dim tables under shuffle Exchange: {dim_shuffles}"
+
+
+# Queries whose 100 TB posture depends on an EXPLICIT F.broadcast hint:
+# at test SF the 64 MB auto-broadcast threshold would mask a dropped
+# hint (AQE saves it locally, not at scale where the probe side still
+# fits but the threshold race differs). Planning them with
+# autoBroadcastJoinThreshold=-1 isolates the hint: the broadcast join
+# shape must survive on hints alone (VERDICT r5, next #4).
+_HINT_DEPENDENT = [
+    "q_local_supplier_volume",   # nation/region/supplier dims
+    "q_volume_shipping",         # supplier+nation / customer+nation sides
+    "q_market_share",            # region-filtered customer + supplier dims
+    "q_promo_revenue",           # part dim
+    "q_returned_items",          # nation dim
+    "q_top_supplier",            # 1-row max-revenue probe
+    "q_decontaminate",           # benchmark shingle set vs corpus
+    "q_bloom_filter_eval",       # bloom bit-set vs probe scan
+]
+
+
+def test_hinted_broadcasts_survive_without_auto_threshold(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in _HINT_DEPENDENT:
+            plan = _plan(spark, sf_dir, name)
+            assert "BroadcastHashJoin" in plan, (
+                f"{name}: explicit broadcast hint lost — plan degrades to "
+                f"shuffle join once the size threshold stops saving it"
+            )
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_incremental_dedup_no_corpus_self_join(spark, sf_dir):
