@@ -115,6 +115,10 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # _driver_rows already re-exposes it as unchecked, listed for the
     # contract test's slot accounting:
     "q_approx_distinct",
+    # unicode-fuzz catch: v2 rewrite was upper(text) — Java full case
+    # mapping ('ß'->'SS') vs DuckDB simple mapping ('ß'->'ẞ') diverge;
+    # now a portable prefix+substring on BOTH sides:
+    "q_meta_upsert",
 })
 
 

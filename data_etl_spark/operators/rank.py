@@ -29,6 +29,40 @@ Ties on the leading key all land in one bucket (bucket assignment uses
 the leading key only), and the within-bucket ordering uses the caller's
 full tie-broken sort key — so the composed rank equals the global
 ``row_number`` under that total order, exactly.
+
+RECIPE — replace any global window with three calls
+---------------------------------------------------
+Any ``Window.orderBy(...)`` with no ``partitionBy`` maps onto this
+module mechanically (``q_quality_percentiles`` is the recipe verbatim;
+``q_equidepth_bins`` / ``q_rfm_segments`` / ``q_interval_sweep`` /
+``q_pack_global`` are production uses):
+
+``row_number().over(Window.orderBy(score, id))`` + ``count(*).over()``::
+
+    df = exact_global_rank(
+        df, [F.asc("score"), F.asc("id")], F.col("score"),
+        rank_name="rk", total_name="n",     # total rides along for free
+    )
+
+``ntile(k).over(Window.orderBy(score, id))``::
+
+    df.withColumn("tile", ntile_from_rank(F.col("rk"), F.col("n"), k))
+
+``sum(x).over(Window.orderBy(t).rowsBetween(unboundedPreceding,
+currentRow))``::
+
+    df = exact_global_cumsum(
+        df, [F.asc("t"), F.asc("id")], F.col("t"), F.col("x"),
+        cumsum_name="run",
+    )
+
+Rules of thumb: ``range_expr`` is the leading sort column itself
+(negate it for DESC); always tie-break ``order_cols`` down to a unique
+key or the "global window" you are replacing was nondeterministic to
+begin with; when ranking several metrics of ONE DataFrame, compute all
+boundary sketches in a single agg (``boundary_probes`` /
+``boundary_accuracy``) and pass each via ``bounds=`` so the sampling
+job runs once (see q_rfm_segments).
 """
 
 from __future__ import annotations

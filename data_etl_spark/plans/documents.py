@@ -193,11 +193,18 @@ def q_markdown_header_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_meta_upsert — J5/J6 keyed upsert via merge_by_key.
 # "New batch" = every 10th doc with rewritten text; result must contain the
 # new version exactly once and all untouched rows.
+#
+# The v2 rewrite is a prefix + substring, NOT upper(): full Unicode
+# case mapping is engine-divergent — Java (Spark) upper('ß') = 'SS'
+# (full mapping) where DuckDB/utf8proc gives 'ẞ' (U+1E9E, simple
+# mapping) — found by the round-6 unicode fuzz corpus. substring is
+# safe: both engines count code points. upper() remains in use only on
+# ASCII-valued columns (p_name, lang, extensions).
 # ---------------------------------------------------------------------------
 
 _UPSERT_ORACLE = """
 WITH new_batch AS (
-    SELECT doc_id, upper(substring(text, 1, 50)) AS text, 'v2' AS version
+    SELECT doc_id, 'V2:' || substring(text, 1, 50) AS text, 'v2' AS version
     FROM documents WHERE doc_id % 10 = 0
 ),
 old AS (
@@ -221,7 +228,7 @@ def q_meta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
             "doc_id",
-            F.upper(F.substring("text", 1, 50)).alias("text"),
+            F.concat(F.lit("V2:"), F.substring("text", 1, 50)).alias("text"),
             F.lit("v2").alias("version"),
         )
     )

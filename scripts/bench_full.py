@@ -1,0 +1,86 @@
+"""One-off full-registry bench: time EVERY registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and write
+BENCH_FULL_r{N}.json next to the repo's other bench artifacts.
+
+The headline bench (bench.py) audits the expensive families each round;
+this sweep exists to make sure no pathological plan hides in the
+untimed tail (VERDICT r5, next #6). Single timed pass after a JVM
+warmup run at sf0.001 — the goal is spotting order-of-magnitude
+outliers, not steady-state precision; re-run offenders individually
+before drawing conclusions.
+
+Usage: python scripts/bench_full.py [round_no]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ".")
+
+from data_etl_spark.plans import REGISTRY  # noqa: E402
+from data_etl_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    round_no = sys.argv[1] if len(sys.argv) > 1 else "06"
+    spark = build_session("data-etl-spark-bench-full")
+    names = sorted(REGISTRY)
+
+    if os.path.isdir(WARM_DIR):
+        for name in names:
+            try:
+                materialize(REGISTRY[name].fn(spark, WARM_DIR))
+            except Exception as exc:
+                print(f"warmup FAILED {name}: {exc!r}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            materialize(REGISTRY[name].fn(spark, SF_DIR))
+        except Exception as exc:
+            errors[name] = repr(exc)[:300]
+            print(f"bench FAILED {name}: {exc!r}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{timings[name]:8.3f}s  {name}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "full_registry_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "timing": "single_run_after_warmup",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    path = os.path.join(
+        os.path.dirname(__file__), "..", f"BENCH_FULL_r{round_no}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"written": os.path.abspath(path), "total_sec": out["value"], "n": len(timings)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,8 @@ Usage:
   python scripts/fuzz_probe.py --seed 404 --relational-too
   python scripts/fuzz_probe.py --torture           # degenerate corpus
   python scripts/fuzz_probe.py --empty             # all tables empty
+  python scripts/fuzz_probe.py --skew              # hot text/user/custkey/part
+  python scripts/fuzz_probe.py --unicode           # astral/RTL/combining docs
   python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
 
 The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
@@ -41,6 +43,14 @@ def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
         docs = T._torture_documents()
         ev = T._torture_events()
         emb = T._torture_embeddings()
+    elif mode == "skew":
+        docs = T._skew_documents(rng)
+        ev = T._gen_events(rng, hot_user=0.5)
+        emb = T._skew_embeddings(rng)
+    elif mode == "unicode":
+        docs = T._unicode_documents(rng)
+        ev = T._gen_events(rng)
+        emb = T._gen_embeddings(rng)
     else:
         docs = T._gen_documents(rng)
         ev = T._gen_events(rng)
@@ -90,6 +100,16 @@ def main() -> int:
     ap.add_argument("--torture", action="store_true")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="adversarial skew: one text/user/part owns ~50%% of its table",
+    )
+    ap.add_argument(
+        "--unicode",
+        action="store_true",
+        help="unicode-extreme documents: astral, RTL, combining, ZWJ",
+    )
+    ap.add_argument(
         "--relational-too",
         action="store_true",
         help="also run purely-relational queries",
@@ -97,11 +117,20 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="restrict to these queries")
     args = ap.parse_args()
 
-    mode = "torture" if args.torture else ("empty" if args.empty else "random")
+    if args.torture:
+        mode = "torture"
+    elif args.empty:
+        mode = "empty"
+    elif args.skew:
+        mode = "skew"
+    elif args.unicode:
+        mode = "unicode"
+    else:
+        mode = "random"
     rng = random.Random(args.seed)
     d = tempfile.mkdtemp(prefix=f"fuzz_probe_{mode}_{args.seed}_")
     _write_corpus(d, rng, mode)
-    T._write_relational(d, rng)
+    T._write_relational(d, rng, skew=(mode == "skew"))
 
     spark = build_session("fuzz-probe")
     only = set(args.names)

@@ -69,7 +69,14 @@ def _gen_documents(rng: random.Random, n: int = 120):
     return rows
 
 
-def _gen_events(rng: random.Random, n: int = 400):
+# ~20% dirty payloads: malformed JSON, missing/null/non-numeric k —
+# production event logs contain all of these (json-parsing queries
+# must NULL-degrade, not fail the job)
+_DIRTY_PROPS = ["not json", "", "{}", '{"k": null}', '{"k": {"nested": 1}}',
+                '{"K": 3}', "[1,2]", '{"k": "7"}']
+
+
+def _gen_events(rng: random.Random, n: int = 400, hot_user: float = 0.0):
     # only 150 distinct second-slots for 400 events: heavy timestamp
     # collisions force every tie-break path
     base = 1704067200_000_000  # 2024-01-01 UTC, µs
@@ -78,30 +85,25 @@ def _gen_events(rng: random.Random, n: int = 400):
     # neighbors — second-aligned-only data never touches µs-truncation
     # or window-edge paths
     micros = [0, 0, 1, 999_999, 500_000]
-    # ~20% dirty payloads: malformed JSON, missing/null/non-numeric k —
-    # production event logs contain all of these (json-parsing queries
-    # must NULL-degrade, not fail the job)
-    dirty = ["not json", "", "{}", '{"k": null}', '{"k": {"nested": 1}}',
-             '{"K": 3}', "[1,2]", '{"k": "7"}']
     rows = []
     for i in range(n):
         t_us = base + rng.choice(slots) * 1_000_000 + rng.choice(micros)
         value = rng.choice([0.01, 0.01, round(rng.uniform(0.01, 500.0), 2)])
         props = (
-            rng.choice(dirty)
+            rng.choice(_DIRTY_PROPS)
             if rng.random() < 0.2
             else json.dumps({"k": rng.randint(0, 99)})
         )
-        rows.append(
-            (
-                i,
-                t_us,
-                rng.randint(0, 20),
-                rng.choice(_EVENT_TYPES),
-                value,
-                props,
-            )
+        # adversarial skew: one user owns `hot_user` of all events (and
+        # with it one session_window/groupBy key) — exercises the salted
+        # join and AQE skew claims under fuzz, not just test_stress
+        uid = 7 if rng.random() < hot_user else rng.randint(0, 20)
+        et = (
+            "click"
+            if hot_user and rng.random() < 0.6
+            else rng.choice(_EVENT_TYPES)
         )
+        rows.append((i, t_us, uid, et, value, props))
     return rows
 
 
@@ -116,6 +118,83 @@ def _gen_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Adversarial generator dimensions beyond the random corpus (VERDICT r5,
+# next #5). Skew: one document text / user / part owns ~half its table —
+# the hot-key profile that melts unsalted joins and unbounded LSH
+# buckets. Unicode-extreme: astral-plane, RTL, combining marks, ZWJ,
+# fullwidth compatibility forms, zero-width chars — the inputs where
+# Spark and DuckDB tokenization/normalization most plausibly diverge.
+# ---------------------------------------------------------------------------
+
+_HOT_TEXT = "the quick brown fox jumps over the lazy dog " * 3
+
+
+def _skew_documents(rng: random.Random, n: int = 120):
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.5:
+            # one boilerplate string owns half the corpus: every shingle
+            # of it exceeds any sane DF cap, every minhash band of it is
+            # one giant bucket
+            text, src = _HOT_TEXT, "src0"
+        else:
+            text = " ".join(
+                rng.choice(_VOCAB) for _ in range(rng.randint(1, 120))
+            )
+            src = f"src{rng.randint(0, 6)}"
+        rows.append((i, text, rng.choice(_LANGS), src, len(text)))
+    return rows
+
+
+def _skew_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
+    hot = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.4:
+            vec = list(hot)  # 40% identical vectors: one LSH bucket
+        elif rng.random() < 0.08:
+            vec = [0.0] * dim
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        rows.append((i, vec, rng.randint(0, 9)))
+    return rows
+
+
+_UNICODE_SAMPLES = [
+    "caf\u00e9 na\u00efve \u00fcber r\u00e9sum\u00e9",  # precomposed accents
+    "e\u0301le\u0301gant re\u0301sume\u0301",  # combining marks (NFD form)
+    "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd",  # Hebrew RTL
+    "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645",  # Arabic RTL
+    "\u4f60\u597d \u4e16\u754c \u6570\u636e \u7ba1\u9053",  # CJK
+    "\U0001f600\U0001f600 \U0001f680 data \U0001f9ea",  # emoji (astral plane)
+    "\U0001d518\U0001d52b\U0001d526 \U0001d4fd\U0001d4ee\U0001d4fd",  # math alphanumerics (astral)
+    "\U0001f469\u200d\U0001f469\u200d\U0001f467 family \U0001f468\U0001f3fd\u200d\U0001f4bb",  # ZWJ + skin tone
+    "\uff46\uff55\uff4c\uff4c\uff57\uff49\uff44\uff54\uff48 \uff54\uff45\uff58\uff54",  # fullwidth (NFKC-compat)
+    "\u200bzero\u200bwidth\u200b joined",  # zero-width spaces
+    "mixed ascii and \u00df\u0131\u0130 casing",  # sharp-s, dotless/dotted i
+]
+
+
+def _unicode_documents(rng: random.Random, n: int = 120):
+    rows = []
+    for i in range(n):
+        k = rng.random()
+        if k < 0.08:
+            text = ""
+        elif k < 0.25 and rows:
+            text = rng.choice(rows)[1]  # duplicates (dedup fodder)
+        else:
+            pool = _UNICODE_SAMPLES + _VOCAB
+            text = " ".join(
+                rng.choice(pool) for _ in range(rng.randint(1, 40))
+            )
+        rows.append(
+            (i, text, rng.choice(_LANGS), f"src{rng.randint(0, 6)}", len(text))
+        )
+    return rows
+
+
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
@@ -124,10 +203,13 @@ _NOUN = ["widget", "bolt", "gear", "spring", "valve"]
 _MS_DAY = 86400_000
 
 
-def _write_relational(d: str, rng: random.Random):
+def _write_relational(d: str, rng: random.Random, skew: bool = False):
     """FK-consistent random star schema in the driver's shapes: negative
     acctbals, date collisions (200 distinct order days), customers with
-    zero orders, duplicate part names, boundary discounts (0 and 0.1)."""
+    zero orders, duplicate part names, boundary discounts (0 and 0.1).
+    With ``skew``, one customer places ~50% of orders and one
+    (part, supplier) pair appears in ~50% of lineitems — the hot-FK
+    profile where shuffle-key skew decides join wall-clock."""
     pq.write_table(
         pa.table(
             {
@@ -218,10 +300,15 @@ def _write_relational(d: str, rng: random.Random):
     orders, lines = [], []
     for ok in range(n_ord):
         odate = base_ms + rng.choice(day_slots) * _MS_DAY
+        ck = (
+            3
+            if skew and rng.random() < 0.5
+            else rng.randrange(0, n_cust - 5)  # last 5 customers dormant
+        )
         orders.append(
             (
                 ok,
-                rng.randrange(0, n_cust - 5),  # last 5 customers dormant
+                ck,
                 rng.choice("FOP"),
                 round(rng.uniform(100, 100000), 2),
                 odate,
@@ -229,11 +316,12 @@ def _write_relational(d: str, rng: random.Random):
             )
         )
         for ln in rng.sample(range(8), rng.randint(1, 7)):
+            hot_line = skew and rng.random() < 0.5
             lines.append(
                 (
                     ok,
-                    rng.randrange(n_part),
-                    rng.randrange(n_supp),
+                    5 if hot_line else rng.randrange(n_part),
+                    2 if hot_line else rng.randrange(n_supp),
                     ln,
                     float(rng.randint(1, 50)),
                     round(rng.uniform(100, 50000), 2),
@@ -299,13 +387,7 @@ def _torture_embeddings(dim: int = 64):
     return [(i, [0.0] * dim, i % 3) for i in range(12)]
 
 
-@pytest.fixture(scope="module", params=_SEEDS)
-def fuzz_dir(request, tmp_path_factory):
-    seed = request.param
-    rng = random.Random(seed)
-    d = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
-
-    docs = _torture_documents() if seed == 0 else _gen_documents(rng)
+def _write_corpus_tables(d: str, docs, ev, emb) -> None:
     pq.write_table(
         pa.table(
             {
@@ -318,8 +400,6 @@ def fuzz_dir(request, tmp_path_factory):
         ),
         os.path.join(d, "documents.parquet"),
     )
-
-    ev = _torture_events() if seed == 0 else _gen_events(rng)
     pq.write_table(
         pa.table(
             {
@@ -333,8 +413,6 @@ def fuzz_dir(request, tmp_path_factory):
         ),
         os.path.join(d, "events.parquet"),
     )
-
-    emb = _torture_embeddings() if seed == 0 else _gen_embeddings(rng)
     pq.write_table(
         pa.table(
             {
@@ -347,6 +425,18 @@ def fuzz_dir(request, tmp_path_factory):
         ),
         os.path.join(d, "embeddings.parquet"),
     )
+
+
+@pytest.fixture(scope="module", params=_SEEDS)
+def fuzz_dir(request, tmp_path_factory):
+    seed = request.param
+    rng = random.Random(seed)
+    d = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
+
+    docs = _torture_documents() if seed == 0 else _gen_documents(rng)
+    ev = _torture_events() if seed == 0 else _gen_events(rng)
+    emb = _torture_embeddings() if seed == 0 else _gen_embeddings(rng)
+    _write_corpus_tables(d, docs, ev, emb)
     _write_relational(d, rng)
     return d, seed
 
@@ -423,3 +513,94 @@ def test_fuzz_matches_oracle(spark, fuzz_dir, name, every_seed):
 
     assert sorted(sdf.columns) == sorted(odf.columns.tolist()), name
     assert _canon(spark_rows, sdf.columns) == _canon(oracle_rows, sdf.columns), name
+
+# ---------------------------------------------------------------------------
+# Pinned adversarial-dimension corpora (VERDICT r5, next #5). The full
+# registry was swept green on both via scripts/fuzz_probe.py --skew /
+# --unicode; these curated subsets pin the highest-risk queries per
+# dimension so the caught divergence classes (hot-key tie-breaking,
+# Unicode case mapping — q_meta_upsert's upper('ß') catch) cannot
+# silently return, without re-running ~190 queries per corpus in CI.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_skew"))
+    _write_corpus_tables(
+        d,
+        _skew_documents(rng),
+        _gen_events(rng, hot_user=0.5),
+        _skew_embeddings(rng),
+    )
+    _write_relational(d, rng, skew=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_unicode"))
+    _write_corpus_tables(
+        d, _unicode_documents(rng), _gen_events(rng), _gen_embeddings(rng)
+    )
+    _write_relational(d, rng)
+    return d
+
+
+def _assert_matches(spark, d: str, name: str) -> None:
+    q = REGISTRY[name]
+    sdf = q.fn(spark, d)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    odf = con.execute(q.oracle).df()
+    oracle_rows = odf.to_dict("records")
+    assert sorted(sdf.columns) == sorted(odf.columns.tolist()), name
+    assert _canon(spark_rows, sdf.columns) == _canon(oracle_rows, sdf.columns), name
+
+
+# hot-key victims: salted/skew-aware joins, per-key windows and session
+# state, LSH bucket blow-up paths (DF cap, band joins), association
+# mining on one dominant basket key, and the skew profiler itself
+_SKEW_PINNED = [
+    "q_salted_join",
+    "q_key_skew",
+    "q_session_window",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_exact_dedup",
+    "q_sentence_dedup",
+    "q_market_basket",
+    "q_retention_cohort",
+    "q_path_analysis",
+]
+
+# tokenizer/normalizer victims: the T-chain, shingle and fingerprint
+# hashing, quality ratios, case mapping (the q_meta_upsert catch), and
+# the global-rank recipe over unicode-length texts
+_UNICODE_PINNED = [
+    "q_meta_upsert",
+    "q_normalize_text",
+    "q_token_counts",
+    "q_text_quality",
+    "q_quality_percentiles",
+    "q_doc_fingerprint",
+    "q_lang_id",
+    "q_chunk_pipeline",
+    "q_exact_dedup",
+    "q_ngram_jaccard",
+]
+
+
+@pytest.mark.parametrize("name", _SKEW_PINNED)
+def test_skew_matches_oracle(spark, skew_dir, name):
+    _assert_matches(spark, skew_dir, name)
+
+
+@pytest.mark.parametrize("name", _UNICODE_PINNED)
+def test_unicode_matches_oracle(spark, unicode_dir, name):
+    _assert_matches(spark, unicode_dir, name)
