@@ -26,12 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import vectors as V
 from .ivf import assign_cells
 from .knn import exact_knn
 
-__all__ = ["auto_knn"]
+__all__ = ["auto_dedup", "auto_knn"]
 
 
 def auto_knn(
@@ -68,4 +69,73 @@ def auto_knn(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, "rank", c_id, "score")
+    )
+
+
+def auto_dedup(
+    docs: DataFrame,
+    *,
+    threshold: int = 1024,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with exact shingle-Jaccard >= ``tau``; candidate
+    strategy cost-gated by corpus size (the dedup twin of :func:`auto_knn`).
+
+    - corpus <= ``threshold`` rows: the exact inverted-index pair stats
+      (every co-shingled pair scored — the COMPLETE answer, and cheap
+      while sum(df^2) over the shingle index is small);
+    - corpus > ``threshold`` rows: MinHash-banded candidate pairs first,
+      then exact Jaccard verified on the band survivors ONLY — the
+      shingle index is semi-joined down to candidate-adjacent docs
+      before any pairing, so the quadratic co-shingle step never sees
+      the full corpus. Recall is bounded by the band S-curve
+      (q_lsh_tuning_curve quantifies it); the trade is deliberate and
+      carried in the ``strategy`` output column.
+
+    The gate's only driver action is one column-pruned ``count()``
+    (same bounded-scalar class as auto_knn's). Both branches emit the
+    identical (doc1, doc2, n_common, jaccard, strategy) schema, both
+    are SQL-expressible, and the registered query's oracle reproduces
+    the gate as a scalar-count subquery over the two UNION ALL branches.
+    """
+    from .dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_pair_stats,
+        word_shingles,
+    )
+
+    n = docs.count()
+    # the shingle set feeds sizes + both pairing paths; one
+    # materialization (corpus-scale intermediate -> DISK_ONLY, house
+    # storage policy from q_dup_spans/q_ngram_jaccard)
+    sh = word_shingles(docs).persist(StorageLevel.DISK_ONLY)
+    if n <= threshold:
+        stats = shingle_pair_stats(sh)
+        strategy = "exact"
+    else:
+        cand = lsh_candidate_pairs(minhash_signatures(sh)).select(
+            "doc1", "doc2"
+        )
+        cand_docs = (
+            cand.select(F.col("doc1").alias("doc_id"))
+            .union(cand.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+        )
+        sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+        stats = shingle_pair_stats(sh_c).join(cand, ["doc1", "doc2"])
+        strategy = "banded"
+    # denominators >= n_common >= 1 for any co-shingled pair: safe
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+    return (
+        stats.select(
+            "doc1",
+            "doc2",
+            "n_common",
+            jac.alias("jaccard"),
+            F.lit(strategy).alias("strategy"),
+        )
+        .filter(F.col("jaccard") >= F.lit(tau))
     )

@@ -1387,3 +1387,68 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("band_threshold", F.col("band_threshold").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_auto — third cost-gated planner rule (after q_knn_auto's
+# exact-vs-IVF and q_lsh_adaptive's band width): candidate-generation
+# strategy for near-dup pairs chosen from corpus cardinality. Below the
+# threshold, the exact shingle inverted index scores every co-shingled
+# pair (complete answer); above it, MinHash bands nominate candidates
+# and exact Jaccard verifies the survivors only — the shingle index is
+# semi-joined down to candidate-adjacent docs before any pairing, so
+# the quadratic step never touches the full corpus. The oracle
+# reproduces the gate as a scalar-count subquery over the two UNION ALL
+# branches, exactly like q_knn_auto's. The threshold (1024) puts the
+# driver corpora (500 docs at sf0.001/0.01) on the exact branch and the
+# bench corpus (5000 at sf0.1) on the banded branch, so both physical
+# paths get exercised every round.
+# ---------------------------------------------------------------------------
+
+_DEDUP_AUTO_N = 1024
+_DEDUP_AUTO_TAU = 0.5
+
+_DEDUP_AUTO_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+nn AS (SELECT count(*) AS c FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ap AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT p.doc1, p.doc2, p.n_common,
+           CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) AS jaccard
+    FROM ap p
+    JOIN sizes s1 ON s1.doc_id = p.doc1
+    JOIN sizes s2 ON s2.doc_id = p.doc2
+),
+sig AS ({_MINHASH_ORACLE}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+              AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, n_common, jaccard, 'exact' AS strategy
+FROM scored
+WHERE jaccard >= {_DEDUP_AUTO_TAU} AND (SELECT c FROM nn) <= {_DEDUP_AUTO_N}
+UNION ALL
+SELECT s.doc1, s.doc2, s.n_common, s.jaccard, 'banded' AS strategy
+FROM scored s JOIN cand USING (doc1, doc2)
+WHERE s.jaccard >= {_DEDUP_AUTO_TAU} AND (SELECT c FROM nn) > {_DEDUP_AUTO_N}
+"""
+
+
+@register(
+    "q_dedup_auto",
+    oracle=_DEDUP_AUTO_ORACLE,
+    tags=("phase3", "dedup", "planner"),
+)
+def q_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-gated near-dup pairs: exact inverted index or banded-verify."""
+    from ..operators.planner import auto_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return auto_dedup(d, threshold=_DEDUP_AUTO_N, tau=_DEDUP_AUTO_TAU)

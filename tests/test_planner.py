@@ -78,3 +78,82 @@ def test_gate_is_count_driven(spark):
     hi = auto_knn(probes, corpus, k=3, threshold=1000)
     assert "cell" in lo._jdf.queryExecution().executedPlan().toString()
     assert "cell" not in hi._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# auto_dedup — the cost-gated exact-vs-banded near-dup rule. The fuzz
+# corpora (<=120 docs) and driver corpora (500 docs) all sit on the
+# exact branch, so these tests force the banded branch with a tiny
+# threshold and pin its contract: banded == exact restricted to the
+# MinHash-band candidate set (the documented recall trade), never new
+# pairs, never different scores.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),     # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),      # near dup of 0
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine cow"),  # near dup of 3
+        (5, "completely different text with other words inside"),
+        (6, "unrelated content again nothing shared here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_auto_dedup_gate_flips_strategy(spark):
+    from data_etl_spark.operators.planner import auto_dedup
+
+    d = _docs(spark)
+    lo = auto_dedup(d, threshold=3, tau=0.5)    # 7 docs > 3 -> banded
+    hi = auto_dedup(d, threshold=100, tau=0.5)  # 7 docs <= 100 -> exact
+    assert {r.strategy for r in lo.collect()} <= {"banded"}
+    assert {r.strategy for r in hi.collect()} <= {"exact"}
+
+
+def test_auto_dedup_banded_is_candidate_restricted_exact(spark):
+    """Banded pairs = exact pairs ∩ band candidates, scores identical."""
+    from data_etl_spark.operators import dedup as DD
+    from data_etl_spark.operators.planner import auto_dedup
+
+    d = _docs(spark)
+    exact = {
+        (r.doc1, r.doc2): (r.n_common, round(r.jaccard, 9))
+        for r in auto_dedup(d, threshold=100, tau=0.5).collect()
+    }
+    banded = {
+        (r.doc1, r.doc2): (r.n_common, round(r.jaccard, 9))
+        for r in auto_dedup(d, threshold=3, tau=0.5).collect()
+    }
+    cand = {
+        (r.doc1, r.doc2)
+        for r in DD.lsh_candidate_pairs(
+            DD.minhash_signatures(DD.word_shingles(d))
+        ).collect()
+    }
+    assert set(banded) == set(exact) & cand
+    for k in banded:
+        assert banded[k] == exact[k]
+    # the exact dup pair shares every band: it must survive the gate
+    assert (0, 1) in banded
+
+
+def test_auto_dedup_single_driver_action(spark):
+    """Building the plan runs only the gate's count() action (AQE may
+    split one count into several jobs; measure against a plain count
+    baseline instead of assuming 1 job == 1 action)."""
+    from data_etl_spark.operators.planner import auto_dedup
+
+    d = _docs(spark)
+    tracker = spark.sparkContext.statusTracker()
+    b0 = len(tracker.getJobIdsForGroup(None) or [])
+    d.count()
+    baseline = len(tracker.getJobIdsForGroup(None) or []) - b0
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    auto_dedup(d, threshold=3, tau=0.5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= baseline, (
+        "auto_dedup ran more driver jobs than its one count gate"
+    )
