@@ -119,6 +119,11 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # mapping ('ß'->'SS') vs DuckDB simple mapping ('ß'->'ẞ') diverge;
     # now a portable prefix+substring on BOTH sides:
     "q_meta_upsert",
+    # full-registry bench tail (BENCH_FULL_r06) offenders, re-planned:
+    # ML minhash join on 3-word shingles not unigrams (284 s -> 2.7 s),
+    # figure placement on the Arrow scalar path (10.8 s -> 0.6 s),
+    # anchor search fused into one mapInPandas (22.5 s -> 2.4 s):
+    "q_ml_minhash_join", "q_figure_placement", "q_anchor_search",
 })
 
 

@@ -75,6 +75,18 @@ HEADLINE = [
     "q_lsh_tuning_curve",   # candidate-confined eval family
     "q_interval_sweep",     # window-free global cumsum (sweep line)
     "q_pack_global",        # corpus-global packing on the same operator
+    # round-6 widening: the BENCH_FULL_r06 tail offenders (now fixed —
+    # keep them timed so the fixes can't regress) plus the round's new
+    # families (cost-gated dedup flips to banded at the bench SF; the
+    # rank-recipe percentile query; zone-map skipping; the HLL
+    # error-bound eval's exact+sketch double aggregation).
+    "q_ml_minhash_join",
+    "q_figure_placement",
+    "q_anchor_search",
+    "q_dedup_auto",
+    "q_quality_percentiles",
+    "q_zone_map_eval",
+    "q_approx_distinct",
 ]
 
 

@@ -303,24 +303,23 @@ def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_anchor_search", oracle=None, tags=("phase2", "anchors"))
 def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monotone anchor search (markdown_manager.py:196-250) + content break."""
-    from ..operators.anchors import find_page_anchors, with_content_breaks
+    """Monotone anchor search (markdown_manager.py:196-250) + content break.
+
+    Rides the fused one-pass kernel (anchor_search_fused): the page
+    snippets are derived from the document itself, so the
+    find_page_anchors + join-back + with_content_breaks composition —
+    which shuffles the corpus text twice — collapses into a single
+    shuffle-free mapInPandas. The relation-shaped operators remain for
+    externally-supplied pages/offsets and are pinned output-equal to
+    the fused path in tests/test_anchors.py.
+    """
+    from ..operators.anchors import anchor_search_fused
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
         F.col("text"),
     )
-    pages = docs.select(
-        "filename",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("page"),
-    ).withColumn(
-        "snippet", F.expr("substring(text, (page - 1) * 200 + 1, 60)")
-    )
-    anchors = find_page_anchors(pages)
-    with_text = anchors.join(docs, "filename").withColumnRenamed("anchor", "start")
-    out = with_content_breaks(with_text.select("filename", "page", "found", "text", "start"))
-    return out.select("filename", "page", F.col("start").alias("anchor"), "found", "break_offset")
+    return anchor_search_fused(docs)
 
 
 # ---------------------------------------------------------------------------

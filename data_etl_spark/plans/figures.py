@@ -372,23 +372,37 @@ FROM d
 
 @register("q_figure_placement", oracle=_PLACE_ORACLE, tags=("phase2", "figures"))
 def q_figure_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset-stable insertion apply (O4) with byte-exact md5 oracle."""
-    from ..operators.placement import apply_insertions
+    """Offset-stable insertion apply (O4) with byte-exact md5 oracle.
+
+    The quartile insertions are row-local, so this rides the Arrow
+    scalar path (apply_insertions_cols): no shuffle of the corpus text,
+    one Arrow batch per partition. The relation-shaped grouped kernel
+    (apply_insertions) remains for join-produced insertion sets and is
+    pinned byte-equal to this path in tests/test_placement.py. The
+    repartition exists because the test parquet is one row group (one
+    scan task); on splittable input the scan is already parallel.
+    """
+    from ..operators.placement import apply_insertions_cols
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
         "text",
     )
-    ins = docs.select(
-        "filename",
-        "text",
-        F.posexplode(F.array(*[F.lit(s) for s in _INS])).alias("k", "insertion"),
-    ).withColumn(
-        "offset", F.expr("(length(text) * (k + 1)) div 4").cast("long")
-    ).drop("k")
-    placed = apply_insertions(ins)
-    return placed.select(
-        "filename",
-        F.length("placed_text").cast("bigint").alias("placed_len"),
-        F.md5("placed_text").alias("placed_md5"),
+    offs = F.array(
+        *[F.expr(f"(length(text) * {k}) div 4").cast("long") for k in (1, 2, 3)]
+    )
+    snips = F.array(*[F.lit(s) for s in _INS])
+    return (
+        docs.repartition(F.col("filename"))
+        .select(
+            "filename",
+            apply_insertions_cols(F.col("text"), offs, snips).alias(
+                "placed_text"
+            ),
+        )
+        .select(
+            "filename",
+            F.length("placed_text").cast("bigint").alias("placed_len"),
+            F.md5("placed_text").alias("placed_md5"),
+        )
     )

@@ -2721,6 +2721,110 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_zone_map_eval — data-skipping evaluation: per-file min/max zone maps
+# under two physical layouts of the SAME rows (round-robin striped
+# across a fixed writer parallelism vs ts-sorted), probed with a
+# one-day predicate. Striped files each span the whole month (every
+# stripe sees every arrival), so zone maps skip ~nothing; ts-sorted
+# files are tight, so ~29/30 of them skip — the quantified version of
+# "sort your data or scan all of it", the decision metric behind
+# OPTIMIZE/clustering jobs (complements q_zorder_layout, which shows
+# the multi-column variant's key spans). Striping, not arrival order,
+# is the honest baseline here: the driver's synthetic events arrive
+# time-ordered, so an arrival layout would be accidentally sorted. The
+# sorted layout's file id comes from operators/rank.exact_global_rank —
+# assigning stable file ids under a global sort IS the recipe's
+# row_number case — so the eval itself stays window-free and
+# scale-safe.
+# ---------------------------------------------------------------------------
+
+_ZM_ROWS_PER_FILE = 500
+_ZM_STRIPES = 20  # fixed writer parallelism for the striped layout
+_ZM_LO = 1705276800_000_000  # 2024-01-15 00:00 UTC, µs
+_ZM_HI = 1705363200_000_000  # 2024-01-16 00:00 UTC, µs
+
+_ZONE_MAP_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, epoch_ns(ts) // 1000 AS t_us FROM events
+),
+layouts AS (
+    SELECT 'striped' AS layout, event_id % {_ZM_STRIPES} AS file_id, t_us
+    FROM e
+    UNION ALL
+    SELECT 'ts_sorted' AS layout,
+           (row_number() OVER (ORDER BY t_us, event_id) - 1) // {_ZM_ROWS_PER_FILE} AS file_id,
+           t_us
+    FROM e
+),
+zones AS (
+    SELECT layout, file_id,
+           min(t_us) AS zmin, max(t_us) AS zmax, count(*) AS n_rows,
+           count(*) FILTER (t_us >= {_ZM_LO} AND t_us < {_ZM_HI}) AS n_match
+    FROM layouts GROUP BY layout, file_id
+)
+SELECT layout,
+       count(*) AS n_files,
+       CAST(count(*) FILTER (zmax < {_ZM_LO} OR zmin >= {_ZM_HI}) AS BIGINT)
+         AS n_files_skipped,
+       CAST(coalesce(sum(n_rows) FILTER (NOT (zmax < {_ZM_LO} OR zmin >= {_ZM_HI})), 0) AS BIGINT)
+         AS n_rows_scanned,
+       CAST(coalesce(sum(n_match), 0) AS BIGINT) AS n_rows_match
+FROM zones
+GROUP BY layout
+"""
+
+
+@register(
+    "q_zone_map_eval",
+    oracle=_ZONE_MAP_ORACLE,
+    tags=("phase1", "layout", "scan", "rank"),
+)
+def q_zone_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skip rates: striped vs ts-sorted layout, 1-day predicate."""
+    from ..operators.rank import _idiv, exact_global_rank
+
+    rpf = F.lit(_ZM_ROWS_PER_FILE).cast("bigint")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    nat = e.select(
+        F.lit("striped").alias("layout"),
+        F.pmod(F.col("event_id"), F.lit(_ZM_STRIPES)).cast("bigint").alias("file_id"),
+        "t_us",
+    )
+    srt = exact_global_rank(
+        e,
+        [F.asc("t_us"), F.asc("event_id")],
+        F.col("t_us"),
+        rank_name="__rk",
+    ).select(
+        F.lit("ts_sorted").alias("layout"),
+        _idiv(F.col("__rk") - F.lit(1), rpf).alias("file_id"),
+        "t_us",
+    )
+    hit = (F.col("t_us") >= _ZM_LO) & (F.col("t_us") < _ZM_HI)
+    zones = (
+        nat.unionByName(srt)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("t_us").alias("zmin"),
+            F.max("t_us").alias("zmax"),
+            F.count("*").alias("n_rows"),
+            F.count_if(hit).alias("n_match"),
+        )
+    )
+    skipped = (F.col("zmax") < _ZM_LO) | (F.col("zmin") >= _ZM_HI)
+    return zones.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.count_if(skipped).cast("bigint").alias("n_files_skipped"),
+        F.coalesce(F.sum(F.when(~skipped, F.col("n_rows"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+        F.coalesce(F.sum("n_match"), F.lit(0)).cast("bigint").alias("n_rows_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_snapshot_diff — table-version diff (the lakehouse "what changed
 # between snapshot v1 and v2" primitive behind CDC audits and time
 # travel): full-outer join on the key, classify each key as added /

@@ -564,13 +564,35 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ml_minhash_join", oracle=None, tags=("phase3", "dedup", "sparkml"))
 def q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark ML MinHashLSH approxSimilarityJoin on token sets (d < 0.6)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """Spark ML MinHashLSH approxSimilarityJoin on 3-word shingle sets
+    (Jaccard distance < 0.6).
+
+    Shingles, not unigram token sets — same granularity (and DF cap) as
+    the oracle-backed q_minhash_* family, via the shared
+    operators/dedup.word_shingles. Unigrams are a scale trap on
+    low-entropy corpora: with a small vocabulary every doc's token set
+    converges on the whole vocab, so (a) most PAIRS genuinely pass the
+    similarity threshold (the answer itself goes quadratic) and (b)
+    every doc shares the globally-minimal token hash, collapsing each
+    hash table into one full-corpus LSH bucket. Measured at sf0.1:
+    284 s unigram vs ~2 s shingled for the same API surface. Documents
+    shorter than 3 words have no shingle set and drop out (nothing to
+    near-dup on).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..operators import dedup as DD
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = Tokenizer(inputCol="text", outputCol="tokens")
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(tok.transform(d)).select("doc_id", "features")
+    sets = (
+        DD.word_shingles(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sets).select("doc_id", "features")
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = mh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")

@@ -125,3 +125,43 @@ def test_apply_insertions_offset_stability():
     assert apply_insertions_text("abc", [(99, "[E]"), (-5, "[S]")]) == "[S]abc[E]"
     # tie at the same offset: deterministic (descending snippet order)
     assert apply_insertions_text("ab", [(1, "1"), (1, "2")]) == "a12b"
+
+
+def test_fused_equals_relational_composition(spark):
+    """anchor_search_fused == find_page_anchors + join + with_content_breaks
+    row-for-row, on docs with headers, fences, unicode, and short texts."""
+    import pyspark.sql.functions as F
+
+    from data_etl_spark.operators.anchors import (
+        anchor_search_fused,
+        find_page_anchors,
+        with_content_breaks,
+    )
+
+    texts = [
+        "intro words here\n\n# Header\nbody text " * 30,
+        "```\nfenced code\n```\nafter fence\n\npara " * 20,
+        "short",
+        "",
+        "café \U0001f600 unicode שלום text\n\nnext para " * 15,
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)],
+        "filename string, text string",
+    )
+    fused = sorted(
+        map(tuple, anchor_search_fused(docs).collect())
+    )
+    pages = docs.select(
+        "filename",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("page"),
+    ).withColumn("snippet", F.expr("substring(text, (page - 1) * 200 + 1, 60)"))
+    anchors = find_page_anchors(pages)
+    with_text = anchors.join(docs, "filename").withColumnRenamed("anchor", "start")
+    composed = with_content_breaks(
+        with_text.select("filename", "page", "found", "text", "start")
+    ).select(
+        "filename", "page", F.col("start").alias("anchor"), "found", "break_offset"
+    )
+    assert fused == sorted(map(tuple, composed.collect()))
