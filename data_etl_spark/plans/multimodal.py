@@ -216,3 +216,75 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     assets = d.select("doc_id", _ascii_payload(80).alias("content"))
     return audio_frame_energy(assets)
+
+
+# ---------------------------------------------------------------------------
+# q_frame_dedup — cross-asset FRAME-level dedup: the multimodal quartet
+# composed with the dedup family. Video corpora duplicate at the frame
+# level (intros, logos, freeze frames) even when no two whole assets
+# are identical, so the dedup key is the per-frame content hash from
+# sample_frames, not the asset hash. Canonical frame = lexicographically
+# first (doc_id, frame_idx) among byte-identical frames; every other
+# occurrence is flagged. Scale: frame hashing is the scan-bound Arrow
+# pass q_frame_sample already proved; dedup adds one shuffle keyed on
+# frame_md5 with a partitioned window (group size = copies of one
+# frame, never corpus-proportional beyond the true duplicate count).
+# ---------------------------------------------------------------------------
+
+_FRAME_DEDUP_ORACLE = r"""
+WITH p AS (
+    SELECT doc_id,
+           substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(least(4, octet_length(encode(payload)) // 16) AS INT) - 1)) AS frame_idx,
+           payload
+    FROM p
+),
+h AS (
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(payload, frame_idx * 16 + 1, 16)) AS frame_md5
+    FROM f
+)
+SELECT doc_id, frame_idx, frame_md5,
+       first_value(doc_id) OVER w AS canon_doc,
+       first_value(frame_idx) OVER w AS canon_idx,
+       CAST(NOT (doc_id = first_value(doc_id) OVER w
+                 AND frame_idx = first_value(frame_idx) OVER w) AS INT) AS is_dup
+FROM h
+WINDOW w AS (PARTITION BY frame_md5 ORDER BY doc_id, frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register(
+    "q_frame_dedup",
+    oracle=_FRAME_DEDUP_ORACLE,
+    tags=("phase5", "multimodal", "dedup"),
+)
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level exact dedup across assets (canonical first occurrence)."""
+    from pyspark.sql import Window as W
+
+    from ..multimodal.columns import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
+    frames = sample_frames(assets).select("doc_id", "frame_idx", "frame_md5")
+    w = W.partitionBy("frame_md5").orderBy("doc_id", "frame_idx")
+    canon_doc = F.first("doc_id").over(w)
+    canon_idx = F.first("frame_idx").over(w)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_md5",
+        canon_doc.alias("canon_doc"),
+        canon_idx.alias("canon_idx"),
+        (
+            ~((F.col("doc_id") == canon_doc) & (F.col("frame_idx") == canon_idx))
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
