@@ -586,6 +586,138 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kmv_setops — SET OPERATIONS on mergeable KMV sketches: estimate
+# |A ∪ B| and |A ∩ B| for two user sets (clickers, purchasers) from
+# their min-k sketches alone — the capability that makes KMV the
+# audience-overlap sketch (HLL unions but cannot intersect without
+# inclusion-exclusion error blowup). Union sketch = min-k of the merged
+# value lists; intersection via the ratio estimator: every member of
+# the union sketch is provably classifiable against A and B membership
+# using ONLY the two sketches (union's k-th min <= each input's k-th
+# min, so a union-sketch value missing from a sketch is truly absent
+# from that set), and |A ∩ B| ~= (common / k) x |A ∪ B|est. Like
+# q_kmv_distinct the sketch is a pure function of the data (md5
+# hashes), so DuckDB reproduces the ESTIMATES bit-for-bit — no error
+# bound needed, the hash check pins the estimator itself. Groupless
+# aggregates keep both engines total on empty/one-sided corpora.
+# ---------------------------------------------------------------------------
+
+_KMV_SET_A = "click"
+_KMV_SET_B = "purchase"
+
+_KMV_SETOPS_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type FROM events
+    WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
+),
+h AS (
+    SELECT DISTINCT event_type, {_kmv_hexval6('__h')} AS v
+    FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h FROM ev)
+),
+sk AS (
+    SELECT
+        (SELECT coalesce(list(v ORDER BY v), CAST([] AS BIGINT[]))
+         FROM (SELECT DISTINCT v FROM h WHERE event_type = '{_KMV_SET_A}') ta
+        )[1:{_KMV_K}] AS amins,
+        (SELECT coalesce(list(v ORDER BY v), CAST([] AS BIGINT[]))
+         FROM (SELECT DISTINCT v FROM h WHERE event_type = '{_KMV_SET_B}') tb
+        )[1:{_KMV_K}] AS bmins
+),
+u AS (
+    SELECT amins, bmins,
+           list_sort(list_distinct(amins || bmins))[1:{_KMV_K}] AS umins
+    FROM sk
+),
+est AS (
+    SELECT
+        len(umins) AS n_u,
+        CASE WHEN len(umins) < {_KMV_K} THEN CAST(len(umins) AS DOUBLE)
+             ELSE {_KMV_CONST} / umins[{_KMV_K}] END AS union_est,
+        len(list_filter(umins,
+            x -> list_contains(amins, x) AND list_contains(bmins, x))) AS n_common
+    FROM u
+),
+fl AS (
+    SELECT user_id,
+           max(event_type = '{_KMV_SET_A}') AS ia,
+           max(event_type = '{_KMV_SET_B}') AS ib
+    FROM ev GROUP BY user_id
+),
+ex AS (
+    SELECT CAST(count(*) FILTER (ia OR ib) AS BIGINT) AS exact_union,
+           CAST(count(*) FILTER (ia AND ib) AS BIGINT) AS exact_inter
+    FROM fl
+)
+SELECT exact_union, exact_inter,
+       CAST(n_u AS INT) AS n_union_sketch,
+       CAST(n_common AS INT) AS n_common_sketch,
+       union_est,
+       CASE WHEN n_u = 0 THEN 0.0
+            ELSE n_common * union_est / n_u END AS inter_est
+FROM ex CROSS JOIN est
+"""
+
+
+@register("q_kmv_setops", oracle=_KMV_SETOPS_ORACLE, tags=("phase4", "events", "sketch"))
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV union/intersection estimates for clicker x purchaser users."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
+    )
+    hv = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.md5(F.col("user_id").cast("string")).alias("__h"),
+        )
+        .select("event_type", "user_id", F.expr(_kmv_hexval6("__h")).alias("v"))
+    )
+    mins_a = F.when(F.col("event_type") == _KMV_SET_A, F.col("v"))
+    mins_b = F.when(F.col("event_type") == _KMV_SET_B, F.col("v"))
+    cells = hv.groupBy(F.spark_partition_id().alias("__pid")).agg(
+        F.slice(F.array_sort(F.collect_set(mins_a)), 1, _KMV_K).alias("amins"),
+        F.slice(F.array_sort(F.collect_set(mins_b)), 1, _KMV_K).alias("bmins"),
+    )
+
+    def _merge(c: str):
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))),
+            1,
+            _KMV_K,
+        ).alias(c)
+
+    merged = cells.agg(_merge("amins"), _merge("bmins"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("amins", "bmins"))), 1, _KMV_K
+    )
+    sk = merged.select("amins", "bmins", u.alias("umins"))
+    n_u = F.size("umins")
+    union_est = F.when(n_u < _KMV_K, n_u.cast("double")).otherwise(
+        F.lit(_KMV_CONST) / F.element_at("umins", _KMV_K)
+    )
+    n_common = F.size(
+        F.array_intersect(F.array_intersect("umins", "amins"), "bmins")
+    )
+    est = sk.select(
+        n_u.cast("int").alias("n_union_sketch"),
+        n_common.cast("int").alias("n_common_sketch"),
+        union_est.alias("union_est"),
+        F.when(n_u == 0, F.lit(0.0))
+        .otherwise(n_common * union_est / n_u)
+        .alias("inter_est"),
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max(F.col("event_type") == _KMV_SET_A).alias("ia"),
+        F.max(F.col("event_type") == _KMV_SET_B).alias("ib"),
+    )
+    exact = flags.agg(
+        F.count_if(F.col("ia") | F.col("ib")).cast("bigint").alias("exact_union"),
+        F.count_if(F.col("ia") & F.col("ib")).cast("bigint").alias("exact_inter"),
+    )
+    return exact.crossJoin(F.broadcast(est))
+
+
+# ---------------------------------------------------------------------------
 # q_cusum_drift — CUSUM change-point statistic per user (Page 1954,
 # public): S_n = max(0, S_{n-1} + (x_n - k)) reformulated as prefix sums
 # (S_n = P_n - min(0, min_{i<=n} P_i)) so it is window-expressible —
