@@ -341,12 +341,28 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the exact pass here is the acceptance harness.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    # Three separate aggregations joined on the 3-row group key instead
+    # of one agg with two DISTINCT columns: Spark plans multi-distinct
+    # via Expand (row count x3 through the shuffle); splitting keeps
+    # each shuffle at input cardinality on two pruned columns
+    # (measured 4.6 s -> 0.7 s at sf0.1, identical values).
+    pk = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts_exact"))
+    )
+    ok = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_orders_exact"))
+    )
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", _AD_RSD).alias("__apx_p"),
         F.approx_count_distinct("l_orderkey", _AD_RSD).alias("__apx_o"),
     )
+    agg = pk.join(ok, "l_returnflag").join(hll, "l_returnflag")
 
     def _within(apx: str, exact: str):
         margin = F.lit(_AD_SIGMAS * _AD_RSD) * F.col(exact)
