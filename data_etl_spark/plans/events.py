@@ -166,6 +166,87 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_session_dynamic — DYNAMIC-GAP session windows: the gap depends on
+# the event ('click' 5 min, 'purchase' 30 min, else 15 min), the
+# session_window(ts, CASE ...) form Spark supports since 3.2 and the
+# static-gap rewrite cannot express. The oracle generalizes
+# gaps-and-islands from lag(ts) to a RUNNING MAX of per-event window
+# ends (a long-gap event can bridge past a short-gap successor, so the
+# previous event's end alone is not the session end). Same boundary
+# contract as the static form (q_session_window, fuzz seed 555): an
+# event landing exactly on the running end MERGES — the break flag is
+# strict ``>``.
+# ---------------------------------------------------------------------------
+
+_DYN_GAPS_US = {"click": 300_000_000, "purchase": 1_800_000_000}
+_DYN_DEFAULT_US = 900_000_000
+
+_SESSION_DYN_ORACLE = f"""
+WITH {EVENTS_US},
+g AS (
+    SELECT user_id, event_id, ts, value,
+           epoch_us(ts) AS t_us,
+           CASE event_type
+                WHEN 'click' THEN {_DYN_GAPS_US['click']}
+                WHEN 'purchase' THEN {_DYN_GAPS_US['purchase']}
+                ELSE {_DYN_DEFAULT_US} END AS gap_us
+    FROM events_us
+),
+o AS (
+    SELECT *,
+           max(t_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM g
+),
+b AS (
+    SELECT *, CASE WHEN prev_end IS NULL OR t_us > prev_end THEN 1 ELSE 0 END AS brk
+    FROM o
+),
+s AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+    FROM b
+)
+SELECT user_id,
+       min(t_us) AS session_start_us,
+       CAST(max(t_us + gap_us) AS BIGINT) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum({_DEC}) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+@register("q_session_dynamic", oracle=_SESSION_DYN_ORACLE, tags=("phase4", "window", "events"))
+def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-gap session windows (session_window with a CASE gap)."""
+    e = load_table(spark, sf_dir, "events")
+    # gap must be CalendarIntervalType: ANSI INTERVAL literals parse as
+    # DayTimeInterval, so build the CASE over string gap literals (the
+    # documented dynamic-gap form; SessionWindow casts string -> calendar)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("5 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _HOURLY_ORACLE = f"""
 WITH {EVENTS_US}
 SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
