@@ -2841,6 +2841,111 @@ def q_zone_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_compaction_plan — OPTIMIZE planning: bin-pack small files into
+# target-size compaction groups, per partition. File inventory is
+# simulated from orders (one "file" per order day, size = row count;
+# partition = month). Files already at/over the target stay untouched
+# (keep=1, own bin); small files are ordered by (size DESC, day) and
+# binned by cumulative size — floor(cumsum_before / target) — the
+# deterministic streaming-bin heuristic Delta/Iceberg OPTIMIZE uses
+# (near-optimal without the sequential first-fit-decreasing loop, so
+# it stays a partitioned window instead of a driver algorithm). Every
+# window is partitioned by month (bounded group), all arithmetic
+# bigint.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000  # rows per compacted output file
+
+_COMPACTION_ORACLE = f"""
+WITH files AS (
+    SELECT date_trunc('month', o_orderdate) AS part_month,
+           CAST(o_orderdate AS DATE) AS file_day,
+           count(*) AS f_rows
+    FROM orders
+    GROUP BY 1, 2
+),
+small AS (
+    SELECT *,
+           sum(f_rows) OVER (
+               PARTITION BY part_month ORDER BY f_rows DESC, file_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f_rows AS cum_before
+    FROM files WHERE f_rows < {_COMPACT_TARGET}
+),
+binned AS (
+    SELECT part_month, file_day, f_rows,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+           0 AS keep
+    FROM small
+    UNION ALL
+    SELECT part_month, file_day, f_rows,
+           CAST(-1 - row_number() OVER (
+               PARTITION BY part_month ORDER BY f_rows DESC, file_day) AS BIGINT) AS bin_id,
+           1 AS keep
+    FROM files WHERE f_rows >= {_COMPACT_TARGET}
+)
+SELECT CAST(epoch(part_month) AS BIGINT) AS part_month_epoch,
+       bin_id,
+       CAST(max(keep) AS INT) AS keep,
+       count(*) AS n_files,
+       CAST(sum(f_rows) AS BIGINT) AS total_rows
+FROM binned
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_compaction_plan",
+    oracle=_COMPACTION_ORACLE,
+    tags=("phase1", "layout", "maintenance"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing: cumulative-size bins per partition month."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_month"),
+        F.to_date("o_orderdate").alias("file_day"),
+    ).agg(F.count("*").alias("f_rows"))
+    w = W.partitionBy("part_month").orderBy(F.desc("f_rows"), F.asc("file_day"))
+    small = (
+        files.filter(F.col("f_rows") < _COMPACT_TARGET)
+        .withColumn(
+            "cum_before",
+            F.sum("f_rows").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("f_rows"),
+        )
+        .select(
+            "part_month",
+            "file_day",
+            "f_rows",
+            F.call_function(
+                "div", F.col("cum_before"), F.lit(_COMPACT_TARGET).cast("bigint")
+            ).alias("bin_id"),
+            F.lit(0).alias("keep"),
+        )
+    )
+    large = files.filter(F.col("f_rows") >= _COMPACT_TARGET).select(
+        "part_month",
+        "file_day",
+        "f_rows",
+        (-1 - F.row_number().over(w)).cast("bigint").alias("bin_id"),
+        F.lit(1).alias("keep"),
+    )
+    return (
+        small.unionByName(large)
+        .groupBy(
+            F.unix_timestamp("part_month").alias("part_month_epoch"), "bin_id"
+        )
+        .agg(
+            F.max("keep").cast("int").alias("keep"),
+            F.count("*").alias("n_files"),
+            F.sum("f_rows").cast("bigint").alias("total_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_snapshot_diff — table-version diff (the lakehouse "what changed
 # between snapshot v1 and v2" primitive behind CDC audits and time
 # travel): full-outer join on the key, classify each key as added /
