@@ -3057,6 +3057,122 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ivm_join_delta — incremental view maintenance for JOIN views: given
+# the old base tables and signed change sets (insert +1 / delete -1;
+# update = delete+insert), the delta of V = orders ⋈ customer is the
+# classic IVM identity
+#     ΔV = ΔO ⋈ C1  ∪  O1 ⋈ ΔC  ∪  ΔO ⋈ ΔC
+# summed as signed multisets. The engine computes ΔV from the identity
+# (touching only deltas and one pass of each base); the ORACLE computes
+# the ground truth the expensive way — full V2 ⊖ V1 recompute diff —
+# so the hash check proves the identity itself, cross-engine, on every
+# corpus. Change sets are deterministic: every 17th order deleted,
+# every 7th (surviving) price-bumped, every 13th spawning an insert
+# under a fresh key; every 9th customer's segment rewritten. At 100 TB
+# this is the difference between joining yesterday's deltas and
+# re-joining the table per refresh (complements q_incremental_agg,
+# which maintains aggregates the same way).
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH o1 AS (
+    SELECT o_orderkey AS k, o_custkey AS ck,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS p
+    FROM orders
+),
+c1 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+o2 AS (
+    SELECT k, ck,
+           CASE WHEN k % 7 = 0 AND k % 17 <> 0 THEN p + 1.00 ELSE p END AS p
+    FROM o1 WHERE k % 17 <> 0
+    UNION ALL
+    SELECT k + 10000000, ck, CAST(100.00 AS DECIMAL(18,2)) FROM o1 WHERE k % 13 = 0
+),
+c2 AS (
+    SELECT ck, CASE WHEN ck % 9 = 0 THEN 'UPDATED' ELSE seg END AS seg FROM c1
+),
+v1 AS (SELECT k, ck, CAST(p AS DOUBLE) AS price, seg FROM o1 JOIN c1 USING (ck)),
+v2 AS (SELECT k, ck, CAST(p AS DOUBLE) AS price, seg FROM o2 JOIN c2 USING (ck)),
+counts AS (
+    SELECT k, ck, price, seg, sum(m) AS mult FROM (
+        SELECT *, 1 AS m FROM v2
+        UNION ALL
+        SELECT *, -1 AS m FROM v1
+    ) GROUP BY k, ck, price, seg
+)
+SELECT k AS o_orderkey, ck AS o_custkey, price, seg AS c_mktsegment,
+       CAST(mult AS BIGINT) AS mult
+FROM counts WHERE mult <> 0
+"""
+
+
+@register(
+    "q_ivm_join_delta",
+    oracle=_IVM_ORACLE,
+    tags=("phase2", "join", "incremental"),
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view delta via the IVM identity; oracle = full recompute diff."""
+    o1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    c1 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    k, m = F.col("k"), F.col("m")
+    upd_mask = (k % 7 == 0) & (k % 17 != 0)
+    d_o = (
+        o1.filter(k % 17 == 0).select("k", "ck", "p", F.lit(-1).alias("m"))
+        .unionByName(o1.filter(upd_mask).select("k", "ck", "p", F.lit(-1).alias("m")))
+        .unionByName(
+            o1.filter(upd_mask).select(
+                "k", "ck",
+                (F.col("p") + F.lit("1.00").cast("decimal(3,2)")).alias("p"),
+                F.lit(1).alias("m"),
+            )
+        )
+        .unionByName(
+            o1.filter(k % 13 == 0).select(
+                (k + 10000000).alias("k"), "ck",
+                F.lit("100.00").cast("decimal(18,2)").alias("p"),
+                F.lit(1).alias("m"),
+            )
+        )
+    )
+    d_c = (
+        c1.filter(F.col("ck") % 9 == 0)
+        .select("ck", "seg", F.lit(-1).alias("mc"))
+        .unionByName(
+            c1.filter(F.col("ck") % 9 == 0).select(
+                "ck", F.lit("UPDATED").alias("seg"), F.lit(1).alias("mc")
+            )
+        )
+    )
+    t1 = d_o.join(c1, "ck").select("k", "ck", "p", "seg", m.alias("mult"))
+    t2 = o1.join(d_c, "ck").select("k", "ck", "p", "seg", F.col("mc").alias("mult"))
+    t3 = (
+        d_o.join(d_c, "ck")
+        .select("k", "ck", "p", d_c["seg"].alias("seg"), (m * F.col("mc")).alias("mult"))
+    )
+    return (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy("k", "ck", F.col("p").cast("double").alias("price"), "seg")
+        .agg(F.sum("mult").cast("bigint").alias("mult"))
+        .filter(F.col("mult") != 0)
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("ck").alias("o_custkey"),
+            "price",
+            F.col("seg").alias("c_mktsegment"),
+            "mult",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_bloom_filter_eval — Bloom-filter join pruning, measured: build a
 # k=3-hash, m=1024-bucket Bloom set from the orders build side
 # (distinct o_custkey), probe every customer key through it, and score
