@@ -626,3 +626,20 @@ class ETLPipeline:
             F.col("embedding").alias("c_emb"),
         )
         return auto_knn(qdf, corpus, k=k, threshold=threshold)
+
+    def near_dups(self, threshold: int = 1024, tau: float = 0.5) -> DataFrame:
+        """Cost-gated near-duplicate chunk pairs over the index — the
+        dedup twin of :meth:`search` (operators/planner.py::auto_dedup
+        at the pipeline API): exact inverted-index scoring while the
+        index holds <= ``threshold`` chunks, MinHash-banded candidates
+        with exact verification above. Returns (doc1, doc2, n_common,
+        jaccard, strategy) keyed by ``filename#chunk_idx``."""
+        from .operators.planner import auto_dedup
+
+        chunks = self.index_table().select(
+            F.concat_ws("#", "filename", F.col("chunk_idx").cast("string")).alias(
+                "doc_id"
+            ),
+            F.col("chunk_text").alias("text"),
+        )
+        return auto_dedup(chunks, threshold=threshold, tau=tau)

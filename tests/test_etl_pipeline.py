@@ -291,3 +291,26 @@ def test_ingest_empty_batch(pipe, docs, spark):
     before = pipe.ingest(empty)
     assert before["n_documents"] == 5
     assert pipe.last_ingest_metrics == {}  # nothing written, not observed
+
+
+def test_near_dups_finds_duplicate_chunks(pipe, spark):
+    # two docs with identical text -> their chunks are exact near-dups;
+    # one unrelated doc contributes no pairs
+    rows = [
+        ("a.md", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("b.md", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("c.md", "totally different content with other words here " * 6),
+    ]
+    pipe.ingest(spark.createDataFrame(rows, "filename string, text string"))
+    pairs = pipe.near_dups(tau=0.9).collect()
+    assert pairs, "identical docs produced no near-dup chunk pairs"
+    assert all(r.strategy == "exact" for r in pairs)  # tiny index -> exact gate
+    docs_in_pairs = {r.doc1.split("#")[0] for r in pairs} | {
+        r.doc2.split("#")[0] for r in pairs
+    }
+    assert docs_in_pairs == {"a.md", "b.md"}
+    # banded branch on the same data (threshold forced down) only loses
+    # pairs, never invents them
+    banded = pipe.near_dups(threshold=1, tau=0.9).collect()
+    assert {(r.doc1, r.doc2) for r in banded} <= {(r.doc1, r.doc2) for r in pairs}
+    assert all(r.strategy == "banded" for r in banded)
