@@ -124,6 +124,10 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # figure placement on the Arrow scalar path (10.8 s -> 0.6 s),
     # anchor search fused into one mapInPandas (22.5 s -> 2.4 s):
     "q_ml_minhash_join", "q_figure_placement", "q_anchor_search",
+    # --bigdoc fuzz catch: per-position substr made the 5-gram winnow
+    # O(len^2) per doc (>9 min on 150 KB docs); now shifted-slice
+    # zip_with windows (15 s) — same values, changed plan:
+    "q_doc_fingerprint",
 })
 
 

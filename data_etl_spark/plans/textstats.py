@@ -262,6 +262,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over 5-char shingles (rolling-hash analog, fully relational).
 # ---------------------------------------------------------------------------
 
+# DuckDB keeps the positional-substring form: its substring is not the
+# bottleneck the Spark-side one was, and the list-slice rewrite is
+# SLOWER there (list_transform + per-element list slicing on 150k-char
+# docs; measured on the --bigdoc corpus). Same windows either way.
 _FP_ORACLE = f"""
 SELECT doc_id,
        md5({TX.normalize_text_sql('text')}) AS content_md5,
@@ -275,16 +279,34 @@ FROM documents
 
 @register("q_doc_fingerprint", oracle=_FP_ORACLE, tags=("phase3", "textstats"))
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: normalized-content md5 + min 5-gram hash."""
-    d = load_table(spark, sf_dir, "documents")
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-        lambda i: F.md5(F.expr("text").substr(i, F.lit(5))),
-    )
+    """Document fingerprinting: normalized-content md5 + min 5-gram hash.
+
+    The 5-char windows come from 5 shifted slices of ONE char-array
+    split, zipped back together — the word_shingles zip_with pattern.
+    NOT ``substr(text, i, 5)`` per position (byte-walks to code point i
+    every call -> O(len^2) per document) and NOT ``slice(chars, i, 5)``
+    inside a transform lambda (Catalyst inlines the split into every
+    lambda element -> 150k re-splits per doc, the same O(len^2)).
+    Latent on ~600-char driver docs; the ``--bigdoc`` fuzz corpus's
+    150 KB documents took >9 min per form before this rewrite. Windows
+    are byte-identical in both engines, so the min-hash is unchanged
+    (concat_ws skips the NULLs zip_with pads short slices with,
+    reproducing substr's clamped short-text windows).
+    """
+    # repartition: test parquet is one row group (one scan task); the
+    # per-doc hashing must be born parallel (house pattern from
+    # operators/dedup.word_shingles). Splittable input already is.
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    chars = F.split(F.col("text"), "")
+    cnt = F.greatest(F.length("text") - 4, F.lit(1))
+    slices = [F.slice(chars, j + 1, cnt) for j in range(5)]
+    windows = slices[0]
+    for s in slices[1:]:
+        windows = F.zip_with(windows, s, lambda a, b: F.concat_ws("", a, b))
     return d.select(
         "doc_id",
         F.md5(TX.normalize_text(F.col("text"))).alias("content_md5"),
-        F.array_min(shingle_hashes).alias("winnow_min"),
+        F.array_min(F.transform(windows, lambda w: F.md5(w))).alias("winnow_min"),
     )
 
 

@@ -8,6 +8,7 @@ Usage:
   python scripts/fuzz_probe.py --empty             # all tables empty
   python scripts/fuzz_probe.py --skew              # hot text/user/custkey/part
   python scripts/fuzz_probe.py --unicode           # astral/RTL/combining docs
+  python scripts/fuzz_probe.py --bigdoc            # MB-scale structured docs
   python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
 
 The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
@@ -49,6 +50,10 @@ def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
         emb = T._skew_embeddings(rng)
     elif mode == "unicode":
         docs = T._unicode_documents(rng)
+        ev = T._gen_events(rng)
+        emb = T._gen_embeddings(rng)
+    elif mode == "bigdoc":
+        docs = T._bigdoc_documents(rng)
         ev = T._gen_events(rng)
         emb = T._gen_embeddings(rng)
     else:
@@ -110,6 +115,11 @@ def main() -> int:
         help="unicode-extreme documents: astral, RTL, combining, ZWJ",
     )
     ap.add_argument(
+        "--bigdoc",
+        action="store_true",
+        help="MB-scale structured documents (per-doc kernel stress)",
+    )
+    ap.add_argument(
         "--relational-too",
         action="store_true",
         help="also run purely-relational queries",
@@ -125,6 +135,8 @@ def main() -> int:
         mode = "skew"
     elif args.unicode:
         mode = "unicode"
+    elif args.bigdoc:
+        mode = "bigdoc"
     else:
         mode = "random"
     rng = random.Random(args.seed)

@@ -176,6 +176,35 @@ _UNICODE_SAMPLES = [
 ]
 
 
+def _bigdoc_documents(rng: random.Random, n: int = 24):
+    """MB-scale corpus: ~60-180 KB structured documents (headers, code
+    fences, blank-line paragraphs) plus whole-doc duplicates — probes
+    per-document kernels (fingerprints, anchors, chunking, dup spans)
+    at realistic page sizes where the random corpus stays tiny."""
+    rows = []
+    for i in range(n):
+        if i >= n - 4 and rows:
+            text = rows[i % (n - 4)][1]  # duplicate an earlier big doc
+        else:
+            parts: list[str] = []
+            n_words = rng.randint(10000, 30000)
+            while len(parts) < n_words:
+                k = rng.random()
+                if k < 0.01:
+                    parts.append("\n\n# " + rng.choice(_VOCAB) + "\n")
+                elif k < 0.015:
+                    parts.append("\n```\n" + rng.choice(_VOCAB) + "\n```\n")
+                elif k < 0.03:
+                    parts.append("\n\n")
+                else:
+                    parts.append(rng.choice(_VOCAB))
+            text = " ".join(parts)
+        rows.append(
+            (i, text, rng.choice(_LANGS), f"src{rng.randint(0, 6)}", len(text))
+        )
+    return rows
+
+
 def _unicode_documents(rng: random.Random, n: int = 120):
     rows = []
     for i in range(n):
