@@ -128,6 +128,10 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # O(len^2) per doc (>9 min on 150 KB docs); now shifted-slice
     # zip_with windows (15 s) — same values, changed plan:
     "q_doc_fingerprint",
+    # same O(len^2/step) class in chunk_text's substring-per-chunk;
+    # window extraction now an Arrow kernel (byte-equality pinned in
+    # tests/test_chunking.py) — same values, changed plans:
+    "q_chunks", "q_chunk_pipeline",
 })
 
 

@@ -4,10 +4,18 @@ Native re-implementation of the deterministic half of the reference's
 chunking stack (SURVEY.md §2.11 U3): LangChain's
 ``RecursiveCharacterTextSplitter(chunk_size, chunk_overlap)`` and
 ``MarkdownHeaderTextSplitter`` (`/root/reference/src/managers/
-chunking_manager.py:63-76,151-176`). Re-expressed as pure column
-expressions (sequence + explode + substring) so the whole operator stays
-JVM-side, distributes per-document with no shuffle, and is exactly
-reproducible in ANSI SQL for the DuckDB oracle.
+chunking_manager.py:63-76,151-176`). The markdown split and all chunk
+arithmetic are pure column expressions; the fixed-size window
+EXTRACTION rides an Arrow scalar kernel (array-of-chunks per row, then
+posexplode) — the ``substring(text, i*step+1, size)``-per-chunk
+expression form walks to code point i*step on every call, making the
+operator O(len²/step) per document (measured on the --bigdoc corpus's
+150 KB docs: q_chunk_pipeline 13.7 s -> 2.3 s, q_chunks 16.8 s -> 7.6 s
+— the latter also pays materializing every chunk string through one
+scan task; invisible at driver doc sizes). Python
+slices count code points exactly like Spark's substr and DuckDB's
+substring, so the DuckDB oracle keeps the relational formula and the
+values are byte-identical (pinned by tests/test_chunking.py).
 
 Chunk identity = (doc key, chunk_idx), chunk_idx 0-based in document
 order — mirrors `chunking_manager.py:159` (SURVEY.md §1.3, W2).
@@ -19,6 +27,7 @@ shuffle); at 100 TB the only knob is input split size
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,16 +62,29 @@ def chunk_text(
 
     Adds ``chunk_idx`` (0-based) and ``chunk_text``; keeps all other
     columns. Chunk i covers characters [i*step, i*step + size).
+
+    Windows come from one linear pass per document (Arrow kernel; see
+    module docstring) — Python's ``s[a:b]`` slices code points, exactly
+    matching the ``substring(text, i*step+1, size)`` the oracle keeps.
+    Chunk count reproduces :func:`n_chunks`: 1 + ceil(max(L-size,0)/step),
+    so an empty text still yields one (empty) chunk.
     """
     step = size - overlap
+
+    @F.pandas_udf("array<string>")
+    def _windows(t: pd.Series) -> pd.Series:
+        out = []
+        for s in t:
+            s = s if isinstance(s, str) else ""
+            length = len(s)
+            n = 1 + (max(length - size, 0) + step - 1) // step if length > size else 1
+            out.append([s[i * step : i * step + size] for i in range(n)])
+        return pd.Series(out)
+
     return (
-        df.withColumn("n_chunks", n_chunks(F.col(text_col), size, step))
-        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)))
-        .withColumn(
-            "chunk_text",
-            F.expr(f"substring({text_col}, chunk_idx * {step} + 1, {size})"),
-        )
-        .drop("n_chunks")
+        df.withColumn("__chunks", _windows(F.col(text_col)))
+        .select("*", F.posexplode("__chunks").alias("chunk_idx", "chunk_text"))
+        .drop("__chunks")
     )
 
 
