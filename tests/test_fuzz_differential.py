@@ -633,3 +633,34 @@ def test_skew_matches_oracle(spark, skew_dir, name):
 @pytest.mark.parametrize("name", _UNICODE_PINNED)
 def test_unicode_matches_oracle(spark, unicode_dir, name):
     _assert_matches(spark, unicode_dir, name)
+
+
+@pytest.fixture(scope="module")
+def bigdoc_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_bigdoc"))
+    _write_corpus_tables(
+        d, _bigdoc_documents(rng, n=12), _gen_events(rng), _gen_embeddings(rng)
+    )
+    _write_relational(d, rng)
+    return d
+
+
+# per-document-kernel victims at MB scale: the two fixed quadratics
+# (fingerprint winnow, chunk windows) plus the other len-sensitive
+# kernels — pins the O(len^2) class found by --bigdoc without re-running
+# the full registry on a heavy corpus
+_BIGDOC_PINNED = [
+    "q_doc_fingerprint",
+    "q_chunks",
+    "q_chunk_pipeline",
+    "q_cdc_chunks",
+    "q_markdown_header_split",
+    "q_dup_spans",
+    "q_pack_global",
+]
+
+
+@pytest.mark.parametrize("name", _BIGDOC_PINNED)
+def test_bigdoc_matches_oracle(spark, bigdoc_dir, name):
+    _assert_matches(spark, bigdoc_dir, name)
