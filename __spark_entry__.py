@@ -133,6 +133,27 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     # tests/test_chunking.py) — same values, changed plans:
     "q_chunks", "q_chunk_pipeline",
 })
+_TOUCHED_BY_ROUND[7] = frozenset({
+    # chunk_text now size-gated (expression windows <= 2048 chars, Arrow
+    # kernel above — reclaims the r6 1.43x small-doc regression) and
+    # NULL text yields one NULL chunk (ADVICE r6 #1) — same values on
+    # driver data, changed plans:
+    "q_chunks", "q_chunk_pipeline",
+    # NULL-group-safe reassembly: the three aggregation legs now join
+    # with eqNullSafe (ADVICE r6 #2) — same values, changed plan:
+    "q_approx_distinct",
+    # single-partition-scan repartitions now conditional
+    # (sources.tables.parallelize_narrow_scan; ADVICE r6 #4) — same
+    # values, changed plans:
+    "q_doc_fingerprint", "q_figure_placement", "q_anchor_search",
+    # auto_dedup's shingle persist is now release-tracked (ADVICE r6
+    # #3; storage bookkeeping only — re-verify out of caution):
+    "q_dedup_auto",
+    # rows-only -> bound-verdict oracles (VERDICT r6, next #1; the
+    # q_approx_distinct upgrade pattern). _driver_rows re-exposes both
+    # as unchecked; listed for the contract test's slot accounting:
+    "q_ml_minhash_join", "q_ml_brp_neighbors",
+})
 
 
 def _current_touched() -> frozenset:

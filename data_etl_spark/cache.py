@@ -1,0 +1,43 @@
+"""Session-lifetime cache bookkeeping for plan-internal persists.
+
+Some operators persist a corpus-scale intermediate that outlives the
+function that created it (e.g. :func:`operators.planner.auto_dedup`'s
+shingle set feeds both the gate and the returned lazy plan, so it cannot
+be unpersisted before the caller materializes the result — Spark has no
+"after first materialization" hook). Left alone, each call leaks one
+cached dataset for the session lifetime, which matters for long-lived
+JVMs that run the whole registry back-to-back (scripts/bench_full.py:
+~200 queries in one session).
+
+``tracked_persist`` records such handles; harnesses call
+``release_tracked`` between queries (bench_full does; the driver runs
+<=50 queries and exits, so its leak window is bounded by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame, level: StorageLevel) -> DataFrame:
+    """Persist ``df`` and remember the handle for later release."""
+    df.persist(level)
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked dataset; returns how many were released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # session already stopped — nothing left to release
+            pass
+    return n

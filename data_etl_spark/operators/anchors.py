@@ -151,17 +151,17 @@ def anchor_search_fused(
     ``mapInPandas``. Same kernels (build_anchor_pattern /
     next_content_break) and identical output to composing
     find_page_anchors + a text join + with_content_breaks, but with
-    ZERO shuffles of the corpus text (the relation-shaped composition
-    shuffles it twice: the groupBy and the join-back) and one Arrow
-    batch per partition instead of one Python call per document —
-    measured 22 s -> ~1 s at sf0.1. Equivalence to the composition is
-    pinned in tests/test_anchors.py.
+    ZERO shuffles of the corpus text on splittable input (the
+    relation-shaped composition shuffles it twice: the groupBy and the
+    join-back; here parallelize_narrow_scan shuffles only when the scan
+    arrives as a single partition — the one-row-group test parquet) and
+    one Arrow batch per partition instead of one Python call per
+    document — measured 22 s -> ~1 s at sf0.1. Equivalence to the
+    composition is pinned in tests/test_anchors.py.
 
-    Input: (filename, text). The repartition exists because the test
-    parquet is one row group (one scan task); on splittable input the
-    scan is already parallel.
+    Input: (filename, text).
     """
-    from pyspark.sql import functions as F
+    from ..sources import parallelize_narrow_scan
 
     def batches(it):
         for pdf in it:
@@ -200,6 +200,6 @@ def anchor_search_fused(
                 }
             )
 
-    return docs.repartition(F.col("filename")).mapInPandas(
+    return parallelize_narrow_scan(docs, "filename").mapInPandas(
         batches, schema=FUSED_SCHEMA
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..cache import tracked_persist
 from ..functions import vectors as V
 from .ivf import assign_cells
 from .knn import exact_knn
@@ -108,8 +109,11 @@ def auto_dedup(
     n = docs.count()
     # the shingle set feeds sizes + both pairing paths; one
     # materialization (corpus-scale intermediate -> DISK_ONLY, house
-    # storage policy from q_dup_spans/q_ngram_jaccard)
-    sh = word_shingles(docs).persist(StorageLevel.DISK_ONLY)
+    # storage policy from q_dup_spans/q_ngram_jaccard). It must stay
+    # cached until the caller materializes the returned lazy plan, so it
+    # is tracked for release between queries instead of leaking for the
+    # session lifetime (cache.release_tracked; ADVICE r6).
+    sh = tracked_persist(word_shingles(docs), StorageLevel.DISK_ONLY)
     if n <= threshold:
         stats = shingle_pair_stats(sh)
         strategy = "exact"

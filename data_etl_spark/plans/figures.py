@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, parallelize_narrow_scan
 from .registry import register
 
 # Synthetic figures from `part`: bbox + page + 40%-null captions
@@ -378,9 +378,9 @@ def q_figure_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar path (apply_insertions_cols): no shuffle of the corpus text,
     one Arrow batch per partition. The relation-shaped grouped kernel
     (apply_insertions) remains for join-produced insertion sets and is
-    pinned byte-equal to this path in tests/test_placement.py. The
-    repartition exists because the test parquet is one row group (one
-    scan task); on splittable input the scan is already parallel.
+    pinned byte-equal to this path in tests/test_placement.py.
+    parallelize_narrow_scan shuffles only when the test parquet arrives
+    as one row group; splittable production input is a no-op.
     """
     from ..operators.placement import apply_insertions_cols
 
@@ -393,7 +393,7 @@ def q_figure_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snips = F.array(*[F.lit(s) for s in _INS])
     return (
-        docs.repartition(F.col("filename"))
+        parallelize_narrow_scan(docs, "filename")
         .select(
             "filename",
             apply_insertions_cols(F.col("text"), offs, snips).alias(

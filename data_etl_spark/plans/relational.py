@@ -362,7 +362,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", _AD_RSD).alias("__apx_p"),
         F.approx_count_distinct("l_orderkey", _AD_RSD).alias("__apx_o"),
     )
-    agg = pk.join(ok, "l_returnflag").join(hll, "l_returnflag")
+    # eqNullSafe, not equi-join: all three legs group by the same key, so
+    # a NULL l_returnflag group must survive the reassembly exactly as a
+    # single GROUP BY would keep it (plain `=` would silently drop it).
+    ok = ok.withColumnRenamed("l_returnflag", "__k2")
+    hll = hll.withColumnRenamed("l_returnflag", "__k3")
+    agg = (
+        pk.join(ok, F.col("l_returnflag").eqNullSafe(F.col("__k2")))
+        .join(hll, F.col("l_returnflag").eqNullSafe(F.col("__k3")))
+        .drop("__k2", "__k3")
+    )
 
     def _within(apx: str, exact: str):
         margin = F.lit(_AD_SIGMAS * _AD_RSD) * F.col(exact)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..sources import load_table
+from ..sources import load_table, parallelize_narrow_scan
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -293,10 +293,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (concat_ws skips the NULLs zip_with pads short slices with,
     reproducing substr's clamped short-text windows).
     """
-    # repartition: test parquet is one row group (one scan task); the
-    # per-doc hashing must be born parallel (house pattern from
-    # operators/dedup.word_shingles). Splittable input already is.
-    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    # single-row-group test parquet -> parallelize; splittable
+    # production input is a no-op (zero text shuffles at scale)
+    d = parallelize_narrow_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     chars = F.split(F.col("text"), "")
     cnt = F.greatest(F.length("text") - 4, F.lit(1))
     slices = [F.slice(chars, j + 1, cnt) for j in range(5)]

@@ -82,6 +82,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_narrow_scan(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle a scan out to full parallelism ONLY when it arrives as a
+    single partition.
+
+    The driver's test parquet is one row group = one scan task, which
+    would serialize any per-row kernel (mapInPandas, Arrow scalar UDF)
+    scheduled behind it. On splittable production input — many files /
+    row groups, the 100 TB case — the scan is already parallel and this
+    is a NO-OP: zero shuffles of the (potentially huge) payload column.
+    The partition probe is plan metadata only; no job runs.
+    """
+    if df.rdd.getNumPartitions() > 1:
+        return df
+    return df.repartition(F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view for spark.sql() queries."""
     for name in names:

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, ".")
 
+from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
 
@@ -44,6 +45,7 @@ def main() -> None:
                 materialize(REGISTRY[name].fn(spark, WARM_DIR))
             except Exception as exc:
                 print(f"warmup FAILED {name}: {exc!r}", file=sys.stderr)
+            release_tracked()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -57,6 +59,9 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"{timings[name]:8.3f}s  {name}", file=sys.stderr)
+        # plan-internal persists (auto_dedup's shingle set) must not
+        # accumulate across a ~200-query JVM
+        release_tracked()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1,13 +1,15 @@
-"""chunk_text's Arrow window kernel must be byte-identical to the
-expression form it replaced (substring(text, i*step+1, size) over
+"""chunk_text is size-gated (expression windows <= EXPR_PATH_MAX_LEN
+chars, linear Arrow kernel above); BOTH paths must be byte-identical to
+the reference expression form (substring(text, i*step+1, size) over
 sequence(0, n_chunks-1)) — same chunk count, same windows, code-point
-semantics — on empty, short, boundary-multiple and unicode texts."""
+semantics — on empty, short, boundary-multiple, unicode, NULL and
+gate-straddling texts."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_spark.operators.chunking import chunk_text, n_chunks
+from data_etl_spark.operators.chunking import EXPR_PATH_MAX_LEN, chunk_text, n_chunks
 
 
 def _expression_chunks(df, size, overlap):
@@ -35,6 +37,10 @@ def test_arrow_kernel_matches_expression_form(spark):
         "abcdefghijklmnopqrstuvwxyz0123456789",
         "naïve café \U0001f600 unicode שלום text with astral chars \U0001d518",
         "a" * 95,              # many overlapping windows
+        None,                  # NULL text: one NULL chunk in both paths
+        "y" * EXPR_PATH_MAX_LEN,        # last text on the expression path
+        "z" * (EXPR_PATH_MAX_LEN + 1),  # first text on the Arrow kernel path
+        ("née \U0001f600" * 512)[: EXPR_PATH_MAX_LEN + 7],  # unicode, kernel path
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
@@ -52,7 +58,10 @@ def test_arrow_kernel_matches_expression_form(spark):
 
 def test_default_params_match_expression_form(spark):
     df = spark.createDataFrame(
-        [(i, f"word{i} " * (30 + 13 * i)) for i in range(8)],
+        # i < 8 stays under EXPR_PATH_MAX_LEN (expression path); the
+        # *300 rows are ~15-20 KB (Arrow kernel path at default params)
+        [(i, f"word{i} " * (30 + 13 * i)) for i in range(8)]
+        + [(100 + i, f"doc{i} " * ((i + 5) * 300)) for i in range(3)],
         "doc_id bigint, text string",
     )
     got = sorted(
