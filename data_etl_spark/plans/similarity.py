@@ -16,7 +16,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
+from ..cache import tracked_persist
 from ..functions import vectors as V
 from ..operators.knn import exact_knn
 from ..sources import load_table
@@ -555,74 +557,239 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Spark ML LSH variants (SURVEY.md §2.9 V4 scale path): MinHashLSH over
 # hashed token sets and BucketedRandomProjectionLSH over embeddings.
-# Rows-only by necessity — Spark ML hashes with murmur3/seeded families
-# DuckDB cannot reproduce — but fully deterministic (fixed seeds), and
-# the exact hand-rolled counterparts (q_minhash_lsh_pairs,
-# q_rp_lsh_pairs) carry the oracle burden for the same semantics.
+# Spark ML hashes with murmur3/seeded families DuckDB cannot reproduce,
+# so the LSH *output set* is engine-only — but its GUARANTEES are not
+# (VERDICT r6, next #1; the q_approx_distinct upgrade pattern): both
+# queries emit a DuckDB-exact truth side plus verdict booleans the
+# oracle asserts TRUE, so the correctness gate doubles as the LSH
+# acceptance test. The hand-rolled exact counterparts
+# (q_minhash_lsh_pairs, q_rp_lsh_pairs) remain oracle-backed twins.
 # ---------------------------------------------------------------------------
 
+#: the ML join emits candidate pairs below this hashed-Jaccard distance
+_ML_MH_DIST = 0.6
+#: recall verdict band: every truth pair at raw distance <= this must be
+#: an LSH candidate. P(miss) per pair = (1 - sim)^numHashTables with
+#: sim >= 0.9, and HashingTF collisions only merge features (hashed
+#: Jaccard >= raw on common shingles), so 8 tables put the per-pair miss
+#: probability at <= 1e-8 — the 6-sigma never-fires-by-chance class.
+_ML_MH_RECALL_DIST = 0.1
+_ML_MH_TABLES = 8
 
-@register("q_ml_minhash_join", oracle=None, tags=("phase3", "dedup", "sparkml"))
+_ML_MH_ORACLE = f"""
+WITH sh AS ({{shingle_cte}}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2,
+       1.0 - CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) AS jaccard_dist,
+       TRUE AS lsh_found_ok
+FROM pairs p
+JOIN sizes s1 ON s1.doc_id = p.doc1
+JOIN sizes s2 ON s2.doc_id = p.doc2
+WHERE 1.0 - CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) < {_ML_MH_DIST}
+"""
+
+
+def _ml_mh_oracle() -> str:
+    from ..operators import dedup as DD
+
+    return _ML_MH_ORACLE.format(shingle_cte=DD.word_shingles_sql("documents"))
+
+
+@register(
+    "q_ml_minhash_join",
+    oracle=_ml_mh_oracle(),
+    tags=("phase3", "dedup", "sparkml", "eval"),
+)
 def q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark ML MinHashLSH approxSimilarityJoin on 3-word shingle sets
-    (Jaccard distance < 0.6).
+    """Spark ML MinHashLSH approxSimilarityJoin with a recall-at-threshold
+    verdict oracle.
 
-    Shingles, not unigram token sets — same granularity (and DF cap) as
-    the oracle-backed q_minhash_* family, via the shared
-    operators/dedup.word_shingles. Unigrams are a scale trap on
-    low-entropy corpora: with a small vocabulary every doc's token set
-    converges on the whole vocab, so (a) most PAIRS genuinely pass the
-    similarity threshold (the answer itself goes quadratic) and (b)
-    every doc shares the globally-minimal token hash, collapsing each
-    hash table into one full-corpus LSH bucket. Measured at sf0.1:
-    284 s unigram vs ~2 s shingled for the same API surface. Documents
-    shorter than 3 words have no shingle set and drop out (nothing to
-    near-dup on).
+    Emitted rows are the EXACT truth pairs (raw 3-word-shingle Jaccard
+    distance < 0.6 — DuckDB-reproducible, same shingling and DF cap as
+    the oracle-backed q_minhash_* family); ``lsh_found_ok`` is TRUE when
+    the pair is an approxSimilarityJoin candidate OR sits outside the
+    high-similarity recall band (raw distance > _ML_MH_RECALL_DIST). A
+    FALSE anywhere — a near-duplicate the LSH missed — fails the hash
+    check, so the driver gate verifies the LSH join's recall guarantee
+    cross-engine even though its hash family is Spark-only.
+
+    Shingles, not unigram token sets: unigrams are a scale trap on
+    low-entropy corpora — with a small vocabulary every doc's token set
+    converges on the whole vocab, so most pairs genuinely pass the
+    threshold (the answer itself goes quadratic) and every doc shares
+    the globally-minimal token hash, collapsing each hash table into one
+    full-corpus LSH bucket (measured 284 s unigram vs ~2 s shingled at
+    sf0.1). Documents shorter than 3 words have no shingle set and drop
+    out of both sides.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from ..operators import dedup as DD
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sets = (
-        DD.word_shingles(d)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shingles"))
-    )
+    # feeds both the LSH side and the exact truth side; release-tracked
+    # so long-lived harnesses (bench_full) can reclaim it between queries
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+
+    # ML candidate side: shingle sets -> hashed binary features -> LSH
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
     feat = tf.transform(sets).select("doc_id", "features")
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=_ML_MH_TABLES, seed=42
+    )
     model = mh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
-    return (
-        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    cand = (
+        model.approxSimilarityJoin(feat, feat, _ML_MH_DIST, distCol="ml_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc1"),
             F.col("datasetB.doc_id").alias("doc2"),
-            "jaccard_dist",
+            F.lit(True).alias("__lsh_found"),
         )
     )
 
+    # exact truth side: inverted-index co-shingle join (mirrors the oracle)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
+    dist = F.lit(1.0) - F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+    truth = (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", dist.alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") < _ML_MH_DIST)
+    )
+    return truth.join(cand, ["doc1", "doc2"], "left").select(
+        "doc1",
+        "doc2",
+        "jaccard_dist",
+        (
+            F.coalesce(F.col("__lsh_found"), F.lit(False))
+            | (F.col("jaccard_dist") > _ML_MH_RECALL_DIST)
+        ).alias("lsh_found_ok"),
+    )
 
-@register("q_ml_brp_neighbors", oracle=None, tags=("phase3", "similarity", "sparkml"))
+
+#: |reported ANN distance - recomputed exact distance| tolerance: both are
+#: sequential double folds over the same values; 1e-6 absorbs any
+#: summation-order daylight while still catching real metric bugs.
+_BRP_DIST_EPS = 1e-6
+
+_ML_BRP_ORACLE = f"""
+WITH c AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings
+           WHERE vec_id > 0 AND embedding IS NOT NULL),
+k AS (SELECT {_EMB_D} AS kemb FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL),
+d AS (SELECT c.vec_id, {V.l2_distance_sql('c.emb', 'k.kemb')} AS l2_dist
+      FROM c CROSS JOIN k)
+SELECT vec_id, l2_dist, TRUE AS ann_bound_ok, TRUE AS ann_dist_exact_ok
+FROM d ORDER BY l2_dist, vec_id LIMIT 5
+"""
+
+
+@register(
+    "q_ml_brp_neighbors",
+    oracle=_ML_BRP_ORACLE,
+    tags=("phase3", "similarity", "sparkml", "eval"),
+)
 def q_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark ML BucketedRandomProjectionLSH top-5 neighbors of vec 0."""
+    """Spark ML BucketedRandomProjectionLSH top-5 ANN of vec 0 with a
+    bound-verdict oracle.
+
+    Emitted rows are the EXACT L2 top-5 (DuckDB-reproducible: same
+    sequential-fold distance, deterministic (distance, vec_id) tiebreak,
+    TakeOrdered — no global window). Two verdicts ride every row, both
+    guaranteed by construction so they can never fire by chance:
+
+    - ``ann_bound_ok``: the ANN's worst reported distance is >= the
+      exact 5th-nearest distance (optimality of exact top-k) — vacuously
+      TRUE if the ANN returned fewer than 5 rows;
+    - ``ann_dist_exact_ok``: every ANN row's reported distance equals
+      the exact distance to that vector (Spark ML computes the true
+      keyDistance for candidates), within _BRP_DIST_EPS.
+
+    A FALSE fails the driver hash check, binding the Spark-only LSH
+    output to the cross-engine exact side.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(V.as_double(F.col("embedding"))).alias("features")
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("emb"),
+    )
+    key_row = e.filter(F.col("vec_id") == 0).select("emb").head()
+    if key_row is None or key_row.emb is None:
+        # no query vector (empty/degenerate corpus): empty result, same
+        # schema — mirrors the oracle's empty `k` CTE cross join
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, l2_dist double, ann_bound_ok boolean, "
+            "ann_dist_exact_ok boolean",
+        )
+    key = key_row.emb
+    key_arr = F.array(*[F.lit(float(x)) for x in key])
+    # NULL embeddings carry no geometry; drop them on BOTH sides (the
+    # oracle's IS NOT NULL) rather than let engine NULL-ordering defaults
+    # (Spark ASC NULLS FIRST vs DuckDB NULLS LAST) pick different top-5s
+    corpus = e.filter((F.col("vec_id") > 0) & F.col("emb").isNotNull())
+
+    exact = corpus.select(
+        "vec_id", V.l2_distance(F.col("emb"), key_arr).alias("l2_dist")
+    )
+    exact5 = exact.orderBy("l2_dist", "vec_id").limit(5)
+
+    feat = corpus.select(
+        "vec_id", "emb", array_to_vector(F.col("emb")).alias("features")
     )
     brp = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=7
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=7,
     )
-    model = brp.fit(e)
-    key = e.filter(F.col("vec_id") == 0).head().features
-    corpus = e.filter(F.col("vec_id") > 0)
-    nn = model.approxNearestNeighbors(corpus, key, 5, distCol="l2_dist")
-    return nn.select("vec_id", "l2_dist")
+    model = brp.fit(feat)
+    from pyspark.ml.linalg import Vectors
+
+    nn = model.approxNearestNeighbors(feat, Vectors.dense(key), 5, distCol="ann_dist")
+    ann = nn.select(
+        "ann_dist",
+        V.l2_distance(F.col("emb"), key_arr).alias("__exact"),
+    )
+    ann_stats = ann.agg(
+        F.count("*").alias("n_ann"),
+        F.max("ann_dist").alias("ann_max"),
+        F.max(F.abs(F.col("ann_dist") - F.col("__exact"))).alias("max_err"),
+    )
+    exact_stats = exact5.agg(F.max("l2_dist").alias("exact5_max"))
+    # 1-row metric assembly crossJoin (house pattern): scalars onto the
+    # 5 exact rows
+    verdicts = ann_stats.crossJoin(exact_stats).select(
+        (
+            (F.col("n_ann") < 5)
+            | (F.col("ann_max") + F.lit(_BRP_DIST_EPS) >= F.col("exact5_max"))
+        ).alias("ann_bound_ok"),
+        F.coalesce(
+            F.col("max_err") <= F.lit(_BRP_DIST_EPS), F.lit(True)
+        ).alias("ann_dist_exact_ok"),
+    )
+    return exact5.crossJoin(F.broadcast(verdicts))
 
 
 # ---------------------------------------------------------------------------
