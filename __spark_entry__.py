@@ -153,6 +153,29 @@ _TOUCHED_BY_ROUND[7] = frozenset({
     # q_approx_distinct upgrade pattern). _driver_rows re-exposes both
     # as unchecked; listed for the contract test's slot accounting:
     "q_ml_minhash_join", "q_ml_brp_neighbors",
+    # fuzz --nulls NULL-contract wave (VERDICT r6, next #5): plans /
+    # oracles changed on NULL paths only — driver data carries no NULLs
+    # so values are unchanged, but the most-rewritten names re-verify.
+    # Event-time contract (events_us WHERE ts IS NOT NULL + _events_ts):
+    "q_tumbling_window", "q_session_window",
+    # as-of rewritten to struct-carry + NULL-user purchase drop:
+    "q_asof_join",
+    # NULL-user subjects excluded both sides:
+    "q_survival_curve",
+    # arg_min/min_by NULL-arg FILTER legs:
+    "q_minmax_by",
+    # oracle rewrites (NOT IN -> IS NULL disjunct; concat NULL-guard;
+    # phantom NULL-user hash; entry-skip serialization; var clamp):
+    "q_delete_by_key", "q_markdown_header_split", "q_kmv_distinct",
+    "q_map_funcs", "q_moments",
+    # asset contract (NULL payload = no asset, both sides):
+    "q_multimodal_meta", "q_frame_sample", "q_binary_features",
+    "q_resize_assets", "q_audio_energy", "q_frame_dedup",
+    # NULL-text kernel contracts:
+    "q_udtf_word_windows",
+    # embedding validity contract (valid_embedding both sides);
+    # representatives of the 17-query similarity wave:
+    "q_knn_exact", "q_vector_stats", "q_cosine_pairs",
 })
 
 

@@ -43,6 +43,26 @@ def as_double_sql(expr: str) -> str:
     return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
 
 
+def valid_embedding(c: Column) -> Column:
+    """TRUE iff the array is non-NULL with no NULL elements.
+
+    The vector contract: a NULL array or a NULL element carries no
+    geometry — every distance/dot kernel (here, Spark ML's DenseVector,
+    DuckDB's list_dot_product) either errors or NULL-propagates on them,
+    each differently. Geometric queries filter such rows on BOTH engine
+    and oracle sides (the ``valid_embedding_sql`` twin) so the two
+    engines agree by construction (found by fuzz --nulls)."""
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+
+
+def valid_embedding_sql(expr: str) -> str:
+    """DuckDB twin of :func:`valid_embedding`."""
+    return (
+        f"({expr} IS NOT NULL AND "
+        f"len(list_filter({expr}, x -> x IS NULL)) = 0)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product over double-cast arrays."""
     return F.aggregate(

@@ -42,7 +42,13 @@ def apply_insertions_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     rows -> single row (filename, placed_text)."""
     text = pdf["text"].iloc[0]
     ins = list(zip(pdf["offset"], pdf["insertion"]))
-    placed = apply_insertions_text(text, ins)
+    # NULL text -> NULL placement, matching apply_insertions_cols and
+    # SQL NULL-propagation (fuzz --nulls).
+    placed = (
+        None
+        if text is None or any(o is None for o, _ in ins)
+        else apply_insertions_text(text, ins)
+    )
     return pd.DataFrame(
         {"filename": [pdf["filename"].iloc[0]], "placed_text": [placed]}
     )
@@ -74,11 +80,15 @@ def apply_insertions_cols(text, offsets, snippets):
 
     @F.pandas_udf("string")
     def _place(t: pd.Series, o: pd.Series, s: pd.Series) -> pd.Series:
+        # NULL text -> NULL result (SQL concat/substring NULL-propagate,
+        # so every SQL reconstruction of a placement is NULL there too;
+        # fuzz --nulls). A NULL inside the offsets array likewise has no
+        # defined position — propagate rather than guess.
         return pd.Series(
             [
-                apply_insertions_text(
-                    tt if tt is not None else "", list(zip(oo, ss))
-                )
+                None
+                if tt is None or oo is None or any(x is None for x in oo)
+                else apply_insertions_text(tt, list(zip(oo, ss)))
                 for tt, oo, ss in zip(t, o, s)
             ]
         )

@@ -143,9 +143,14 @@ _MD_SPARK = (
 )
 
 _MD_SQL = (
+    # CASE guard: DuckDB's concat() treats NULL args as '' while Spark's
+    # NULL-propagates (ANSI) — a NULL text must yield a NULL doc (then
+    # zero segments) on BOTH sides, not a headers-only skeleton (fuzz
+    # --nulls).
+    "CASE WHEN text IS NULL THEN NULL ELSE "
     "concat('# Doc ', CAST(doc_id AS VARCHAR), chr(10), substring(text, 1, 120), "
     "chr(10), '## Section A', chr(10), substring(text, 121, 160), "
-    "chr(10), '## Section B', chr(10), substring(text, 281, 100000))"
+    "chr(10), '## Section B', chr(10), substring(text, 281, 100000)) END"
 )
 
 _HEADER_SPLIT_ORACLE = rf"""
@@ -241,8 +246,11 @@ def q_meta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DELETE_ORACLE = """
+-- IS NULL disjunct: delete-by-key is an ANTI JOIN — a NULL-source doc
+-- matches no doomed key and must SURVIVE the delete. Bare NOT IN would
+-- evaluate NULL and silently drop it (fuzz --nulls).
 SELECT doc_id, source FROM documents
-WHERE source NOT IN ('src0', 'src1')
+WHERE source IS NULL OR source NOT IN ('src0', 'src1')
 """
 
 

@@ -29,10 +29,21 @@ events_us AS (
     SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
            user_id, event_type, value, props
     FROM events
+    WHERE ts IS NOT NULL
 )
 """
 
 _DEC = "CAST(value AS DECIMAL(18,6))"
+
+
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` under the event-time contract: an event with NULL ts
+    has no position on the time axis — it can land in no window, no
+    session, no interval — so every query built on the ``events_us``
+    oracle view filters it on BOTH sides (the view's WHERE twin; fuzz
+    --nulls: DuckDB retains a NULL time_bucket group where Spark's
+    window() drops the row, and NULL ordering shifts session ids)."""
+    return load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
 
 
 _TUMBLING_ORACLE = f"""
@@ -55,7 +66,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch form of the Structured Streaming windowed agg; map-side partial
     agg makes this scan-bound at scale.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     w = F.window("ts", "10 minutes")
     return (
         e.groupBy(w.alias("w"), "event_type")
@@ -97,7 +108,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle expresses the same thing as the k∈{0,1} bucket-shift union.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     w = F.window("ts", "10 minutes", "5 minutes")
     return (
         e.groupBy(w.alias("w"))
@@ -150,7 +161,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The custom streaming sessionizer (streaming/jobs.py::sessionize_fn)
     follows the same strict-greater contract.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(
@@ -222,7 +233,7 @@ GROUP BY user_id, sess
 @register("q_session_dynamic", oracle=_SESSION_DYN_ORACLE, tags=("phase4", "window", "events"))
 def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-gap session windows (session_window with a CASE gap)."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     # gap must be CalendarIntervalType: ANSI INTERVAL literals parse as
     # DayTimeInterval, so build the CASE over string gap literals (the
     # documented dynamic-gap form; SessionWindow casts string -> calendar)
@@ -260,7 +271,7 @@ GROUP BY 1, 2
 @register("q_hourly_profile", oracle=_HOURLY_ORACLE, tags=("phase4", "events"))
 def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day activity profile (event-time extraction + distinct agg)."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     return e.groupBy(
         F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
     ).agg(
@@ -302,30 +313,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via union + last(ignorenulls) carry-forward window."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
     )
+    # NULL-user purchases can never equi-match a click (ASOF ON
+    # c.user_id = p.user_id; fuzz --nulls) — drop them so the NULL-user
+    # window partition carries nothing and those clicks stay unmatched,
+    # exactly the oracle's LEFT semantics.
     purchases = (
-        e.filter(F.col("event_type") == "purchase")
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
         .agg(F.max("value").alias("purchase_value"))
     )
+    # the match is carried as ONE struct so a NULL purchase_value rides
+    # with its ts instead of letting last(ignorenulls) bleed an older
+    # purchase's value through (fuzz --nulls).
+    _PST = "struct<p_ts_us:bigint,purchase_value:double>"
     unioned = purchases.select(
         "user_id",
         "ts_us",
         F.lit(0).alias("is_probe"),
         F.lit(None).cast("long").alias("event_id"),
-        F.col("ts_us").alias("p_ts_us"),
-        "purchase_value",
+        F.struct(
+            F.col("ts_us").alias("p_ts_us"), F.col("purchase_value")
+        ).alias("pst"),
     ).unionByName(
         clicks.select(
             "user_id",
             "ts_us",
             F.lit(1).alias("is_probe"),
             "event_id",
-            F.lit(None).cast("long").alias("p_ts_us"),
-            F.lit(None).cast("double").alias("purchase_value"),
+            F.lit(None).cast(_PST).alias("pst"),
         )
     )
     # build rows (is_probe=0) sort before probes at equal ts => '>=' semantics
@@ -339,15 +361,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         "is_probe",
         "event_id",
-        F.last("p_ts_us", ignorenulls=True).over(w).alias("purchase_ts_us"),
-        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+        F.last("pst", ignorenulls=True).over(w).alias("pst"),
     )
     return carried.filter(F.col("is_probe") == 1).select(
         "event_id",
         "user_id",
         F.col("ts_us").alias("click_ts_us"),
-        "purchase_ts_us",
-        "purchase_value",
+        F.col("pst.p_ts_us").alias("purchase_ts_us"),
+        F.col("pst.purchase_value").alias("purchase_value"),
     )
 
 
@@ -380,7 +401,7 @@ GROUP BY 1, 2
 @register("q_retention_cohort", oracle=_RETENTION_ORACLE, tags=("phase4", "events", "analytics"))
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix (cohort day × day offset × users)."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
     active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     return (
@@ -429,7 +450,7 @@ SELECT (SELECT count(*) FROM s1) AS n_view,
 @register("q_funnel", oracle=_FUNNEL_ORACLE, tags=("phase4", "events", "analytics"))
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: users reaching each stage."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    e = _events_ts(spark, sf_dir).select("user_id", "event_type", "ts")
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -492,7 +513,7 @@ FROM spine s LEFT JOIN hourly h USING (bucket)
 @register("q_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("phase4", "events", "analytics"))
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled dense hourly series via sequence() spine + left join."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v"),
@@ -550,7 +571,7 @@ FROM g
 )
 def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour/day/month rollup; coarser grains aggregate the hourly partials."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
     ).agg(
@@ -607,7 +628,12 @@ _KMV_ORACLE = f"""
 WITH h AS (
     SELECT DISTINCT event_type, __v AS v FROM (
         SELECT event_type, {_kmv_hexval6('__h')} AS __v
-        FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h FROM events)
+        -- user_id IS NOT NULL: a NULL user is no user — the exact side's
+        -- count(DISTINCT) and the engine's collect_set both drop it, but
+        -- DISTINCT-over-NULL-hash would have kept one phantom row here
+        -- (fuzz --nulls)
+        FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS __h
+              FROM events WHERE user_id IS NOT NULL)
     )
 ),
 ranked AS (
@@ -853,7 +879,7 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     dv = (
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - _CUSUM_K_CENTS
     )
@@ -914,7 +940,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changed = ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
     changes = (
@@ -964,7 +990,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (counts + conditional probabilities)."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     steps = e.select(
         F.col("event_type").alias("dst"),
@@ -1018,7 +1044,7 @@ FROM w
 @register("q_ab_test", oracle=_AB_ORACLE, tags=("phase4", "events", "experiment"))
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t readout per event type over a deterministic user split."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     c = e.select(
         "event_type", (F.col("user_id") % 2).alias("grp"), v.alias("v")
@@ -1107,7 +1133,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution, integer-exact credits per user."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
@@ -1168,7 +1194,7 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of users' first-5-event-type paths."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
@@ -1221,7 +1247,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative purchase revenue (integer cents) per signup cohort."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     rev = (
@@ -1304,7 +1330,7 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution, bigint-exact weighted split."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
@@ -1382,7 +1408,7 @@ def q_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF-densified hourly series per event type (integer-cents carry)."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
@@ -1431,8 +1457,11 @@ _SURV_H = 14  # censoring horizon in days
 _SURV_ORACLE = f"""
 WITH {EVENTS_US},
 clicks AS (
+    -- NULL user is not a subject: it could never join conv below
+    -- anyway (equi-join), so exclude it explicitly on both sides
     SELECT user_id, min(ts) AS first_click
-    FROM events_us WHERE event_type = 'click' GROUP BY user_id
+    FROM events_us WHERE event_type = 'click' AND user_id IS NOT NULL
+    GROUP BY user_id
 ),
 conv AS (
     SELECT c.user_id,
@@ -1484,9 +1513,10 @@ GROUP BY a.k, a.n_at_risk, a.n_events, a.hazard
 @register("q_survival_curve", oracle=_SURV_ORACLE, tags=("phase4", "events", "survival"))
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click->purchase discrete survival life table (day granularity)."""
-    e = load_table(spark, sf_dir, "events")
+    e = _events_ts(spark, sf_dir)
+    # NULL user is not a subject (oracle twin: AND user_id IS NOT NULL)
     clicks = (
-        e.filter(F.col("event_type") == "click")
+        e.filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
@@ -1667,7 +1697,7 @@ def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_global_cumsum,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_ts(spark, sf_dir)
     s_us = F.unix_micros(F.col("ts"))
     dur = F.greatest(F.floor(F.col("value") * 60000000).cast("bigint"), F.lit(1))
     iv = ev.select(
@@ -1773,7 +1803,7 @@ SELECT (SELECT count(*) FROM s1) AS n_view,
 )
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click-within-1h → purchase-within-1d funnel counts."""
-    e = load_table(spark, sf_dir, "events").select(
+    e = _events_ts(spark, sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us")
     )
     s1 = (

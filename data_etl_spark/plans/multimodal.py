@@ -29,11 +29,28 @@ def _ascii_payload(n: int) -> F.Column:
         F.substring(F.regexp_replace("text", _ASCII_STRIP_RE, ""), 1, n), "UTF-8"
     )
 
+
+#: Asset contract (fuzz --nulls): NULL text encodes to a NULL payload,
+#: which is NO asset — there is nothing for a decode kernel to decode,
+#: and NULL-propagation through bytes()/md5() differs between Python
+#: and SQL. Both sides exclude such rows (engine: _assets(); oracle:
+#: WHERE text IS NOT NULL in the payload CTE) so they agree by
+#: construction. An EMPTY text is a valid 0-byte asset and stays.
+
+
+def _assets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """documents -> (doc_id, content binary) under the asset contract."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _ascii_payload(n).alias("content"))
+    )
+
 _MM_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 64) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
@@ -52,10 +69,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode stub -> typed metadata. The U1/U2 wrapper shape (SURVEY.md
     §2.11) minus the actual PDF/image library.
     """
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id", _ascii_payload(64).alias("content")
-    )
+    assets = _assets(spark, sf_dir, 64)
     return with_asset_meta(assets, binary_col="content", key_cols=("doc_id",))
 
 
@@ -69,7 +83,7 @@ _FRAME_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 f AS (
     SELECT doc_id, payload,
@@ -88,8 +102,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: binary column -> exploded frame rows."""
     from ..multimodal.columns import sample_frames
 
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
+    assets = _assets(spark, sf_dir, 80)
     return sample_frames(assets)
 
 
@@ -102,7 +115,7 @@ _FEAT_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 64) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 v AS (
     SELECT doc_id, ascii(substring(payload, CAST(i AS INT), 1)) AS byte
@@ -125,10 +138,7 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary feature extraction (numpy byte histogram via mapInPandas)."""
     from ..multimodal.columns import extract_features
 
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select(
-        "doc_id", _ascii_payload(64).alias("content")
-    )
+    assets = _assets(spark, sf_dir, 64)
     return extract_features(assets)
 
 
@@ -144,7 +154,7 @@ _RESIZE_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 48) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(8 AS INT) AS target_w,
@@ -160,8 +170,7 @@ def q_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: binary column -> fixed 8x8 payload per asset."""
     from ..multimodal.columns import resize_assets
 
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", _ascii_payload(48).alias("content"))
+    assets = _assets(spark, sf_dir, 48)
     out = resize_assets(assets, w=8, h=8)
     return out.select(
         "doc_id",
@@ -186,7 +195,7 @@ _AUDIO_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 f AS (
     SELECT doc_id, payload,
@@ -213,8 +222,7 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-frame audio energy through the mapInPandas DSP path."""
     from ..multimodal.columns import audio_frame_energy
 
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
+    assets = _assets(spark, sf_dir, 80)
     return audio_frame_energy(assets)
 
 
@@ -235,7 +243,7 @@ _FRAME_DEDUP_ORACLE = r"""
 WITH p AS (
     SELECT doc_id,
            substring(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), 1, 80) AS payload
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 f AS (
     SELECT doc_id,
@@ -270,8 +278,7 @@ def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..multimodal.columns import sample_frames
 
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", _ascii_payload(80).alias("content"))
+    assets = _assets(spark, sf_dir, 80)
     frames = sample_frames(assets).select("doc_id", "frame_idx", "frame_md5")
     w = W.partitionBy("frame_md5").orderBy("doc_id", "frame_idx")
     canon_doc = F.first("doc_id").over(w)

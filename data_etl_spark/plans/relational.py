@@ -346,17 +346,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via Expand (row count x3 through the shuffle); splitting keeps
     # each shuffle at input cardinality on two pruned columns
     # (measured 4.6 s -> 0.7 s at sf0.1, identical values).
+    # count(col) after distinct, NOT count(*): count(DISTINCT x) never
+    # counts NULL, but the distinct-then-count rewrite keeps one
+    # (group, NULL) row that count(*) would include (fuzz --nulls).
     pk = (
         li.select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_parts_exact"))
+        .agg(F.count("l_partkey").alias("n_parts_exact"))
     )
     ok = (
         li.select("l_returnflag", "l_orderkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_orders_exact"))
+        .agg(F.count("l_orderkey").alias("n_orders_exact"))
     )
     hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", _AD_RSD).alias("__apx_p"),
@@ -1000,8 +1003,15 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MAP_ORACLE = """
+-- list_filter: a NULL header VALUE serializes as an absent entry (the
+-- engine's concat(key,'=',NULL) -> NULL entry is dropped by
+-- array_join), not as a NULL whole-string (what a bare || chain would
+-- give; fuzz --nulls)
 SELECT doc_id,
-       'Header 1=' || substring(text, 1, 8) || '|Header 2=' || upper(lang) AS headers,
+       coalesce(array_to_string(list_filter(
+           ['Header 1=' || substring(text, 1, 8),
+            'Header 2=' || upper(lang)],
+           x -> x IS NOT NULL), '|'), '') AS headers,
        2 AS n_header_keys
 FROM documents
 """
@@ -1175,8 +1185,8 @@ WITH s AS (
 )
 SELECT event_type, n,
        s1 / n AS mean_value,
-       (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n) AS var_pop,
-       sqrt((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n)) AS std_pop
+       greatest(0.0, (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n)) AS var_pop,
+       sqrt(greatest(0.0, (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * n))) AS std_pop
 FROM s
 """
 
@@ -1192,7 +1202,14 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    var = (n * s2 - s1 * s1) / (n.cast("double") * n)
+    # clamp: the cancellation n*s2 - s1^2 can land one ulp below zero
+    # when true variance is 0 (singleton/duplicate-value groups) —
+    # sqrt(-eps) is NaN here and an OutOfRange ERROR in DuckDB. The
+    # inputs are exact-deterministic doubles, so the clamp fires
+    # identically in both engines.
+    var = F.greatest(
+        F.lit(0.0), (n * s2 - s1 * s1) / (n.cast("double") * n)
+    )
     return s.select(
         "event_type",
         "n",
@@ -1258,10 +1275,21 @@ GROUP BY user_id
 def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin/argmax aggregates over a unique ordering key."""
     e = load_table(spark, sf_dir, "events")
+    # FILTER per leg: DuckDB's arg_min/arg_max skip rows whose ARG is
+    # NULL (aggregate NULL-input discipline) while Spark's min_by/max_by
+    # happily return the NULL sitting at the extreme key (fuzz --nulls).
+    # The filtered form is also the more useful semantics: "first
+    # non-missing value", not "whatever the first row held".
     return e.groupBy("user_id").agg(
-        F.min_by("value", "event_id").alias("first_value"),
-        F.max_by("value", "event_id").alias("last_value"),
-        F.min_by("event_type", "event_id").alias("first_type"),
+        F.expr(
+            "min_by(value, event_id) FILTER (WHERE value IS NOT NULL)"
+        ).alias("first_value"),
+        F.expr(
+            "max_by(value, event_id) FILTER (WHERE value IS NOT NULL)"
+        ).alias("last_value"),
+        F.expr(
+            "min_by(event_type, event_id) FILTER (WHERE event_type IS NOT NULL)"
+        ).alias("first_type"),
         F.count("*").alias("n_events"),
     )
 

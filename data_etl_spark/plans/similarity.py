@@ -26,13 +26,27 @@ from .registry import register
 
 _EMB_D = V.as_double_sql("embedding")
 
+#: vector contract (fuzz --nulls): NULL arrays / NULL elements carry no
+#: geometry — excluded on BOTH sides of every geometric query in this
+#: module. Engine twin: _embeddings() below.
+_EMB_OK = V.valid_embedding_sql("embedding")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the vector contract: rows whose array
+    is non-NULL with no NULL elements (:func:`functions.vectors.
+    valid_embedding`). Oracle twin: ``WHERE {_EMB_OK}``."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        V.valid_embedding(F.col("embedding"))
+    )
+
 # ---------------------------------------------------------------------------
 # q_knn_exact — brute-force cosine top-5: queries = vec_id < 10.
 # ---------------------------------------------------------------------------
 
 _KNN_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 10),
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE {_EMB_OK} AND vec_id < 10),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= 10),
 scored AS (
     SELECT q.q_vec_id, c.c_vec_id, {V.cosine_sql('q.q_emb', 'c.c_emb')} AS score
     FROM q CROSS JOIN c
@@ -48,7 +62,7 @@ WHERE rank <= 5
 @register("q_knn_exact", oracle=_KNN_ORACLE, tags=("phase3", "similarity", "bench"))
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors (broadcast × corpus scan)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     q = (
         e.filter(F.col("vec_id") < 10)
@@ -68,7 +82,7 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings)
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK})
 SELECT a.label, a.vec_id AS vec1, b.vec_id AS vec2,
        {V.cosine_sql('a.emb', 'b.emb')} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -80,7 +94,7 @@ LIMIT 100
 @register("q_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("phase3", "similarity"))
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 most-similar same-label vector pairs (near-dup by cosine)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id",
         "label",
         V.as_double(F.col("embedding")).alias("emb"),
@@ -108,7 +122,7 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VSTATS_ORACLE = f"""
 WITH n AS (
-    SELECT label, {V.l2_norm_sql(_EMB_D)} AS nrm FROM embeddings
+    SELECT label, {V.l2_norm_sql(_EMB_D)} AS nrm FROM embeddings WHERE {_EMB_OK}
 )
 SELECT label, count(*) AS n_vectors,
        CAST(sum(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_norm,
@@ -122,7 +136,7 @@ GROUP BY label
 @register("q_vector_stats", oracle=_VSTATS_ORACLE, tags=("phase3", "similarity"))
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-norm stats (V3 distance-config analog)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     nrm = V.l2_norm(V.as_double(F.col("embedding")))
     return (
         e.select("label", nrm.alias("nrm"))
@@ -160,9 +174,9 @@ def _dist_sql(a: str, b: str) -> str:
 
 
 _IVF_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_IVF_CENT_MAX}),
-probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
-corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE {_EMB_OK} AND vec_id < {_IVF_CENT_MAX}),
+probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_PROBE_MAX}),
 c_assign AS (
     SELECT c_vec_id, cemb2, cent_id AS cell FROM (
         SELECT c.c_vec_id, c.cemb2, k.cent_id,
@@ -197,7 +211,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path for V4: at 100 TB the corpus is written partitioned by
     ``cell`` so a probe reads one cell; centroids broadcast.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     cent = e.filter(F.col("vec_id") < _IVF_CENT_MAX).select(
         F.col("vec_id").alias("cent_id"), emb.alias("cemb")
@@ -234,9 +248,9 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MULTIPROBE_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_IVF_CENT_MAX}),
-probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
-corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE {_EMB_OK} AND vec_id < {_IVF_CENT_MAX}),
+probe AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS qemb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+corpus AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS cemb2 FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_PROBE_MAX}),
 c_assign AS (
     SELECT c_vec_id, cemb2, cent_id AS cell FROM (
         SELECT c.c_vec_id, c.cemb2, k.cent_id,
@@ -267,7 +281,7 @@ WHERE rank <= 5
 @register("q_ivf_multiprobe", oracle=_MULTIPROBE_ORACLE, tags=("phase3", "similarity"))
 def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: probes search their two nearest cells."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     cent = e.filter(F.col("vec_id") < _IVF_CENT_MAX).select(
         F.col("vec_id").alias("cent_id"), emb.alias("cemb")
@@ -338,7 +352,7 @@ def _band_sql(band: int) -> str:
 # candidates -> exact-cosine thresholded near-dup pairs. Reused by the
 # pair query and the clustering query below.
 _RP_PAIR_CTES = f"""
-e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK}),
 sig AS (SELECT vec_id, emb, {_band_sql(0)} AS s0, {_band_sql(1)} AS s1 FROM e),
 cand AS (
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.emb AS emb1, b.emb AS emb2
@@ -413,7 +427,7 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so output volume tracks true near-dups. Widen _BAND_W with corpus
     size (>= log2(n) + margin) to keep per-bucket occupancy O(1).
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
     # persist: the 32-dot signature + norm is consumed by FOUR scans
@@ -496,7 +510,7 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup clustering: LSH pairs -> CC -> canonical id."""
     from ..operators.components import connected_components
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    e = _embeddings(spark, sf_dir).select("vec_id")
     pairs = q_rp_lsh_pairs(spark, sf_dir).select("vec1", "vec2")
     cc = connected_components(pairs, src="vec1", dst="vec2")
     labeled = e.join(cc, e["vec_id"] == cc["node"], "left").select(
@@ -531,9 +545,9 @@ _EMBED_ORACLE = f"""
 WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
 SELECT doc_id,
        {', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0 AS e{i}" for i in range(8))},
-       sqrt(list_dot_product(
+       CASE WHEN hh IS NULL THEN NULL ELSE sqrt(list_dot_product(
            [{', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0" for i in range(8))}],
-           [{', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0" for i in range(8))}])) AS nrm
+           [{', '.join(f"CAST({_hexval4_sql('hh', 1 + 4 * i)} AS DOUBLE) / 65535.0" for i in range(8))}])) END AS nrm
 FROM h
 """
 
@@ -695,9 +709,9 @@ _BRP_DIST_EPS = 1e-6
 
 _ML_BRP_ORACLE = f"""
 WITH c AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings
-           WHERE vec_id > 0 AND embedding IS NOT NULL),
+           WHERE vec_id > 0 AND {_EMB_OK}),
 k AS (SELECT {_EMB_D} AS kemb FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL),
+      WHERE vec_id = 0 AND {_EMB_OK}),
 d AS (SELECT c.vec_id, {V.l2_distance_sql('c.emb', 'k.kemb')} AS l2_dist
       FROM c CROSS JOIN k)
 SELECT vec_id, l2_dist, TRUE AS ann_bound_ok, TRUE AS ann_dist_exact_ok
@@ -732,7 +746,7 @@ def q_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id",
         V.as_double(F.col("embedding")).alias("emb"),
     )
@@ -808,7 +822,7 @@ _RRF_TOPN = 20
 
 
 _HYBRID_ORACLE = f"""
-WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK}),
 d AS (SELECT doc_id, text FROM documents),
 q AS (SELECT e.vec_id AS q_id, e.emb AS qemb, d.text AS qtext
       FROM e JOIN d ON e.vec_id = d.doc_id WHERE e.vec_id < 5),
@@ -866,7 +880,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions import text as TX
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -932,8 +946,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_ORACLE = f"""
 WITH ivf AS (SELECT q_vec_id, c_vec_id FROM ({_IVF_ORACLE})),
-q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
-c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= {_IVF_PROBE_MAX}),
+q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_CENT_MAX} AND vec_id < {_IVF_PROBE_MAX}),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_IVF_PROBE_MAX}),
 exact AS (
     SELECT q_vec_id, c_vec_id FROM (
         SELECT q.q_vec_id, c.c_vec_id,
@@ -962,7 +976,7 @@ LEFT JOIN matches m ON p.q_vec_id = m.q_vec_id
 @register("q_ivf_recall", oracle=_RECALL_ORACLE, tags=("phase3", "similarity", "eval"))
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF ANN vs exact top-5, per probe vector."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     probe = e.filter(
         (F.col("vec_id") >= _IVF_CENT_MAX) & (F.col("vec_id") < _IVF_PROBE_MAX)
@@ -998,11 +1012,11 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_SCALE = "greatest(list_max(list_transform({e}, x -> abs(x))) / 127.0, 1e-30)"
 
 _SQ_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE {_EMB_OK} AND vec_id < 10),
 cs AS (
     SELECT vec_id AS c_vec_id, {_EMB_D} AS emb,
            {_SQ_SCALE.format(e=_EMB_D)} AS scale
-    FROM embeddings WHERE vec_id >= 10
+    FROM embeddings WHERE {_EMB_OK} AND vec_id >= 10
 ),
 c AS (
     SELECT c_vec_id, emb AS c_emb,
@@ -1047,7 +1061,7 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing one corpus read. On a cluster the dequantize-and-score step
     reads 1/8 the bytes of the float64 baseline.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     q = (
         e.filter(F.col("vec_id") < 10)
@@ -1109,7 +1123,7 @@ _PQ_K = 16  # codewords per subspace: vec_id < 16
 _PQ_Q_MAX = 26  # queries: 16 <= vec_id < 26; corpus: vec_id >= 26
 
 _PQ_ORACLE = f"""
-WITH base AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+WITH base AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK}),
 sub AS (
     SELECT vec_id, s, emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS sv
     FROM base, (SELECT unnest(range(0, {_PQ_M})) AS s)
@@ -1171,7 +1185,7 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     one persisted reconstruction, broadcast the 10 queries, and scan the
     corpus once each.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     base = e.select("vec_id", V.as_double(F.col("embedding")).alias("emb"))
 
     sub_structs = F.explode(
@@ -1257,8 +1271,8 @@ _SEM_K = 8
 _SEM_TAU = 0.30
 
 _SEM_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE vec_id < {_SEM_K}),
-corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE vec_id >= {_SEM_K}),
+WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE {_EMB_OK} AND vec_id < {_SEM_K}),
+corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_SEM_K}),
 scored AS (
     SELECT c.vec_id, c.emb, t.cent_id, {V.cosine_sql('c.emb', 't.cemb')} AS cos_cent
     FROM corp c CROSS JOIN cent t
@@ -1290,7 +1304,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to centroid."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     cent = e.filter(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cent_id"), emb.alias("cemb")
@@ -1348,8 +1362,8 @@ _AUTO_THRESHOLD = 1024
 _AUTO_NCENT = 8
 
 _AUTO_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE vec_id >= 10),
+WITH q AS (SELECT vec_id AS q_vec_id, {_EMB_D} AS q_emb FROM embeddings WHERE {_EMB_OK} AND vec_id < 10),
+c AS (SELECT vec_id AS c_vec_id, {_EMB_D} AS c_emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= 10),
 n AS (SELECT count(*) AS n_corpus FROM c),
 exact_r AS (
     SELECT q_vec_id, rank, c_vec_id, score FROM (
@@ -1395,7 +1409,7 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-gated kNN: exact brute force or IVF, chosen by corpus size."""
     from ..operators.planner import auto_knn
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     q = (
         e.filter(F.col("vec_id") < 10)
@@ -1433,7 +1447,7 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADAPT_N = 256
 
 _ADAPT_ORACLE = f"""
-WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK}),
 n AS (SELECT count(*) AS c FROM e),
 sig AS (SELECT vec_id, emb, {_band_sql(0)} AS s16 FROM e),
 masked AS (
@@ -1460,7 +1474,7 @@ WHERE cos_sim >= {_RP_TAU}
 )
 def q_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-size-adaptive LSH: 8-bit bands on small corpora, 16 above."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
     cnt = e.agg(F.count("*").alias("__c"))

@@ -946,6 +946,11 @@ def q_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
+            # NULL text -> no windows: the oracle's unnest(NULL list)
+            # emits zero rows, and the LATERAL join then drops the doc
+            # on both engines (fuzz --nulls).
+            if text is None:
+                return
             # re.split, NOT str.split(): an empty document must yield ['']
             # (one empty segment), matching the engine-wide words()
             # semantics (regexp split of the trimmed text) — str.split()

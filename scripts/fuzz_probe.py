@@ -9,6 +9,8 @@ Usage:
   python scripts/fuzz_probe.py --skew              # hot text/user/custkey/part
   python scripts/fuzz_probe.py --unicode           # astral/RTL/combining docs
   python scripts/fuzz_probe.py --bigdoc            # MB-scale structured docs
+  python scripts/fuzz_probe.py --nulls             # ~10% NULLs everywhere
+  python scripts/fuzz_probe.py --smallgroups       # near-singleton groups
   python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
 
 The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
@@ -56,6 +58,14 @@ def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
         docs = T._bigdoc_documents(rng)
         ev = T._gen_events(rng)
         emb = T._gen_embeddings(rng)
+    elif mode == "nulls":
+        docs = T._null_documents(rng)
+        ev = T._null_events(rng)
+        emb = T._null_embeddings(rng)
+    elif mode == "smallgroups":
+        docs = T._smallgroups_documents(rng)
+        ev = T._smallgroups_events(rng)
+        emb = T._smallgroups_embeddings(rng)
     else:
         docs = T._gen_documents(rng)
         ev = T._gen_events(rng)
@@ -120,6 +130,16 @@ def main() -> int:
         help="MB-scale structured documents (per-doc kernel stress)",
     )
     ap.add_argument(
+        "--nulls",
+        action="store_true",
+        help="NULL-heavy: ~10%% NULLs in every nullable column",
+    )
+    ap.add_argument(
+        "--smallgroups",
+        action="store_true",
+        help="many near-singleton groups (users, sources, orders)",
+    )
+    ap.add_argument(
         "--relational-too",
         action="store_true",
         help="also run purely-relational queries",
@@ -137,12 +157,22 @@ def main() -> int:
         mode = "unicode"
     elif args.bigdoc:
         mode = "bigdoc"
+    elif args.nulls:
+        mode = "nulls"
+    elif args.smallgroups:
+        mode = "smallgroups"
     else:
         mode = "random"
     rng = random.Random(args.seed)
     d = tempfile.mkdtemp(prefix=f"fuzz_probe_{mode}_{args.seed}_")
     _write_corpus(d, rng, mode)
-    T._write_relational(d, rng, skew=(mode == "skew"))
+    T._write_relational(
+        d,
+        rng,
+        skew=(mode == "skew"),
+        nulls=(mode == "nulls"),
+        small=(mode == "smallgroups"),
+    )
 
     spark = build_session("fuzz-probe")
     only = set(args.names)

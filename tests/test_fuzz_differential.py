@@ -224,6 +224,158 @@ def _unicode_documents(rng: random.Random, n: int = 120):
     return rows
 
 
+# ---------------------------------------------------------------------------
+# NULL-heavy dimension (VERDICT r6, next #5): every nullable column
+# carries a real NULL fraction — group keys, join keys, measures, text,
+# whole embedding arrays and single elements. Probes the divergence
+# classes benign data can't reach: NULL group-key retention under
+# GROUP BY vs silent drop under equi-join (the q_approx_distinct
+# eqNullSafe fix), Spark ASC NULLS FIRST vs DuckDB ASC NULLS LAST under
+# ORDER BY..LIMIT, count(col) vs count(*), NULL-propagating arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _null_documents(rng: random.Random, n: int = 120):
+    rows = []
+    for i in range(n):
+        k = rng.random()
+        if k < 0.12:
+            text = None
+        elif k < 0.20 and rows:
+            prev = [r[1] for r in rows if r[1]]
+            text = rng.choice(prev) if prev else "fallback words here"
+        elif k < 0.26:
+            text = ""
+        else:
+            text = " ".join(
+                rng.choice(_VOCAB) for _ in range(rng.randint(1, 120))
+            )
+        lang = None if rng.random() < 0.10 else rng.choice(_LANGS)
+        source = None if rng.random() < 0.10 else f"src{rng.randint(0, 6)}"
+        n_chars = (
+            None if text is None or rng.random() < 0.05 else len(text)
+        )
+        rows.append((i, text, lang, source, n_chars))
+    return rows
+
+
+def _null_events(rng: random.Random, n: int = 400):
+    base = 1704067200_000_000
+    slots = sorted(rng.randrange(0, 3 * 86400) for _ in range(150))
+    micros = [0, 0, 1, 999_999, 500_000]
+    rows = []
+    for i in range(n):
+        ts = (
+            None
+            if rng.random() < 0.04
+            else base + rng.choice(slots) * 1_000_000 + rng.choice(micros)
+        )
+        uid = None if rng.random() < 0.06 else rng.randint(0, 20)
+        et = None if rng.random() < 0.08 else rng.choice(_EVENT_TYPES)
+        value = (
+            None
+            if rng.random() < 0.10
+            else rng.choice([0.01, round(rng.uniform(0.01, 500.0), 2)])
+        )
+        props = (
+            None
+            if rng.random() < 0.10
+            else (
+                rng.choice(_DIRTY_PROPS)
+                if rng.random() < 0.15
+                else json.dumps({"k": rng.randint(0, 99)})
+            )
+        )
+        rows.append((i, ts, uid, et, value, props))
+    return rows
+
+
+def _null_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
+    rows = []
+    for i in range(n):
+        k = rng.random()
+        if k < 0.06:
+            vec = None  # whole-array NULL: no geometry at all
+        elif k < 0.10:
+            # element-level NULLs: zip_with/aggregate arithmetic must
+            # NULL-propagate identically to DuckDB list lambdas
+            vec = [
+                None if rng.random() < 0.1 else round(rng.uniform(-1, 1), 3)
+                for _ in range(dim)
+            ]
+        elif k < 0.14:
+            vec = [0.0] * dim
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        label = None if rng.random() < 0.08 else rng.randint(0, 9)
+        rows.append((i, vec, label))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Many-small-groups dimension (VERDICT r6, next #5): group cardinality
+# approaches row count — every user has one event, sources are
+# near-unique, each order carries one lineitem. Stresses per-group
+# kernel spawn overhead (applyInPandas groups of 1), sketch behavior at
+# high distinct counts (HLL/KMV/CMS), empty-filter groups (standard
+# event_type predicates match almost nothing), and size-1 window frames.
+# ---------------------------------------------------------------------------
+
+
+def _smallgroups_documents(rng: random.Random, n: int = 400):
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(_VOCAB) for _ in range(rng.randint(1, 5)))
+        rows.append(
+            (
+                i,
+                text,
+                f"l{rng.randrange(40)}",
+                f"src{rng.randrange(max(2, n // 2))}",
+                len(text),
+            )
+        )
+    return rows
+
+
+def _smallgroups_events(rng: random.Random, n: int = 600):
+    base = 1704067200_000_000
+    rows = []
+    for i in range(n):
+        ts = (
+            base
+            + rng.randrange(0, 30 * 86400) * 1_000_000
+            + rng.randrange(0, 1_000_000)
+        )
+        et = (
+            rng.choice(_EVENT_TYPES)
+            if rng.random() < 0.5
+            else f"type_{rng.randrange(200)}"
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                i,  # every user exactly one event: sessions/groups of 1
+                et,
+                round(rng.uniform(0.01, 500.0), 2),
+                json.dumps({"k": rng.randint(0, 9999)}),
+            )
+        )
+    return rows
+
+
+def _smallgroups_embeddings(rng: random.Random, n: int = 200, dim: int = 64):
+    return [
+        (
+            i,
+            [round(rng.uniform(-1, 1), 3) for _ in range(dim)],
+            i % 97,  # 97 near-singleton label groups
+        )
+        for i in range(n)
+    ]
+
+
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
@@ -232,13 +384,28 @@ _NOUN = ["widget", "bolt", "gear", "spring", "valve"]
 _MS_DAY = 86400_000
 
 
-def _write_relational(d: str, rng: random.Random, skew: bool = False):
+def _mask(rng: random.Random, vals: list, frac: float) -> list:
+    """Replace ~frac of vals with None (NULL-heavy dimension)."""
+    return [None if rng.random() < frac else v for v in vals]
+
+
+def _write_relational(
+    d: str,
+    rng: random.Random,
+    skew: bool = False,
+    nulls: bool = False,
+    small: bool = False,
+):
     """FK-consistent random star schema in the driver's shapes: negative
     acctbals, date collisions (200 distinct order days), customers with
     zero orders, duplicate part names, boundary discounts (0 and 0.1).
     With ``skew``, one customer places ~50% of orders and one
     (part, supplier) pair appears in ~50% of lineitems — the hot-FK
-    profile where shuffle-key skew decides join wall-clock."""
+    profile where shuffle-key skew decides join wall-clock. With
+    ``nulls``, every nullable (non-primary-key) column carries ~8-15%
+    NULLs — group keys, FKs, measures, dates. With ``small``, group
+    cardinality approaches row count: each order has one lineitem and
+    almost every customer at most one order."""
     pq.write_table(
         pa.table(
             {
@@ -260,24 +427,33 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
         ),
         os.path.join(d, "nation.parquet"),
     )
-    n_cust, n_supp, n_part, n_ord = 60, 8, 40, 300
+    if small:
+        n_cust, n_supp, n_part, n_ord = 400, 40, 300, 450
+    else:
+        n_cust, n_supp, n_part, n_ord = 60, 8, 40, 300
+    nf = 0.1 if nulls else 0.0  # baseline NULL fraction for the dimension
     pq.write_table(
         pa.table(
             {
                 "c_custkey": pa.array(range(n_cust), pa.int64()),
                 "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
                 "c_nationkey": pa.array(
-                    [rng.randrange(25) for _ in range(n_cust)], pa.int32()
+                    _mask(rng, [rng.randrange(25) for _ in range(n_cust)], nf),
+                    pa.int32(),
                 ),
                 "c_acctbal": pa.array(
-                    [
-                        rng.choice([0.0, round(rng.uniform(-999, 9999), 2)])
-                        for _ in range(n_cust)
-                    ],
+                    _mask(
+                        rng,
+                        [
+                            rng.choice([0.0, round(rng.uniform(-999, 9999), 2)])
+                            for _ in range(n_cust)
+                        ],
+                        nf,
+                    ),
                     pa.float64(),
                 ),
                 "c_mktsegment": pa.array(
-                    [rng.choice(_SEGMENTS) for _ in range(n_cust)]
+                    _mask(rng, [rng.choice(_SEGMENTS) for _ in range(n_cust)], nf)
                 ),
             }
         ),
@@ -289,10 +465,15 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
                 "s_suppkey": pa.array(range(n_supp), pa.int64()),
                 "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
                 "s_nationkey": pa.array(
-                    [rng.randrange(25) for _ in range(n_supp)], pa.int32()
+                    _mask(rng, [rng.randrange(25) for _ in range(n_supp)], nf),
+                    pa.int32(),
                 ),
                 "s_acctbal": pa.array(
-                    [round(rng.uniform(-999, 9999), 2) for _ in range(n_supp)],
+                    _mask(
+                        rng,
+                        [round(rng.uniform(-999, 9999), 2) for _ in range(n_supp)],
+                        nf,
+                    ),
                     pa.float64(),
                 ),
             }
@@ -310,14 +491,25 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
                     ]
                 ),
                 "p_brand": pa.array(
-                    [f"Brand#{rng.randint(1, 25)}" for _ in range(n_part)]
+                    _mask(
+                        rng,
+                        [f"Brand#{rng.randint(1, 25)}" for _ in range(n_part)],
+                        nf,
+                    )
                 ),
-                "p_type": pa.array([rng.choice(_PTYPES) for _ in range(n_part)]),
+                "p_type": pa.array(
+                    _mask(rng, [rng.choice(_PTYPES) for _ in range(n_part)], nf)
+                ),
                 "p_size": pa.array(
-                    [rng.randint(1, 50) for _ in range(n_part)], pa.int32()
+                    _mask(rng, [rng.randint(1, 50) for _ in range(n_part)], nf),
+                    pa.int32(),
                 ),
                 "p_retailprice": pa.array(
-                    [round(rng.uniform(100, 2000), 2) for _ in range(n_part)],
+                    _mask(
+                        rng,
+                        [round(rng.uniform(100, 2000), 2) for _ in range(n_part)],
+                        nf,
+                    ),
                     pa.float64(),
                 ),
             }
@@ -329,11 +521,12 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
     orders, lines = [], []
     for ok in range(n_ord):
         odate = base_ms + rng.choice(day_slots) * _MS_DAY
-        ck = (
-            3
-            if skew and rng.random() < 0.5
-            else rng.randrange(0, n_cust - 5)  # last 5 customers dormant
-        )
+        if skew and rng.random() < 0.5:
+            ck = 3
+        elif small:
+            ck = ok % (n_cust - 5)  # every active customer <=2 orders
+        else:
+            ck = rng.randrange(0, n_cust - 5)  # last 5 customers dormant
         orders.append(
             (
                 ok,
@@ -344,7 +537,8 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
                 rng.choice(_PRIORITIES),
             )
         )
-        for ln in rng.sample(range(8), rng.randint(1, 7)):
+        line_nos = [0] if small else rng.sample(range(8), rng.randint(1, 7))
+        for ln in line_nos:
             hot_line = skew and rng.random() < 0.5
             lines.append(
                 (
@@ -365,13 +559,22 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
         pa.table(
             {
                 "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
-                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
-                "o_orderstatus": pa.array([o[2] for o in orders]),
-                "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
-                "o_orderdate": pa.array(
-                    [o[4] for o in orders], pa.timestamp("ms")
+                "o_custkey": pa.array(
+                    _mask(rng, [o[1] for o in orders], nf * 0.6), pa.int64()
                 ),
-                "o_orderpriority": pa.array([o[5] for o in orders]),
+                "o_orderstatus": pa.array(
+                    _mask(rng, [o[2] for o in orders], nf)
+                ),
+                "o_totalprice": pa.array(
+                    _mask(rng, [o[3] for o in orders], nf), pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    _mask(rng, [o[4] for o in orders], nf * 0.4),
+                    pa.timestamp("ms"),
+                ),
+                "o_orderpriority": pa.array(
+                    _mask(rng, [o[5] for o in orders], nf)
+                ),
             }
         ),
         os.path.join(d, "orders.parquet"),
@@ -380,16 +583,31 @@ def _write_relational(d: str, rng: random.Random, skew: bool = False):
         pa.table(
             {
                 "l_orderkey": pa.array([x[0] for x in lines], pa.int64()),
-                "l_partkey": pa.array([x[1] for x in lines], pa.int64()),
-                "l_suppkey": pa.array([x[2] for x in lines], pa.int64()),
+                "l_partkey": pa.array(
+                    _mask(rng, [x[1] for x in lines], nf * 0.5), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    _mask(rng, [x[2] for x in lines], nf * 0.5), pa.int64()
+                ),
                 "l_linenumber": pa.array([x[3] for x in lines], pa.int32()),
-                "l_quantity": pa.array([x[4] for x in lines], pa.float64()),
-                "l_extendedprice": pa.array([x[5] for x in lines], pa.float64()),
-                "l_discount": pa.array([x[6] for x in lines], pa.float64()),
-                "l_tax": pa.array([x[7] for x in lines], pa.float64()),
-                "l_returnflag": pa.array([x[8] for x in lines]),
-                "l_linestatus": pa.array([x[9] for x in lines]),
-                "l_shipdate": pa.array([x[10] for x in lines], pa.timestamp("ms")),
+                "l_quantity": pa.array(
+                    _mask(rng, [x[4] for x in lines], nf), pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    _mask(rng, [x[5] for x in lines], nf), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    _mask(rng, [x[6] for x in lines], nf), pa.float64()
+                ),
+                "l_tax": pa.array(
+                    _mask(rng, [x[7] for x in lines], nf), pa.float64()
+                ),
+                "l_returnflag": pa.array(_mask(rng, [x[8] for x in lines], nf)),
+                "l_linestatus": pa.array(_mask(rng, [x[9] for x in lines], nf)),
+                "l_shipdate": pa.array(
+                    _mask(rng, [x[10] for x in lines], nf * 0.6),
+                    pa.timestamp("ms"),
+                ),
             }
         ),
         os.path.join(d, "lineitem.parquet"),
@@ -664,3 +882,89 @@ _BIGDOC_PINNED = [
 @pytest.mark.parametrize("name", _BIGDOC_PINNED)
 def test_bigdoc_matches_oracle(spark, bigdoc_dir, name):
     _assert_matches(spark, bigdoc_dir, name)
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_nulls"))
+    _write_corpus_tables(
+        d, _null_documents(rng), _null_events(rng), _null_embeddings(rng)
+    )
+    _write_relational(d, rng, nulls=True)
+    return d
+
+
+# NULL-semantics victims — one pin per divergence class --nulls caught
+# (round 7): the embedding validity contract (NULL array / NULL element
+# carries no geometry), the events_us event-time contract (NULL ts is in
+# no window/session), the as-of struct-carry (NULL purchase value must
+# not let last(ignorenulls) bleed an older purchase through), DuckDB
+# arg_min skipping NULL args vs Spark min_by returning them, NOT IN vs
+# anti-join on NULL keys, DuckDB concat() eating NULLs vs Spark's ANSI
+# NULL-propagation, KMV hashing a phantom NULL user, the NULL-group
+# eqNullSafe reassembly, sqrt(-ulp) variance clamping, and the asset /
+# UDTF / placement NULL-text kernel contracts.
+_NULLS_PINNED = [
+    "q_knn_exact",
+    "q_cosine_pairs",
+    "q_vector_stats",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_asof_join",
+    "q_survival_curve",
+    "q_minmax_by",
+    "q_delete_by_key",
+    "q_markdown_header_split",
+    "q_kmv_distinct",
+    "q_approx_distinct",
+    "q_moments",
+    "q_multimodal_meta",
+    "q_frame_dedup",
+    "q_udtf_word_windows",
+    "q_figure_placement",
+    "q_chunks",
+]
+
+
+@pytest.mark.parametrize("name", _NULLS_PINNED)
+def test_nulls_matches_oracle(spark, nulls_dir, name):
+    _assert_matches(spark, nulls_dir, name)
+
+
+@pytest.fixture(scope="module")
+def smallgroups_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_smallgroups"))
+    _write_corpus_tables(
+        d,
+        _smallgroups_documents(rng),
+        _smallgroups_events(rng),
+        _smallgroups_embeddings(rng),
+    )
+    _write_relational(d, rng, small=True)
+    return d
+
+
+# many-tiny-groups victims: per-group kernels (applyInPandas spawn per
+# group), sketches at high distinct counts (HLL/KMV/CMS), sessions and
+# windows of size 1, near-empty standard-event-type filters, and the
+# two-pass global rank when every bucket is tiny.
+_SMALLGROUPS_PINNED = [
+    "q_session_window",
+    "q_tumbling_window",
+    "q_approx_distinct",
+    "q_kmv_distinct",
+    "q_cms_heavy_hitters",
+    "q_quality_percentiles",
+    "q_retention_cohort",
+    "q_market_basket",
+    "q_exact_dedup",
+    "q_tfidf",
+    "q_minmax_by",
+]
+
+
+@pytest.mark.parametrize("name", _SMALLGROUPS_PINNED)
+def test_smallgroups_matches_oracle(spark, smallgroups_dir, name):
+    _assert_matches(spark, smallgroups_dir, name)
