@@ -33,7 +33,75 @@ from ..functions import vectors as V
 from .ivf import assign_cells
 from .knn import exact_knn
 
-__all__ = ["auto_dedup", "auto_knn"]
+__all__ = ["auto_dedup", "auto_knn", "auto_rank"]
+
+
+def auto_rank(
+    df: DataFrame,
+    order_cols,
+    range_expr,
+    *,
+    threshold: int = 100_000,
+    n_buckets: int | None = None,
+    rank_name: str = "rank",
+    total_name: str | None = None,
+    strategy_name: str | None = None,
+    bounds=None,
+) -> DataFrame:
+    """Exact global row_number; physical strategy chosen by input size
+    (the global-ordering member of the auto_knn / auto_dedup /
+    lsh_adaptive gate family — VERDICT r6, next #8: callers no longer
+    pick the scale-safe variant by hand).
+
+    - input <= ``threshold`` rows: ONE unpartitioned window. The
+      single-task sort Spark warns about is *optimal* here — no
+      boundary-sampling job, no bucket bookkeeping, and the rows fit a
+      task by construction (the gate proved it with a count);
+    - input  > ``threshold`` rows: the two-pass bucketed rank
+      (:func:`~..operators.rank.exact_global_rank` — every shuffle
+      partitioned, O(n_buckets) driver bytes).
+
+    Both branches compute the IDENTICAL rank (the bucketed pass is
+    pinned equal to row_number in tests/test_properties.py), so unlike
+    auto_knn/auto_dedup the gate changes no values — only the physical
+    plan — and a registered query over it stays hash-checkable with a
+    plain window-function oracle. The gate's driver action is one
+    column-pruned count() (bounded-scalar class). ``strategy_name``
+    optionally attaches the chosen branch as a column, making the gate
+    itself part of the checked result (q_rank_auto exercises the window
+    branch at sf0.01 and the bucketed branch at sf0.1).
+
+    Contract mirrors exact_global_rank: ``order_cols`` must totally
+    order the rows; ``range_expr`` numeric, NON-NULL (coalesce NULLs to
+    a sentinel below the domain — NULL ordering defaults differ across
+    engines anyway, so the caller must decide placement explicitly),
+    monotone in the leading order column.
+    """
+    from pyspark.sql import Window as W2
+
+    from .rank import exact_global_rank
+
+    n = df.count()
+    if n <= threshold:
+        w = W2.orderBy(*order_cols)
+        out = df.withColumn(rank_name, F.row_number().over(w).cast("bigint"))
+        if total_name is not None:
+            out = out.withColumn(total_name, F.lit(n).cast("bigint"))
+        strategy = "window"
+    else:
+        out = exact_global_rank(
+            df,
+            order_cols,
+            range_expr,
+            n_buckets=n_buckets,
+            rank_name=rank_name,
+            total_name=total_name,
+            bounds=bounds,
+        )
+        strategy = "bucketed"
+    if strategy_name is not None:
+        out = out.withColumn(strategy_name, F.lit(strategy))
+    return out
 
 
 def auto_knn(

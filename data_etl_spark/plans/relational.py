@@ -3376,6 +3376,59 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_rank_auto — the cost-gated GLOBAL-RANK planner rule
+# (operators/planner.auto_rank; VERDICT r6, next #8): input row count
+# <= threshold -> one unpartitioned window (optimal when the rows fit a
+# task — the gate's count just proved it), above -> the two-pass
+# bucketed rank. Unlike auto_knn/auto_dedup the two branches compute
+# IDENTICAL values (the bucketed pass is pinned equal to row_number in
+# tests/test_properties.py), so the oracle is a plain window function
+# plus the scalar-count CASE reproducing the gate; the strategy column
+# makes the branch choice itself part of the hash. The driver exercises
+# the window branch at sf0.01 (500 docs) and bench the bucketed branch
+# at sf0.1 (5000 docs). Ranking metric is coalesce(n_chars, -1): the
+# range contract wants a NON-NULL leading key, and NULL placement under
+# ORDER BY differs across engines — the sentinel pins NULL-n_chars docs
+# below the domain explicitly on both sides (fuzz --nulls).
+# ---------------------------------------------------------------------------
+
+_RANK_AUTO_THRESHOLD = 1024
+
+_RANK_AUTO_ORACLE = f"""
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT doc_id,
+       coalesce(n_chars, -1) AS metric,
+       row_number() OVER (ORDER BY coalesce(n_chars, -1), doc_id) AS rnk,
+       count(*) OVER () AS total,
+       CASE WHEN (SELECT c FROM n) <= {_RANK_AUTO_THRESHOLD}
+            THEN 'window' ELSE 'bucketed' END AS strategy
+FROM documents
+"""
+
+
+@register(
+    "q_rank_auto", oracle=_RANK_AUTO_ORACLE, tags=("phase1", "rank", "planner")
+)
+def q_rank_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-gated exact global rank (window vs two-pass bucketed)."""
+    from ..operators.planner import auto_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(-1)).cast("bigint").alias("metric"),
+    )
+    return auto_rank(
+        d,
+        [F.asc("metric"), F.asc("doc_id")],
+        F.col("metric"),
+        threshold=_RANK_AUTO_THRESHOLD,
+        rank_name="rnk",
+        total_name="total",
+        strategy_name="strategy",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_variant_funcs — Spark 4 VARIANT (the open semi-structured type that
 # replaces string-JSON hot paths): JSON built from typed columns ->
 # parse_json -> variant_get typed extraction (scalar, nested field,

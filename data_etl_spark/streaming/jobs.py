@@ -74,10 +74,19 @@ def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     return spark.read.parquet(data_dir)
 
 
+def read_events_stream_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME stream view: NULL-ts rows dropped, matching the batch
+    ``events_us`` oracle CTE's WHERE (an event with no timestamp is in
+    no window/session/interval — plans/events._events_ts's contract).
+    Queries whose oracle reads raw ``events`` (enrich/topk/dedup) keep
+    the unfiltered reader."""
+    return read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 10-minute tumbling aggregation through the streaming
     engine (complete mode: no rows dropped, matches the batch oracle)."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream_ts(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"))
@@ -102,7 +111,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 10-minute/5-minute sliding window through the streaming
     engine (complete mode: every event lands in exactly two windows, so
     the batch k∈{0,1} bucket-shift oracle applies verbatim)."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream_ts(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
@@ -188,7 +197,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-min-gap sessions through applyInPandasWithState."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir).select(
+    ev = read_events_stream_ts(spark, sf_dir).select(
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
@@ -230,7 +239,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join feasible at all.
     """
     clicks = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_ts(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -240,7 +249,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_ts(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -344,7 +353,7 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.events import _CUSUM_K_CENTS
 
-    ev = read_events_stream(spark, sf_dir).select(
+    ev = read_events_stream_ts(spark, sf_dir).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
@@ -379,7 +388,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     delay = "10 seconds"
     clicks = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_ts(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -389,7 +398,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("click_ts", delay)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_ts(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -520,7 +529,7 @@ def streaming_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     ev = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_ts(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select("user_id", F.unix_micros("ts").alias("ts_us"))
     )

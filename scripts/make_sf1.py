@@ -10,11 +10,22 @@ Remapping rules (replica k in 0..K-1, base row count N per table):
   (customers gain no extra orders; users gain no extra events —
   per-key group sizes stay realistic instead of 10x-ing);
 - FKs to the FIXED dims (c_nationkey, s_nationkey) are left alone;
-- documents: replicas tag ~2/3 of texts with a replica word (so
-  exact/near-dup structure survives without collapsing into groups of
-  exactly K) and keep ~1/3 byte-identical cross-replica duplicates;
-- embeddings: one dimension is nudged by a tiny deterministic delta on
-  tagged replicas, same 1/3 exact-duplicate policy;
+- documents: each base doc stays byte-identical in exactly ONE replica
+  (one cross-replica dup pair per doc — dup-pair COUNT scales linearly
+  with the corpus) and is REWORDED everywhere else: every 5th word
+  rotating by replica is replaced with a replica-specific token, which
+  breaks ~60% of 3-word shingles (Jaccard ~0.25, under every near-dup
+  tau in the repo). Two earlier cuts taught the lesson: byte-identical
+  replicas square EXACT-dup pair density, and prefix-tagged replicas
+  still form K-cliques of ~0.99-Jaccard NEAR-dups (q_dup_triangles ran
+  137x/150x on those corpora purely from quadratic dup-graph density —
+  a corpus artifact, not engine behavior; a real 10x corpus is 10x
+  DISTINCT documents plus linearly many dups);
+- entity names (c_name/s_name/p_name-style columns) are rewritten to
+  the SHIFTED key so blocking keys keep their base occupancy (identical
+  names across replicas 42x'd the blocked-linkage bench the same way);
+- embeddings: same one-replica-duplicate policy, others nudged by a
+  tiny deterministic per-replica delta on one dimension;
 - events: ts is left as-is (event-time density per window scales x10 —
   that IS the scale axis for window aggregation).
 
@@ -77,6 +88,13 @@ def main() -> int:
     if umax is not None:
         shifts["events"]["user_id"] = int(umax) + 1
 
+    # entity-name columns: rewrite the embedded key digits to the
+    # shifted key so name-derived blocking keys keep base occupancy
+    names_of = {
+        "customer": ("c_name", "Customer#", "c_custkey"),
+        "supplier": ("s_name", "Supplier#", "s_suppkey"),
+    }
+
     for name, keymap in shifts.items():
         tbl = tables[name]
         reps = []
@@ -88,45 +106,72 @@ def main() -> int:
                     cols[field.name] = _shift(c, k * keymap[field.name])
                 else:
                     cols[field.name] = c
+            if name in names_of and k > 0:
+                ncol, prefix, keycol = names_of[name]
+                if ncol in tbl.column_names:
+                    keys = cols[keycol].to_numpy() if hasattr(cols[keycol], "to_numpy") else cols[keycol].combine_chunks().to_numpy()
+                    cols[ncol] = pa.array([f"{prefix}{int(x):09d}" for x in keys])
             if name == "documents" and k > 0:
-                # tag ~2/3 of replica texts; doc_id % 3 == 0 stays an
-                # exact cross-replica duplicate
+                # each doc stays byte-identical in exactly ONE replica
+                # (its "home dup" k = doc_id % (K-1) + 1): one
+                # cross-replica dup pair per doc, linear dup density.
+                # All other replicas are REWORDED (distinct documents):
+                # every 5th word, rotating by replica, becomes a
+                # replica-specific token — breaks most shingles.
                 base_ids = tbl["doc_id"].to_numpy()
-                tag_mask = pa.array((base_ids % 3) != 0)
-                tagged = pc.binary_join_element_wise(
-                    pa.scalar(f"rep{k} "), pc.cast(cols["text"], pa.string()), ""
-                )
-                cols["text"] = pc.if_else(tag_mask, tagged, cols["text"])
+                texts = tbl["text"].to_pylist()
+                out_t = []
+                for did, t in zip(base_ids, texts):
+                    if t is None or int(did) % (K - 1) + 1 == k:
+                        out_t.append(t)
+                        continue
+                    ws = t.split(" ")
+                    for p in range(k % 5, len(ws), 5):
+                        ws[p] = f"w{k}x{p % 23}"
+                    out_t.append(" ".join(ws))
+                cols["text"] = pa.array(out_t, pa.string())
                 nc = cols.get("n_chars")
                 if nc is not None:
-                    cols["n_chars"] = pc.if_else(
-                        tag_mask,
-                        pc.add(nc, pa.scalar(len(f"rep{k} "), type=nc.type)),
-                        nc,
+                    cols["n_chars"] = pc.utf8_length(cols["text"]).cast(
+                        nc.type
                     )
             if name == "embeddings" and k > 0:
                 emb = tbl["embedding"].combine_chunks()
                 vals = emb.values.to_numpy(zero_copy_only=False).copy()
                 offs = emb.offsets.to_numpy()
                 ids = tbl["vec_id"].to_numpy()
-                # nudge dim (vec_id % width) by k*1e-3 on tagged rows
+                # genuinely different vectors per replica (deterministic
+                # hash-phase perturbation, ~0.7-0.9 cosine to the base),
+                # except the row's single home-dup replica (exact copy —
+                # linear dup density)
                 for i, vid in enumerate(ids):
-                    if vid % 3 == 0:
+                    if int(vid) % (K - 1) + 1 == k:
                         continue  # exact duplicate replica
                     lo, hi = offs[i], offs[i + 1]
-                    if hi > lo:
-                        j = lo + (int(vid) % (hi - lo))
-                        if not np.isnan(vals[j]):
-                            vals[j] += k * 1e-3
+                    d = hi - lo
+                    if d > 0:
+                        seg = vals[lo:hi]
+                        phase = (int(vid) * 31 + k * 7) % 97
+                        pert = 0.35 * np.cos(
+                            np.arange(d) * (0.5 + 0.01 * phase) + phase
+                        )
+                        np.add(
+                            seg, pert, out=seg, where=~np.isnan(seg)
+                        )
                 cols["embedding"] = pa.ListArray.from_arrays(
                     emb.offsets, pa.array(vals, type=emb.values.type)
                 )
             reps.append(pa.table(cols))
         out = pa.concat_tables(reps)
+        # ~32 row groups per file: parquet scan parallelism comes from
+        # row groups, and the driver's own sf files ship as ONE group
+        # (the known single-task-scan artifact README documents). The
+        # rehearsal should look like production input — many splittable
+        # units — not inherit that artifact at 10x the bytes.
         pq.write_table(
             out,
             os.path.join(OUT, f"{name}.parquet"),
-            row_group_size=1 << 20,
+            row_group_size=max(1024, out.num_rows // 32),
         )
         print(f"{name}: {tbl.num_rows} -> {out.num_rows}")
     return 0

@@ -373,6 +373,12 @@ def test_data_quality_single_scan_plus_anti(spark, sf_dir):
 # docstring explaining why the input is dimension-bounded.
 _GLOBAL_WINDOW_WHITELIST = {
     "q_window_ntile",  # deliberate raw-ntile API coverage on the customer dim
+    # auto_rank's SMALL branch: the global window only exists because
+    # the gate's count() just proved the input <= threshold rows (at the
+    # tripwire's SF the gate picks 'window'; above threshold it switches
+    # to the two-pass bucketed plan with no global window — the
+    # strategy column in the hashed result pins the flip)
+    "q_rank_auto",
 }
 
 

@@ -342,6 +342,52 @@ def test_exact_global_cumsum_equals_global_window_sum(spark):
     assert got.count() == 997
 
 
+def test_rank_and_cumsum_invariant_to_shuffle_partitions(spark):
+    """The two-pass bucketed rank/cumsum derive n_buckets from
+    ``spark.sql.shuffle.partitions`` when not given one — the RESULT
+    must be identical for any setting (the module docstring's claim;
+    config-invariance ask of VERDICT r6 #3, proven session-side by
+    scripts/config_sweep.py and pinned here at the operator level)."""
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.rank import (
+        exact_global_cumsum,
+        exact_global_rank,
+    )
+
+    rows = [(i, float((i * 7) % 13), 1 if (i * 13) % 3 else -1) for i in range(997)]
+    df = spark.createDataFrame(rows, "id bigint, v double, delta bigint")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results_rk, results_cs = [], []
+    try:
+        for parts in ("3", "17", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rk = (
+                exact_global_rank(
+                    df, [F.asc("v"), F.asc("id")], F.col("v"), rank_name="rk"
+                )
+                .select("id", "rk")
+                .collect()
+            )
+            results_rk.append(sorted((r.id, r.rk) for r in rk))
+            cs = (
+                exact_global_cumsum(
+                    df,
+                    [F.asc("v"), F.asc("id")],
+                    F.col("v"),
+                    F.col("delta"),
+                    cumsum_name="cs",
+                )
+                .select("id", "cs")
+                .collect()
+            )
+            results_cs.append(sorted((r.id, r.cs) for r in cs))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results_rk[0] == results_rk[1] == results_rk[2]
+    assert results_cs[0] == results_cs[1] == results_cs[2]
+
+
 def test_adaptive_lsh_narrow_band_candidates_superset(spark, sf_dir):
     """The 8-bit signature is the low byte of the 16-bit one, so any
     pair colliding on the wide signature must also collide on the
