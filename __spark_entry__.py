@@ -134,10 +134,13 @@ _TOUCHED_BY_ROUND[6] = frozenset({
     "q_chunks", "q_chunk_pipeline",
 })
 _TOUCHED_BY_ROUND[7] = frozenset({
-    # chunk_text now size-gated (expression windows <= 2048 chars, Arrow
-    # kernel above — reclaims the r6 1.43x small-doc regression) and
-    # NULL text yields one NULL chunk (ADVICE r6 #1) — same values on
-    # driver data, changed plans:
+    # chunk_text: the size-gated hybrid built early in the round was
+    # REVERTED (project-collapse re-inlined the normalize chain into
+    # every expression-branch substring and the Arrow node ran anyway:
+    # 1.53 s vs the plain kernel's 0.73 s — see chunk_text's docstring);
+    # back to the linear Arrow kernel for all sizes, now with the
+    # NULL-text -> one-NULL-chunk contract (ADVICE r6 #1) — same values
+    # on driver data, changed plans:
     "q_chunks", "q_chunk_pipeline",
     # NULL-group-safe reassembly: the three aggregation legs now join
     # with eqNullSafe (ADVICE r6 #2) — same values, changed plan:
@@ -176,6 +179,9 @@ _TOUCHED_BY_ROUND[7] = frozenset({
     # embedding validity contract (valid_embedding both sides);
     # representatives of the 17-query similarity wave:
     "q_knn_exact", "q_vector_stats", "q_cosine_pairs",
+    # stream-stream joins: NULL-ts reader + 8 state partitions
+    # (profiled ~90% fixed state-store machinery; 6.5 s -> 2.6 s):
+    "q_streaming_interval_join", "q_streaming_outer_join",
 })
 
 

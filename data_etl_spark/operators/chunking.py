@@ -52,17 +52,6 @@ def n_chunks_sql(expr: str, size: int, step: int) -> str:
     )
 
 
-#: texts at or below this many chars take the pure-expression window path
-#: (per-chunk substring walks are bounded by ~(thr/step)*thr code points —
-#: trivial, and no Arrow round-trip of the text); longer texts take the
-#: linear Arrow kernel (the expression form is O(len^2/step): >9 min on the
-#: --bigdoc corpus's 150 KB docs). The r6 kernel-only form cost 1.43x on
-#: the driver's small docs (VERDICT r6 nitpick); this cost gate — the
-#: expression-level twin of operators/planner.auto_dedup's — reclaims it.
-#: Byte-equality across the gate boundary is pinned in tests/test_chunking.py.
-EXPR_PATH_MAX_LEN = 2048
-
-
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",
@@ -74,16 +63,28 @@ def chunk_text(
     Adds ``chunk_idx`` (0-based) and ``chunk_text``; keeps all other
     columns. Chunk i covers characters [i*step, i*step + size).
 
-    Per-row cost gate: texts <= :data:`EXPR_PATH_MAX_LEN` chars build the
-    window array with pure column expressions (substring over a sequence,
-    whole-stage codegen, no Python); longer texts ride one linear Arrow
-    kernel pass — Python's ``s[a:b]`` slices code points, exactly matching
-    ``substring(text, i*step+1, size)`` and the DuckDB oracle. The kernel
-    input is NULLed out for short rows so their text never crosses the
-    Arrow boundary. Chunk count reproduces :func:`n_chunks`:
-    1 + ceil(max(L-size,0)/step), so an empty text still yields one
-    (empty) chunk; a NULL text yields one NULL chunk in both paths and
-    both engines (``greatest`` skips NULLs, ``substring(NULL)`` is NULL).
+    ALL texts ride the linear Arrow kernel — deliberately no
+    size-gated expression fallback. A hybrid that routed short texts
+    through per-chunk ``substring`` expressions was built and REVERTED
+    in round 7: when ``text_col`` is a computed column (q_chunks feeds
+    the normalize_text regex chain), Catalyst's project collapse
+    re-inlines that chain into every one of the ~n_chunks substring
+    references plus the gate predicate, and the extracted
+    ArrowEvalPython node still runs for every row regardless of the
+    CASE branch — measured 1.53 s vs the kernel's 0.73 s on the sf0.1
+    pipeline, i.e. the "optimization" was 2x slower than the thing it
+    optimized. One kernel pass evaluates the input expression exactly
+    once per row, is O(len) per document (the expression form is
+    O(len²/step): >9 min on --bigdoc's 150 KB texts), and costs only
+    the Arrow round-trip on small docs (~0.2 s at sf0.1).
+
+    Python's ``s[a:b]`` slices code points, exactly matching
+    ``substring(text, i*step+1, size)`` and the DuckDB oracle (pinned
+    byte-equal to the expression form in tests/test_chunking.py).
+    Chunk count reproduces :func:`n_chunks`: 1 + ceil(max(L-size,0)/
+    step), so an empty text still yields one (empty) chunk; a NULL
+    text yields one NULL chunk in both engines (``greatest`` skips
+    NULLs, ``substring(NULL)`` is NULL).
     """
     step = size - overlap
 
@@ -100,20 +101,8 @@ def chunk_text(
             out.append([s[i * step : i * step + size] for i in range(n)])
         return pd.Series(out)
 
-    text = F.col(text_col)
-    is_short = F.length(text) <= F.lit(EXPR_PATH_MAX_LEN)  # NULL text -> NULL
-    expr_windows = F.transform(
-        F.sequence(F.lit(0), n_chunks(text, size, step) - 1),
-        lambda i: text.substr(i * F.lit(step) + F.lit(1), F.lit(size)),
-    )
-    # Python UDFs are pulled into their own ArrowEvalPython node and run
-    # for every row regardless of the CASE branch taken, so the gate must
-    # starve the kernel of bytes, not of calls: short rows send NULL.
-    kernel_windows = _windows(F.when(~is_short, text))
-    windows = F.when(is_short, expr_windows).otherwise(kernel_windows)
-
     return (
-        df.withColumn("__chunks", windows)
+        df.withColumn("__chunks", _windows(F.col(text_col)))
         .select("*", F.posexplode("__chunks").alias("chunk_idx", "chunk_text"))
         .drop("__chunks")
     )

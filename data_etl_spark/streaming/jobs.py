@@ -43,7 +43,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", _ts_to_micros(schema["ts"].dataType))
 
 
-def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_table(
+    df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow through a
     foreachBatch parquet sink and read the result back as a batch
     DataFrame.
@@ -54,6 +58,16 @@ def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     state lives in driver memory. Complete mode overwrites the table per
     micro-batch; append/update modes append each batch's delta. The
     tmpdir checkpoint is test-scoped; production passes a durable path.
+
+    ``state_partitions``: number of state-store partitions for THIS
+    query (``spark.sql.shuffle.partitions`` binds to the checkpoint at
+    first batch; each drain starts a fresh checkpoint, so setting it
+    here is per-query and value-invariant — proven by
+    scripts/config_sweep.py). Stream-stream joins open FOUR state-store
+    instances per partition per micro-batch; profiling
+    (scripts/profile_streaming.py) measured ~90% of the two join
+    drains' wall as exactly this fixed machinery — state volume, not
+    parallelism, should size it.
     """
     spark = df.sparkSession
     out_dir = tempfile.mkdtemp(prefix="stream_drain_")
@@ -63,14 +77,22 @@ def run_to_table(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     def drain(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode(mode).parquet(data_dir)
 
-    q = (
-        df.writeStream.foreachBatch(drain)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(drain)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(data_dir)
 
 
@@ -274,7 +296,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    return run_to_table(joined, output_mode="append")
+    # 8 state partitions: ~90% of this drain's wall was the 32x4 state-
+    # store instances' open/commit machinery (profile_streaming.py);
+    # state here is 100k events' worth — 8 partitions is plenty locally,
+    # a real cluster sizes this to state volume, never default-32
+    return run_to_table(joined, output_mode="append", state_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +449,11 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    return run_to_table(joined, output_mode="append")
+    # 8 state partitions: ~90% of this drain's wall was the 32x4 state-
+    # store instances' open/commit machinery (profile_streaming.py);
+    # state here is 100k events' worth — 8 partitions is plenty locally,
+    # a real cluster sizes this to state volume, never default-32
+    return run_to_table(joined, output_mode="append", state_partitions=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,15 +1,17 @@
-"""chunk_text is size-gated (expression windows <= EXPR_PATH_MAX_LEN
-chars, linear Arrow kernel above); BOTH paths must be byte-identical to
-the reference expression form (substring(text, i*step+1, size) over
+"""chunk_text's linear Arrow kernel must be byte-identical to the
+reference expression form (substring(text, i*step+1, size) over
 sequence(0, n_chunks-1)) — same chunk count, same windows, code-point
-semantics — on empty, short, boundary-multiple, unicode, NULL and
-gate-straddling texts."""
+semantics — on empty, short, boundary-multiple, unicode, NULL, and
+KB-scale texts (the sizes the round-7 hybrid gate straddled before it
+was reverted — see chunk_text's docstring)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_etl_spark.operators.chunking import EXPR_PATH_MAX_LEN, chunk_text, n_chunks
+from data_etl_spark.operators.chunking import chunk_text, n_chunks
+
+KB_LEN = 2048  # straddles the reverted gate's boundary; now just KB-scale coverage
 
 
 def _expression_chunks(df, size, overlap):
@@ -38,9 +40,9 @@ def test_arrow_kernel_matches_expression_form(spark):
         "naïve café \U0001f600 unicode שלום text with astral chars \U0001d518",
         "a" * 95,              # many overlapping windows
         None,                  # NULL text: one NULL chunk in both paths
-        "y" * EXPR_PATH_MAX_LEN,        # last text on the expression path
-        "z" * (EXPR_PATH_MAX_LEN + 1),  # first text on the Arrow kernel path
-        ("née \U0001f600" * 512)[: EXPR_PATH_MAX_LEN + 7],  # unicode, kernel path
+        "y" * KB_LEN,
+        "z" * (KB_LEN + 1),
+        ("née \U0001f600" * 512)[: KB_LEN + 7],  # unicode, KB-scale
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
@@ -58,8 +60,7 @@ def test_arrow_kernel_matches_expression_form(spark):
 
 def test_default_params_match_expression_form(spark):
     df = spark.createDataFrame(
-        # i < 8 stays under EXPR_PATH_MAX_LEN (expression path); the
-        # *300 rows are ~15-20 KB (Arrow kernel path at default params)
+        # small docs plus ~15-20 KB docs (one kernel path serves both)
         [(i, f"word{i} " * (30 + 13 * i)) for i in range(8)]
         + [(100 + i, f"doc{i} " * ((i + 5) * 300)) for i in range(3)],
         "doc_id bigint, text string",
