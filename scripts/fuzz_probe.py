@@ -11,6 +11,7 @@ Usage:
   python scripts/fuzz_probe.py --bigdoc            # MB-scale structured docs
   python scripts/fuzz_probe.py --nulls             # ~10% NULLs everywhere
   python scripts/fuzz_probe.py --smallgroups       # near-singleton groups
+  python scripts/fuzz_probe.py --chaos             # all dimensions at once
   python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
 
 The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
@@ -66,6 +67,10 @@ def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
         docs = T._smallgroups_documents(rng)
         ev = T._smallgroups_events(rng)
         emb = T._smallgroups_embeddings(rng)
+    elif mode == "chaos":
+        docs = T._chaos_documents(rng)
+        ev = T._chaos_events(rng)
+        emb = T._chaos_embeddings(rng)
     else:
         docs = T._gen_documents(rng)
         ev = T._gen_events(rng)
@@ -140,6 +145,11 @@ def main() -> int:
         help="many near-singleton groups (users, sources, orders)",
     )
     ap.add_argument(
+        "--chaos",
+        action="store_true",
+        help="interaction corpus: unicode x NULLs x skew at once",
+    )
+    ap.add_argument(
         "--relational-too",
         action="store_true",
         help="also run purely-relational queries",
@@ -161,6 +171,8 @@ def main() -> int:
         mode = "nulls"
     elif args.smallgroups:
         mode = "smallgroups"
+    elif args.chaos:
+        mode = "chaos"
     else:
         mode = "random"
     rng = random.Random(args.seed)
@@ -169,8 +181,8 @@ def main() -> int:
     T._write_relational(
         d,
         rng,
-        skew=(mode == "skew"),
-        nulls=(mode == "nulls"),
+        skew=(mode in ("skew", "chaos")),
+        nulls=(mode in ("nulls", "chaos")),
         small=(mode == "smallgroups"),
     )
 

@@ -322,6 +322,54 @@ def _null_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Chaos dimension (round 7): the INTERACTION corpus — every prior
+# dimension at once. Unicode-extreme documents with NULL injection,
+# NULL-heavy events with one hot user, NULL embeddings among zero
+# vectors, and a relational star that is both skewed AND NULL-ridden.
+# Single dimensions are each green; this probes cross-products (e.g.
+# a NULL group key colliding with a hot key inside a salted join, or a
+# NULL element in the one vector every LSH bucket contains).
+# ---------------------------------------------------------------------------
+
+
+def _chaos_documents(rng: random.Random):
+    rows = _unicode_documents(rng)
+    out = []
+    for (i, text, lang, source, n_chars) in rows:
+        k = rng.random()
+        if k < 0.10:
+            text, n_chars = None, None
+        elif k < 0.16 and out and out[-1][1] is not None:
+            text = out[-1][1]  # duplicate of previous (dedup x unicode)
+            n_chars = len(text)
+        lang = None if rng.random() < 0.10 else lang
+        source = None if rng.random() < 0.10 else source
+        out.append((i, text, lang, source, n_chars))
+    return out
+
+
+def _chaos_events(rng: random.Random, n: int = 400):
+    rows = _null_events(rng, n)
+    # one hot user owns ~half of the non-NULL-user events
+    return [
+        (i, ts, (7 if (uid is not None and rng.random() < 0.5) else uid), et, v, p)
+        for (i, ts, uid, et, v, p) in rows
+    ]
+
+
+def _chaos_embeddings(rng: random.Random, n: int = 80, dim: int = 64):
+    rows = _null_embeddings(rng, n, dim)
+    # a hot direction: ~1/4 of the valid vectors are the SAME vector
+    hot = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+    out = []
+    for (i, vec, label) in rows:
+        if vec is not None and all(x is not None for x in vec) and rng.random() < 0.25:
+            vec = list(hot)
+        out.append((i, vec, label))
+    return out
+
+
 def _smallgroups_documents(rng: random.Random, n: int = 400):
     rows = []
     for i in range(n):
@@ -968,3 +1016,41 @@ _SMALLGROUPS_PINNED = [
 @pytest.mark.parametrize("name", _SMALLGROUPS_PINNED)
 def test_smallgroups_matches_oracle(spark, smallgroups_dir, name):
     _assert_matches(spark, smallgroups_dir, name)
+
+
+@pytest.fixture(scope="module")
+def chaos_dir(tmp_path_factory):
+    rng = random.Random(99)
+    d = str(tmp_path_factory.mktemp("fuzz_chaos"))
+    _write_corpus_tables(
+        d, _chaos_documents(rng), _chaos_events(rng), _chaos_embeddings(rng)
+    )
+    _write_relational(d, rng, skew=True, nulls=True)
+    return d
+
+
+# interaction victims: queries sitting at the crossing of two
+# dimensions each — NULL group keys under a hot-key salted join,
+# unicode NULL-injected docs through dedup/chunking, the hot duplicated
+# embedding vector through LSH bucketing, NULL-ridden skewed events
+# through sessions/retention (full registry swept green on seeds 7+23
+# via scripts/fuzz_probe.py --chaos)
+_CHAOS_PINNED = [
+    "q_salted_join",
+    "q_key_skew",
+    "q_exact_dedup",
+    "q_minhash_lsh_pairs",
+    "q_chunk_pipeline",
+    "q_meta_upsert",
+    "q_rp_lsh_pairs",
+    "q_knn_exact",
+    "q_session_window",
+    "q_retention_cohort",
+    "q_asof_join",
+    "q_minmax_by",
+]
+
+
+@pytest.mark.parametrize("name", _CHAOS_PINNED)
+def test_chaos_matches_oracle(spark, chaos_dir, name):
+    _assert_matches(spark, chaos_dir, name)

@@ -388,6 +388,47 @@ def test_rank_and_cumsum_invariant_to_shuffle_partitions(spark):
     assert results_cs[0] == results_cs[1] == results_cs[2]
 
 
+def test_auto_rank_branches_agree_and_bucketed_has_no_global_window(spark):
+    """auto_rank's two physical branches must compute the identical
+    rank, and the large-input branch must plan NO unpartitioned ordered
+    Window (the registry tripwire whitelists q_rank_auto because its
+    sf0.001/sf0.01 input legitimately takes the window branch — this
+    test covers the branch the tripwire never sees)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.planner import auto_rank
+
+    rows = [(i, float((i * 7) % 13)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    order = [F.asc("v"), F.asc("id")]
+
+    small = auto_rank(
+        df, order, F.col("v"), threshold=10_000, rank_name="rk",
+        strategy_name="strategy",
+    )
+    big = auto_rank(
+        df, order, F.col("v"), threshold=100, rank_name="rk",
+        strategy_name="strategy",
+    )
+    s_rows = {(r.id, r.rk) for r in small.select("id", "rk").collect()}
+    b_rows = {(r.id, r.rk) for r in big.select("id", "rk").collect()}
+    assert s_rows == b_rows
+    assert small.select("strategy").first().strategy == "window"
+    assert big.select("strategy").first().strategy == "bucketed"
+
+    from tests.test_plans import _unpartitioned_windows
+
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    hits = _unpartitioned_windows(plan)
+    assert not hits, f"unpartitioned Window in bucketed auto_rank: {hits}"
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert _unpartitioned_windows(small_plan), (
+        "window branch should carry the (gate-sanctioned) global window"
+    )
+
+
 def test_adaptive_lsh_narrow_band_candidates_superset(spark, sf_dir):
     """The 8-bit signature is the low byte of the 16-bit one, so any
     pair colliding on the wide signature must also collide on the
