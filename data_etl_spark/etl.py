@@ -643,3 +643,30 @@ class ETLPipeline:
             F.col("chunk_text").alias("text"),
         )
         return auto_dedup(chunks, threshold=threshold, tau=tau)
+
+    def rank_chunks(
+        self, metric: str = "n_tokens", threshold: int = 100_000
+    ) -> DataFrame:
+        """Cost-gated exact global rank of the index's chunks by
+        ``metric`` ascending (ties broken by filename, chunk_idx) — the
+        ordering twin of :meth:`search`/:meth:`near_dups`
+        (operators/planner.py::auto_rank at the pipeline API). Small
+        indexes sort in one task (the gate's count proved they fit);
+        large ones take the two-pass bucketed rank, so callers get a
+        scale-safe global ``rank``/``total`` without choosing the
+        variant by hand — quality-percentile exports, curriculum
+        ordering, and equal-count sharding all start here."""
+        from .operators.planner import auto_rank
+
+        chunks = self.index_table().withColumn(
+            "__metric", F.coalesce(F.col(metric).cast("double"), F.lit(-1.0))
+        )
+        return auto_rank(
+            chunks,
+            [F.asc("__metric"), F.asc("filename"), F.asc("chunk_idx")],
+            F.col("__metric"),
+            threshold=threshold,
+            rank_name="rank",
+            total_name="total",
+            strategy_name="strategy",
+        ).drop("__metric")

@@ -314,3 +314,25 @@ def test_near_dups_finds_duplicate_chunks(pipe, spark):
     banded = pipe.near_dups(threshold=1, tau=0.9).collect()
     assert {(r.doc1, r.doc2) for r in banded} <= {(r.doc1, r.doc2) for r in pairs}
     assert all(r.strategy == "banded" for r in banded)
+
+
+def test_rank_chunks_both_branches_match_row_number(pipe, spark):
+    # auto_rank at the pipeline API: the window branch (big threshold)
+    # and the bucketed branch (threshold forced down) must agree with
+    # each other rank-for-rank, and total must equal the chunk count
+    rows = [
+        ("a.md", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("b.md", "one two three " * 2),
+        ("c.md", "totally different content with other words here " * 6),
+    ]
+    pipe.ingest(spark.createDataFrame(rows, "filename string, text string"))
+    win = pipe.rank_chunks()
+    bkt = pipe.rank_chunks(threshold=1)
+    w = {(r.filename, r.chunk_idx): (r.rank, r.total) for r in win.collect()}
+    b = {(r.filename, r.chunk_idx): (r.rank, r.total) for r in bkt.collect()}
+    assert w == b
+    n = pipe.index_table().count()
+    assert all(t == n for _, t in w.values())
+    assert sorted(rk for rk, _ in w.values()) == list(range(1, n + 1))
+    assert win.select("strategy").first().strategy == "window"
+    assert bkt.select("strategy").first().strategy == "bucketed"
