@@ -183,6 +183,27 @@ _TOUCHED_BY_ROUND[7] = frozenset({
     # (profiled ~90% fixed state-store machinery; 6.5 s -> 2.6 s):
     "q_streaming_interval_join", "q_streaming_outer_join",
 })
+_TOUCHED_BY_ROUND[8] = frozenset({
+    # rows-only -> invariant-verdict oracles (VERDICT r7, next #1):
+    # _driver_rows re-exposes both as unchecked; listed for the contract
+    # test's slot accounting:
+    "q_rect_merge", "q_anchor_search",
+    # q_rect_components body factored into the shared _rect_components_df
+    # helper (identical plan — re-verify out of caution):
+    "q_rect_components",
+    # ADVICE r7 #1: engine sketch side now drops NULL user_ids
+    # symmetrically with the oracle's h CTE (all-NULL groups excluded on
+    # BOTH sides; driver data unchanged, plan changed):
+    "q_kmv_distinct",
+    # ADVICE r7 #3: parallelize_narrow_scan gate widened from ==1 to
+    # < defaultParallelism/2 (plan changes only on few-partition scans;
+    # same values — re-verify the consumers):
+    "q_doc_fingerprint", "q_figure_placement",
+    # VERDICT r7 #7: stream-stream join state partitions now derived
+    # from input size (state_partitions_for) instead of the literal 8 —
+    # resolves to 8 at driver SFs, changed plumbing, re-verify:
+    "q_streaming_interval_join", "q_streaming_outer_join",
+})
 
 
 def _current_touched() -> frozenset:

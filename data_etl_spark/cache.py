@@ -16,8 +16,12 @@ JVMs that run the whole registry back-to-back (scripts/bench_full.py:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+_LOG = logging.getLogger(__name__)
 
 _TRACKED: list[DataFrame] = []
 
@@ -37,7 +41,21 @@ def release_tracked() -> int:
         try:
             df.unpersist()
             n += 1
-        except Exception:
-            # session already stopped — nothing left to release
-            pass
+        except Exception as exc:
+            # Swallow silently ONLY for the stopped-session case (the
+            # JVM gateway is gone, nothing left to release); a failure
+            # on a live session is a real leak signal — log it so the
+            # long-lived bench_full JVM doesn't hide cache leaks.
+            if _session_alive(df):
+                _LOG.warning(
+                    "release_tracked: unpersist failed on a live session: %s", exc
+                )
     return n
+
+
+def _session_alive(df: DataFrame) -> bool:
+    """True when the dataframe's session still has a live JVM gateway."""
+    try:
+        return df.sparkSession.sparkContext._jsc is not None
+    except Exception:
+        return False

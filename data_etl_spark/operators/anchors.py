@@ -171,25 +171,14 @@ def anchor_search_fused(
             founds: list[int] = []
             breaks: list[int] = []
             for fn, text in zip(pdf["filename"], pdf["text"]):
-                text = text if isinstance(text, str) else ""
-                prev = 0
-                for page in range(1, n_pages + 1):
-                    snippet = text[(page - 1) * stride : (page - 1) * stride + snip_len]
-                    pat = build_anchor_pattern(snippet)
-                    found = 0
-                    anchor = prev
-                    if pat is not None:
-                        m = re.search(pat, text[prev:])
-                        if m is not None:
-                            anchor = prev + m.start()
-                            found = 1
-                    anchor = max(anchor, prev)  # W4 monotone clamp
+                for page, anchor, found, brk in _fused_doc_rows(
+                    text, n_pages=n_pages, stride=stride, snip_len=snip_len
+                ):
                     fns.append(fn)
                     pages.append(page)
                     anchors.append(anchor)
                     founds.append(found)
-                    breaks.append(next_content_break(text, anchor))
-                    prev = anchor
+                    breaks.append(brk)
             yield pd.DataFrame(
                 {
                     "filename": fns,
@@ -203,3 +192,193 @@ def anchor_search_fused(
     return parallelize_narrow_scan(docs, "filename").mapInPandas(
         batches, schema=FUSED_SCHEMA
     )
+
+
+def _fused_doc_rows(
+    text, *, n_pages: int, stride: int, snip_len: int
+) -> list[tuple[int, int, int, int]]:
+    """The fused kernel's per-document loop: (page, anchor, found,
+    break_offset) rows. Pure function so anchor_search_checked can run
+    the REAL operator and verify its claims in one pass."""
+    text = text if isinstance(text, str) else ""
+    out = []
+    prev = 0
+    for page in range(1, n_pages + 1):
+        snippet = text[(page - 1) * stride : (page - 1) * stride + snip_len]
+        pat = build_anchor_pattern(snippet)
+        found = 0
+        anchor = prev
+        if pat is not None:
+            m = re.search(pat, text[prev:])
+            if m is not None:
+                anchor = prev + m.start()
+                found = 1
+        anchor = max(anchor, prev)  # W4 monotone clamp
+        out.append((page, anchor, found, next_content_break(text, anchor)))
+        prev = anchor
+    return out
+
+
+# -- invariant-verdict wrapper (driver-hashable form of the fused search) ----
+
+CHECKED_SCHEMA = (
+    "filename string, page int, monotone_ok boolean, match_at_anchor_ok boolean, "
+    "anchor_earliest_ok boolean, path_equal_ok boolean, break_ok boolean"
+)
+
+
+def _verify_break(text: str, start: int, claimed: int) -> bool:
+    """Brute-force T11 postcondition check, structurally independent of
+    next_content_break: enumerate EVERY break-pattern match in
+    [start, claimed], drop fenced ones by prefix fence-count parity, and
+    require the claimed offset to be exactly the earliest survivor
+    (= len(text) when none exists)."""
+    n = len(text)
+    if not (start <= claimed <= n):
+        return False
+    fences = [m.start() for m in _FENCE.finditer(text)]
+
+    def in_fence(pos: int) -> bool:
+        return sum(1 for f in fences if f <= pos) % 2 == 1
+
+    valid = []
+    for pat in _BREAK_PATTERNS:
+        for m in pat.finditer(text, start):
+            if m.start() > claimed:
+                break
+            if not in_fence(m.start()):
+                valid.append(m.start())
+                break
+    earliest = min(valid) if valid else n
+    return earliest == claimed
+
+
+def anchor_search_checked(
+    docs: DataFrame,
+    *,
+    n_pages: int = 4,
+    stride: int = 200,
+    snip_len: int = 60,
+) -> DataFrame:
+    """Fused anchor search + per-row invariant verdicts, one pass.
+
+    Runs the REAL fused kernel (_fused_doc_rows — the exact code behind
+    anchor_search_fused) and verifies every claimed row independently:
+
+    - monotone_ok        — anchors non-decreasing per document and >= 0
+                           (the markdown_manager.py:245-249 clamp);
+    - match_at_anchor_ok — found=1 rows: the page's anchor pattern
+                           matches AT the claimed offset (pos-anchored
+                           Pattern.match, not a re-run of the search);
+    - anchor_earliest_ok — found=1 rows: a pos-based search from the
+                           previous anchor first matches exactly at the
+                           claimed offset; found=0 rows: the pattern
+                           truly has no match after the previous anchor;
+    - path_equal_ok      — the row equals the relation-shaped
+                           composition (find_page_anchors_pandas on
+                           synthesized snippets + next_content_break) —
+                           the independent second implementation;
+    - break_ok           — _verify_break: claimed break offset is in
+                           [anchor, len(text)] and is exactly the
+                           earliest non-fenced break pattern position.
+
+    Emitted columns are only (filename, page) + verdict booleans — both
+    DuckDB-reproducible — so a SQL oracle of literal TRUEs turns the
+    driver's value-hash into the kernel's acceptance test (VERDICT r7,
+    next #1; the q_ml_minhash_join pattern). Zero joins and zero
+    shuffles on splittable input: one Arrow batch per partition, same
+    scale shape as anchor_search_fused itself.
+    """
+    from ..sources import parallelize_narrow_scan
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for fn, text in zip(pdf["filename"], pdf["text"]):
+                claimed = _fused_doc_rows(
+                    text, n_pages=n_pages, stride=stride, snip_len=snip_len
+                )
+                for row in check_claimed_anchors(
+                    text, claimed, n_pages=n_pages, stride=stride, snip_len=snip_len
+                ):
+                    rows.append((fn, *row))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "filename",
+                    "page",
+                    "monotone_ok",
+                    "match_at_anchor_ok",
+                    "anchor_earliest_ok",
+                    "path_equal_ok",
+                    "break_ok",
+                ],
+            )
+
+    return parallelize_narrow_scan(docs, "filename").mapInPandas(
+        batches, schema=CHECKED_SCHEMA
+    )
+
+
+def check_claimed_anchors(
+    text,
+    claimed: list[tuple[int, int, int, int]],
+    *,
+    n_pages: int = 4,
+    stride: int = 200,
+    snip_len: int = 60,
+) -> list[tuple[int, bool, bool, bool, bool, bool]]:
+    """Verdict rows (page, monotone_ok, match_at_anchor_ok,
+    anchor_earliest_ok, path_equal_ok, break_ok) for CLAIMED fused-search
+    output rows (page, anchor, found, break_offset). Module-level pure
+    function so tests can feed corrupted claims and watch each verdict
+    flip (monkeypatching cannot reach Spark's worker processes)."""
+    text = text if isinstance(text, str) else ""
+    # independent second path: relational composition over the same
+    # synthesized page snippets
+    snippets = [
+        text[(p - 1) * stride : (p - 1) * stride + snip_len]
+        for p in range(1, n_pages + 1)
+    ]
+    rel = find_page_anchors_pandas(
+        pd.DataFrame(
+            {
+                "filename": "x",
+                "text": text,
+                "page": range(1, n_pages + 1),
+                "snippet": snippets,
+            }
+        )
+    )
+    rel_rows = {int(r.page): (int(r.anchor), int(r.found)) for r in rel.itertuples()}
+    out = []
+    prev_anchor = 0
+    prev_cursor = 0
+    for page, anchor, found, brk in claimed:
+        monotone = 0 <= prev_anchor <= anchor
+        pat = build_anchor_pattern(snippets[page - 1])
+        cpat = re.compile(pat) if pat is not None else None
+        if found:
+            match_at = cpat is not None and cpat.match(text, anchor) is not None
+            m = cpat.search(text, prev_cursor) if cpat is not None else None
+            earliest = m is not None and m.start() == anchor
+        else:
+            match_at = True
+            earliest = cpat is None or cpat.search(text, prev_cursor) is None
+        ra, rf = rel_rows.get(page, (None, None))
+        path_equal = (
+            ra == anchor and rf == found and next_content_break(text, ra) == brk
+        )
+        out.append(
+            (
+                page,
+                monotone,
+                match_at,
+                earliest,
+                bool(path_equal),
+                _verify_break(text, anchor, brk),
+            )
+        )
+        prev_anchor = anchor
+        prev_cursor = anchor
+    return out

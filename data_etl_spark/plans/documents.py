@@ -303,31 +303,38 @@ def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_anchor_search — J8 + T11 + W4: per-document anchor as-of search over
 # synthetic page snippets, then a fence-aware content break at each
-# anchor. Sequential forward-cursor kernels => rows-only driver check
-# (not SQL-expressible); semantics are property-tested in
-# tests/test_anchors.py against brute-force references.
+# anchor. The sequential forward-cursor kernels are not SQL-expressible,
+# but their POSTCONDITIONS are (VERDICT r7, next #1): the query runs the
+# real fused kernel and emits per-row verdict booleans — monotone clamp,
+# pattern-matches-at-claimed-offset, earliest-match, equality with the
+# relation-shaped second implementation, and the brute-force break
+# check — over DuckDB-exact identity columns, so an all-TRUE literal
+# oracle turns the driver hash into the kernel's acceptance test. The
+# raw (anchor, found, break_offset) data product stays available via
+# operators.anchors.anchor_search_fused; both are additionally
+# property-tested in tests/test_anchors.py.
 # ---------------------------------------------------------------------------
 
+_ANCHOR_ORACLE = """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS filename,
+       CAST(p.page AS INT) AS page,
+       TRUE AS monotone_ok, TRUE AS match_at_anchor_ok,
+       TRUE AS anchor_earliest_ok, TRUE AS path_equal_ok, TRUE AS break_ok
+FROM documents, (SELECT unnest(generate_series(1, 4)) AS page) p
+"""
 
-@register("q_anchor_search", oracle=None, tags=("phase2", "anchors"))
+
+@register("q_anchor_search", oracle=_ANCHOR_ORACLE, tags=("phase2", "anchors"))
 def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monotone anchor search (markdown_manager.py:196-250) + content break.
-
-    Rides the fused one-pass kernel (anchor_search_fused): the page
-    snippets are derived from the document itself, so the
-    find_page_anchors + join-back + with_content_breaks composition —
-    which shuffles the corpus text twice — collapses into a single
-    shuffle-free mapInPandas. The relation-shaped operators remain for
-    externally-supplied pages/offsets and are pinned output-equal to
-    the fused path in tests/test_anchors.py.
-    """
-    from ..operators.anchors import anchor_search_fused
+    """Monotone anchor search (markdown_manager.py:196-250) + content
+    break, emitted as invariant verdicts the oracle asserts TRUE."""
+    from ..operators.anchors import anchor_search_checked
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("filename"),
         F.col("text"),
     )
-    return anchor_search_fused(docs)
+    return anchor_search_checked(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -662,7 +662,11 @@ FROM exact JOIN kth ON exact.event_type = kth.event_type
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch vs exact count, per event type."""
     e = load_table(spark, sf_dir, "events")
-    raw = e.select(
+    # user_id IS NOT NULL mirrors the oracle's h CTE: a group whose users
+    # are ALL NULL gets no sketch row on either side, so the inner join
+    # drops it symmetrically (a collect_set-only filter would have kept
+    # an engine row the oracle's kth CTE never produces).
+    raw = e.where(F.col("user_id").isNotNull()).select(
         "event_type", F.md5(F.col("user_id").cast("string")).alias("__h")
     ).select("event_type", F.expr(_kmv_hexval6("__h")).alias("v"))
     # Stage 1: bounded per-(group, input-partition) min-k partials.

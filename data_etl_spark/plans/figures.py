@@ -229,26 +229,6 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_rect_merge — J4 fixpoint merge via applyInPandas (no SQL oracle:
-# iterative connected components; unit-tested against a brute-force
-# reference in tests/test_rects.py).
-# ---------------------------------------------------------------------------
-
-
-@register("q_rect_merge", oracle=None, tags=("phase2", "figures"))
-def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component rect merge with tol=40 (image_manager.py:103-142).
-
-    Rows-only check by design: the fixpoint loop is not SQL-expressible;
-    correctness is covered by the pure-python property test.
-    """
-    from ..operators.rects import merge_rects
-
-    f = _figures(spark, sf_dir).select("filename", "page", "x0", "y0", "x1", "y1")
-    return merge_rects(f, tol=40.0)
-
-
-# ---------------------------------------------------------------------------
 # q_rect_components — the SQL-expressible core of the rect merge: one
 # round of connected components over the ORIGINAL pairwise overlap graph
 # (tol=40 theta self-join, J3) + bbox union per component (A5), labels
@@ -296,9 +276,9 @@ GROUP BY filename, page, component
 """
 
 
-@register("q_rect_components", oracle=_RECT_CC_ORACLE, tags=("phase2", "figures"))
-def q_rect_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlap-graph CC + bbox union (J3+J4+A5, hash-checkable round)."""
+def _rect_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-round overlap-graph CC + per-component bbox union — the shared
+    DuckDB-exact truth side of q_rect_components and q_rect_merge."""
     from ..operators.components import connected_components
 
     f = _figures(spark, sf_dir).select(
@@ -332,6 +312,224 @@ def q_rect_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x1").alias("x1"),
         F.max("y1").alias("y1"),
         F.count("*").alias("n_members"),
+    )
+
+
+@register("q_rect_components", oracle=_RECT_CC_ORACLE, tags=("phase2", "figures"))
+def q_rect_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-graph CC + bbox union (J3+J4+A5, hash-checkable round)."""
+    return _rect_components_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q_rect_merge — J4 fixpoint merge (image_manager.py:103-142) via the
+# per-page applyInPandas union-find kernel, upgraded from rows-only to a
+# FULL hash row with an invariant-verdict oracle (VERDICT r7, next #1;
+# the q_ml_minhash_join pattern). The fixpoint loop itself is not
+# SQL-expressible, but its POSTCONDITIONS are checkable from the
+# DuckDB-exact one-round-CC truth side:
+#
+#   emitted rows  = the one-round CC components (filename, page,
+#                   component, bbox, n_members) — byte-identical to the
+#                   recursive-CTE oracle, like q_rect_components;
+#   verdict cols  = Spark-computed booleans the oracle asserts TRUE:
+#     contain_ok        — the component bbox lies inside EXACTLY ONE
+#                         merged rect (the fixpoint is a coarsening of
+#                         one-round CC: round 1 of the kernel produces
+#                         precisely these components, later rounds only
+#                         fuse them further);
+#     merged_disjoint_ok— that merged rect overlaps-at-tol NO other
+#                         merged rect on its page (the fixpoint's
+#                         termination condition, image_manager.py:119-142);
+#     bbox_union_ok     — the merged bbox equals the union of the
+#                         component bboxes it contains (A5);
+#     members_sum_ok    — the merged member count equals the sum of its
+#                         contained components' counts;
+#     page_count_ok     — per page, merged member counts re-add to the
+#                         page's original figure count (so no orphan or
+#                         double-counted merged rect can hide from the
+#                         containment join).
+#
+# A FALSE anywhere — an under-merged pair still overlapping, a wrong
+# bbox, a lost or duplicated rect — breaks the value hash, so the driver
+# gate verifies the fixpoint kernel cross-engine even though the loop is
+# engine-only. All coordinates are integer-valued doubles; every verdict
+# comparison is exact in both engines. Raw merged rects (the operator's
+# data product) remain available via operators.rects.merge_rects, which
+# tests/test_rects.py property-tests against a brute-force reference.
+# ---------------------------------------------------------------------------
+
+_RECT_MERGE_ORACLE = f"""
+WITH RECURSIVE figures AS ({_FIGURES_SQL}),
+edges0 AS (
+    SELECT a.fig_key AS src, b.fig_key AS dst
+    FROM figures a
+    JOIN figures b
+      ON a.filename = b.filename AND a.page = b.page
+     AND a.fig_key < b.fig_key
+     AND a.x0 <= b.x1 + 40 AND b.x0 <= a.x1 + 40
+     AND a.y0 <= b.y1 + 40 AND b.y0 <= a.y1 + 40
+),
+edges AS (
+    SELECT src, dst FROM edges0
+    UNION
+    SELECT dst, src FROM edges0
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+labeled AS (
+    SELECT f.filename, f.page, f.x0, f.y0, f.x1, f.y1,
+           coalesce(c.component, f.fig_key) AS component
+    FROM figures f LEFT JOIN comp c ON f.fig_key = c.node
+)
+SELECT filename, page, component,
+       min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1,
+       count(*) AS n_members,
+       TRUE AS contain_ok, TRUE AS merged_disjoint_ok, TRUE AS bbox_union_ok,
+       TRUE AS members_sum_ok, TRUE AS page_count_ok
+FROM labeled
+GROUP BY filename, page, component
+"""
+
+
+@register("q_rect_merge", oracle=_RECT_MERGE_ORACLE, tags=("phase2", "figures"))
+def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint rect merge with tol=40, invariant-verdict hash row."""
+    from ..operators.rects import merge_rects
+
+    tol = 40.0
+    fig = _figures(spark, sf_dir).select("filename", "page", "x0", "y0", "x1", "y1")
+    merged = merge_rects(fig, tol=tol)
+    comp = _rect_components_df(spark, sf_dir)
+    return rect_merge_verdicts(fig, comp, merged, tol=tol)
+
+
+def rect_merge_verdicts(
+    fig: DataFrame, comp: DataFrame, merged: DataFrame, *, tol: float = 40.0
+) -> DataFrame:
+    """Verdict frame for a claimed fixpoint-merge output: one row per
+    one-round-CC component (``comp``) with booleans asserting the merge
+    postconditions against ``merged``. Factored out so tests can feed a
+    deliberately-broken merge and watch the verdicts flip."""
+    m = merged.select(
+        "filename",
+        "page",
+        F.col("x0").alias("mx0"),
+        F.col("y0").alias("my0"),
+        F.col("x1").alias("mx1"),
+        F.col("y1").alias("my1"),
+        F.col("n_members").alias("m_members"),
+        "idx",
+    )
+
+    # fixpoint postcondition: merged rects pairwise NON-overlapping at tol
+    # (per-page self-join — pages hold tens of rects, so this is tiny)
+    a, b = m.alias("a"), m.alias("b")
+    overlapping = (
+        a.join(
+            b,
+            (F.col("a.filename") == F.col("b.filename"))
+            & (F.col("a.page") == F.col("b.page"))
+            & (F.col("a.idx") != F.col("b.idx"))
+            & (F.col("a.mx0") <= F.col("b.mx1") + tol)
+            & (F.col("b.mx0") <= F.col("a.mx1") + tol)
+            & (F.col("a.my0") <= F.col("b.my1") + tol)
+            & (F.col("b.my0") <= F.col("a.my1") + tol),
+        )
+        .select(
+            F.col("a.filename").alias("filename"),
+            F.col("a.page").alias("page"),
+            F.col("a.idx").alias("idx"),
+        )
+        .distinct()
+        .withColumn("__overlaps", F.lit(True))
+    )
+    m2 = (
+        m.join(overlapping, ["filename", "page", "idx"], "left")
+        .withColumn("disjoint_ok", F.col("__overlaps").isNull())
+        .drop("__overlaps")
+    )
+
+    # conservation: per page, merged member counts re-add to the original
+    # figure count (no rect lost, none double-counted)
+    pg = (
+        fig.groupBy("filename", "page")
+        .agg(F.count("*").alias("n_figs"))
+        .join(
+            merged.groupBy("filename", "page").agg(
+                F.sum("n_members").alias("m_sum")
+            ),
+            ["filename", "page"],
+            "left",
+        )
+        .select(
+            "filename",
+            "page",
+            (F.coalesce(F.col("m_sum"), F.lit(0)) == F.col("n_figs")).alias(
+                "page_count_ok"
+            ),
+        )
+    )
+
+    # DuckDB-exact truth side: one-round CC components
+    c = comp.select(
+        "filename",
+        "page",
+        "component",
+        F.col("x0").alias("cx0"),
+        F.col("y0").alias("cy0"),
+        F.col("x1").alias("cx1"),
+        F.col("y1").alias("cy1"),
+        F.col("n_members").alias("c_members"),
+    )
+
+    # containment join (equi on page, bbox-containment residual): which
+    # merged rect(s) contain each component's bbox
+    cj = c.join(m2, ["filename", "page"]).where(
+        (F.col("mx0") <= F.col("cx0"))
+        & (F.col("cx1") <= F.col("mx1"))
+        & (F.col("my0") <= F.col("cy0"))
+        & (F.col("cy1") <= F.col("my1"))
+    )
+    w = W.partitionBy("filename", "page", "idx")
+    cj = cj.withColumn(
+        "bbox_union_ok",
+        (F.min("cx0").over(w) == F.col("mx0"))
+        & (F.min("cy0").over(w) == F.col("my0"))
+        & (F.max("cx1").over(w) == F.col("mx1"))
+        & (F.max("cy1").over(w) == F.col("my1")),
+    ).withColumn("members_sum_ok", F.sum("c_members").over(w) == F.col("m_members"))
+    grp = cj.groupBy("filename", "page", "component").agg(
+        F.count("*").alias("n_containing"),
+        F.bool_and("disjoint_ok").alias("merged_disjoint_ok"),
+        F.bool_and("bbox_union_ok").alias("bbox_union_ok"),
+        F.bool_and("members_sum_ok").alias("members_sum_ok"),
+    )
+
+    return (
+        c.join(grp, ["filename", "page", "component"], "left")
+        .join(pg, ["filename", "page"])
+        .select(
+            "filename",
+            "page",
+            "component",
+            F.col("cx0").alias("x0"),
+            F.col("cy0").alias("y0"),
+            F.col("cx1").alias("x1"),
+            F.col("cy1").alias("y1"),
+            F.col("c_members").alias("n_members"),
+            (F.coalesce(F.col("n_containing"), F.lit(0)) == 1).alias("contain_ok"),
+            F.coalesce("merged_disjoint_ok", F.lit(False)).alias(
+                "merged_disjoint_ok"
+            ),
+            F.coalesce("bbox_union_ok", F.lit(False)).alias("bbox_union_ok"),
+            F.coalesce("members_sum_ok", F.lit(False)).alias("members_sum_ok"),
+            "page_count_ok",
+        )
     )
 
 

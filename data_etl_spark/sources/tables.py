@@ -83,17 +83,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def parallelize_narrow_scan(df: DataFrame, key: str) -> DataFrame:
-    """Shuffle a scan out to full parallelism ONLY when it arrives as a
-    single partition.
+    """Shuffle a scan out to full parallelism ONLY when it arrives with
+    far fewer partitions than the cluster has cores.
 
     The driver's test parquet is one row group = one scan task, which
     would serialize any per-row kernel (mapInPandas, Arrow scalar UDF)
-    scheduled behind it. On splittable production input — many files /
-    row groups, the 100 TB case — the scan is already parallel and this
-    is a NO-OP: zero shuffles of the (potentially huge) payload column.
-    The partition probe is plan metadata only; no job runs.
+    scheduled behind it — and a slightly larger file that splits into
+    2-3 row groups is the same cliff, so the gate is "fewer than half
+    the default parallelism", not "exactly one". On splittable
+    production input — many files / row groups, the 100 TB case — the
+    scan already exceeds the core count and this is a NO-OP: zero
+    shuffles of the (potentially huge) payload column. (Anything under
+    half the cores is by construction small — ~128 MB row groups x
+    cores/2 — so the repartition it triggers is cheap.) The partition
+    probe is plan metadata only; no job runs.
     """
-    if df.rdd.getNumPartitions() > 1:
+    threshold = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() >= threshold:
         return df
     return df.repartition(F.col(key))
 

@@ -96,6 +96,38 @@ def run_to_table(
     return spark.read.parquet(data_dir)
 
 
+#: state-store partition sizing floor/split size for state_partitions_for
+_STATE_MIN_PARTITIONS = 8
+_STATE_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def state_partitions_for(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count sized from the INPUT, not a constant.
+
+    Stream-stream joins open four state-store instances per partition
+    per micro-batch, a fixed open/commit cost that dominated the local
+    drains at the session default of 32 (scripts/profile_streaming.py:
+    ~90% of wall; 6.5 s -> 2.6 s at 8 partitions). But state volume
+    grows with input, so the 100 TB sizing rule is: one state partition
+    per ~128 MiB input split, floored at _STATE_MIN_PARTITIONS = 8
+    (keyspace headroom on tiny inputs), capped at 4x the cluster's
+    default parallelism (state partitions modestly over cores lets
+    stragglers rebalance; beyond that the per-instance machinery
+    dominates again). At the driver's test SFs this resolves to the
+    measured-optimal floor of 8; on a 1000-executor cluster reading TBs
+    it resolves to the 4x-cores cap. The value binds per-checkpoint at
+    first batch (each drain starts a fresh checkpoint), and results are
+    partition-count-invariant — proven by scripts/config_sweep.py.
+    """
+    try:
+        input_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        input_bytes = 0
+    splits = -(-input_bytes // _STATE_SPLIT_BYTES)  # ceil
+    cap = 4 * spark.sparkContext.defaultParallelism
+    return int(min(max(splits, _STATE_MIN_PARTITIONS), cap))
+
+
 def read_events_stream_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TIME stream view: NULL-ts rows dropped, matching the batch
     ``events_us`` oracle CTE's WHERE (an event with no timestamp is in
@@ -296,11 +328,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    # 8 state partitions: ~90% of this drain's wall was the 32x4 state-
-    # store instances' open/commit machinery (profile_streaming.py);
-    # state here is 100k events' worth — 8 partitions is plenty locally,
-    # a real cluster sizes this to state volume, never default-32
-    return run_to_table(joined, output_mode="append", state_partitions=8)
+    # input-sized state partitions (state_partitions_for): ~90% of this
+    # drain's wall was the 32x4 state-store instances' open/commit
+    # machinery (profile_streaming.py) — size to state volume, never
+    # default-32; resolves to the measured-optimal 8 at test SFs and to
+    # the 4x-cores cap on a real cluster
+    return run_to_table(
+        joined,
+        output_mode="append",
+        state_partitions=state_partitions_for(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -449,11 +486,16 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    # 8 state partitions: ~90% of this drain's wall was the 32x4 state-
-    # store instances' open/commit machinery (profile_streaming.py);
-    # state here is 100k events' worth — 8 partitions is plenty locally,
-    # a real cluster sizes this to state volume, never default-32
-    return run_to_table(joined, output_mode="append", state_partitions=8)
+    # input-sized state partitions (state_partitions_for): ~90% of this
+    # drain's wall was the 32x4 state-store instances' open/commit
+    # machinery (profile_streaming.py) — size to state volume, never
+    # default-32; resolves to the measured-optimal 8 at test SFs and to
+    # the 4x-cores cap on a real cluster
+    return run_to_table(
+        joined,
+        output_mode="append",
+        state_partitions=state_partitions_for(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

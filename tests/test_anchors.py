@@ -165,3 +165,51 @@ def test_fused_equals_relational_composition(spark):
         "filename", "page", F.col("start").alias("anchor"), "found", "break_offset"
     )
     assert fused == sorted(map(tuple, composed.collect()))
+
+
+def test_check_claimed_anchors_accepts_real_and_rejects_corrupted():
+    """The q_anchor_search verdict kernel: TRUE on the real fused output,
+    FALSE on each corruption class (offset shift, monotone break, wrong
+    break offset, phantom found)."""
+    from data_etl_spark.operators.anchors import (
+        _fused_doc_rows,
+        check_claimed_anchors,
+    )
+
+    rng = random.Random(17)
+    text, _, _ = _make_doc(rng, n_pages=4)
+    text = text.replace("w1 ", "w1\n\n# H\n", 1)  # a real content break
+    claimed = _fused_doc_rows(text, n_pages=4, stride=200, snip_len=60)
+    ok = check_claimed_anchors(text, claimed)
+    assert all(all(v for v in row[1:]) for row in ok), ok
+
+    # anchor shifted by +1: match-at / earliest / path-equal flip
+    page, anchor, found, brk = claimed[1]
+    bad = list(claimed)
+    bad[1] = (page, anchor + 1, found, brk)
+    v = check_claimed_anchors(text, bad)[1]
+    assert not v[2] or not v[3]  # match_at or earliest fails
+    assert not v[4]              # path_equal fails
+
+    # monotone violation: a later page claims an earlier anchor
+    bad = list(claimed)
+    p4, a4, f4, b4 = claimed[3]
+    bad[3] = (p4, 0 if claimed[2][1] > 0 else a4, f4, b4)
+    if claimed[2][1] > 0:
+        assert not check_claimed_anchors(text, bad)[3][1]
+
+    # corrupted break offset: break_ok flips
+    bad = list(claimed)
+    p1, a1, f1, b1 = claimed[0]
+    bad[0] = (p1, a1, f1, b1 + 1)
+    v = check_claimed_anchors(text, bad)[0]
+    assert not v[5]
+
+    # phantom found on a page whose pattern does not exist
+    nomatch = "zz qq " * 50  # tokens differ from any snippet? same text -> found
+    rows = _fused_doc_rows(nomatch, n_pages=4, stride=200, snip_len=60)
+    # fabricate found=1 with a wrong anchor on a not-found page if any,
+    # else force found=0 claim onto a found page (earliest_ok must flip)
+    flipped = [(p, a, 1 - f, b) for (p, a, f, b) in rows]
+    v = check_claimed_anchors(nomatch, flipped)
+    assert any((not r[2]) or (not r[3]) or (not r[4]) for r in v)

@@ -62,8 +62,11 @@ def test_driver_rows_parses_correctness_files(tmp_path):
 
     from data_etl_spark.plans import REGISTRY
 
-    assert REGISTRY["q_anchor_search"].oracle is None  # rows-only by design
-    assert REGISTRY["q_bm25"].oracle is not None  # upgraded after round 1
+    # round 8: the registry has no oracle-less queries left —
+    # q_anchor_search and q_rect_merge gained invariant-verdict oracles,
+    # so their historical rows-only rows must RE-EXPOSE them (same rule
+    # that re-exposed q_bm25 after round 1)
+    assert all(q.oracle is not None for q in REGISTRY.values())
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
             {
@@ -77,7 +80,7 @@ def test_driver_rows_parses_correctness_files(tmp_path):
         json.dumps({"q_case_when": {"hash_match": True, "err": None}})
     )
     rows = entry_mod._driver_rows(str(tmp_path))
-    assert rows["q_anchor_search"] == (1, True)   # rows-only forever -> checked
+    assert rows["q_anchor_search"] == (1, False)  # oracle added since -> re-expose
     assert rows["q_bm25"] == (1, False)           # oracle added since -> re-expose
     assert rows["q_cube"] == (1, False)           # mismatch -> re-expose
     assert rows["q_case_when"] == (2, True)

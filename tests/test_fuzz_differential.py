@@ -351,9 +351,20 @@ def _chaos_documents(rng: random.Random):
 
 def _chaos_events(rng: random.Random, n: int = 400):
     rows = _null_events(rng, n)
-    # one hot user owns ~half of the non-NULL-user events
+    # one hot user owns ~half of the non-NULL-user events; half the
+    # event types are smallgroups-style high-cardinality `type_{n}`
+    # labels so singleton/near-singleton groups co-occur with NULL
+    # user_ids and values (the smallgroups-x-nulls cross-product —
+    # e.g. a sketch group whose users are ALL NULL).
     return [
-        (i, ts, (7 if (uid is not None and rng.random() < 0.5) else uid), et, v, p)
+        (
+            i,
+            ts,
+            (7 if (uid is not None and rng.random() < 0.5) else uid),
+            (f"type_{rng.randrange(200)}" if (et is not None and rng.random() < 0.5) else et),
+            v,
+            p,
+        )
         for (i, ts, uid, et, v, p) in rows
     ]
 

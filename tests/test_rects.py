@@ -93,3 +93,93 @@ def test_spark_merge_rects_distributes(spark):
         expected = brute_force_merge(src, 40.0)
         got = sorted(zip(grp.x0, grp.y0, grp.x1, grp.y1))
         assert [tuple(b) for b in got] == [tuple(e) for e in expected]
+
+
+def test_rect_merge_verdicts_flag_broken_merges(spark):
+    """q_rect_merge's verdict frame: all-TRUE on the real fixpoint kernel,
+    FALSE rows when fed an under-merged (still overlapping), wrong-bbox,
+    or rect-dropping 'merge'."""
+    import pyspark.sql.functions as F
+
+    from data_etl_spark.operators.components import connected_components
+    from data_etl_spark.plans.figures import rect_merge_verdicts
+
+    # two chained pairs that only fuse at the SECOND fixpoint round plus
+    # one isolated rect, all on one page
+    rows = [
+        ("d", 1, 0.0, 0.0, 50.0, 50.0),
+        ("d", 1, 80.0, 0.0, 130.0, 50.0),     # within tol=40 of the first
+        ("d", 1, 160.0, 0.0, 210.0, 50.0),    # within tol of the second only
+        ("d", 1, 500.0, 500.0, 560.0, 560.0),  # isolated
+    ]
+    fig = spark.createDataFrame(
+        rows, "filename string, page int, x0 double, y0 double, x1 double, y1 double"
+    )
+    keyed = fig.withColumn(
+        "fig_key", F.monotonically_increasing_id()
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    tol = 40.0
+    edges = a.join(
+        b,
+        (F.col("a.filename") == F.col("b.filename"))
+        & (F.col("a.page") == F.col("b.page"))
+        & (F.col("a.fig_key") < F.col("b.fig_key"))
+        & (F.col("a.x0") <= F.col("b.x1") + tol)
+        & (F.col("b.x0") <= F.col("a.x1") + tol)
+        & (F.col("a.y0") <= F.col("b.y1") + tol)
+        & (F.col("b.y0") <= F.col("a.y1") + tol),
+    ).select(F.col("a.fig_key").alias("src"), F.col("b.fig_key").alias("dst"))
+    cc = connected_components(edges)
+    comp = (
+        keyed.join(cc, keyed["fig_key"] == cc["node"], "left")
+        .select(
+            "filename", "page", "x0", "y0", "x1", "y1",
+            F.coalesce("component", "fig_key").alias("component"),
+        )
+        .groupBy("filename", "page", "component")
+        .agg(
+            F.min("x0").alias("x0"), F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"), F.max("y1").alias("y1"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+    def verdicts(merged_rows):
+        merged = spark.createDataFrame(
+            merged_rows,
+            "filename string, page int, x0 double, y0 double, x1 double,"
+            " y1 double, n_members long, idx int",
+        )
+        return rect_merge_verdicts(fig, comp, merged, tol=tol).toPandas()
+
+    # the REAL fixpoint: one fused rect + the isolated one
+    good = verdicts(
+        [("d", 1, 0.0, 0.0, 210.0, 50.0, 3, 1),
+         ("d", 1, 500.0, 500.0, 560.0, 560.0, 1, 2)]
+    )
+    vcols = ["contain_ok", "merged_disjoint_ok", "bbox_union_ok",
+             "members_sum_ok", "page_count_ok"]
+    assert good[vcols].all().all(), good
+
+    # under-merge: the chain left as two rects that still overlap at tol
+    under = verdicts(
+        [("d", 1, 0.0, 0.0, 130.0, 50.0, 2, 1),
+         ("d", 1, 160.0, 0.0, 210.0, 50.0, 1, 2),
+         ("d", 1, 500.0, 500.0, 560.0, 560.0, 1, 3)]
+    )
+    assert not under["merged_disjoint_ok"].all()
+
+    # wrong bbox: union doesn't cover the members
+    wrong = verdicts(
+        [("d", 1, 0.0, 0.0, 200.0, 50.0, 3, 1),
+         ("d", 1, 500.0, 500.0, 560.0, 560.0, 1, 2)]
+    )
+    assert (not wrong["bbox_union_ok"].all()) or (not wrong["contain_ok"].all())
+
+    # dropped rect: page member counts no longer re-add
+    dropped = verdicts(
+        [("d", 1, 0.0, 0.0, 210.0, 50.0, 3, 1)]
+    )
+    assert not dropped["page_count_ok"].all()
+    assert not dropped["contain_ok"].all()  # the isolated component is orphaned
