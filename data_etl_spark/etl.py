@@ -25,6 +25,7 @@ atomic staging-dir swap here is the plain-Parquet equivalent.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import zlib
@@ -139,6 +140,9 @@ class ETLPipeline:
         self.spark = spark
         self.index_path = index_path
         self.config = config or ETLConfig()
+        # heal any crash-interrupted commit before the first read (a
+        # no-op listdir when the index is clean — see recover())
+        self.recover()
 
     # -- index-table plumbing ------------------------------------------------
 
@@ -220,11 +224,17 @@ class ETLPipeline:
         old = self.index_path + scratch_suffix + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
+        # commit point: the intent file makes the fully-written staging
+        # dir the table's truth — recover() rolls FORWARD from any crash
+        # past this line, and a crash before it rolls back for free
+        # (live was never touched)
+        self._write_intent(scratch_suffix, {"op": "rewrite", "suffix": scratch_suffix})
         if os.path.exists(self.index_path):
             os.replace(self.index_path, old)
         os.replace(staging, self.index_path)
         if os.path.exists(old):
             shutil.rmtree(old)
+        self._clear_intent(scratch_suffix)
 
     def _swap_buckets(self, df: DataFrame, buckets: set[int]) -> None:
         """Replace ONLY the named `bucket=` partition dirs with ``df``.
@@ -252,6 +262,24 @@ class ETLPipeline:
             .mode("overwrite")
             .parquet(staging)
         )
+        # commit point (see _rewrite): staging is fully written; any
+        # crash from here on rolls FORWARD in recover(). The intent
+        # records which buckets staging actually contains, so recovery
+        # can tell "already moved into live" (stage dir gone, keep live)
+        # from "staged empty = drop" (never staged, remove live).
+        staged = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("bucket=")
+        )
+        self._write_intent(
+            "",
+            {
+                "op": "swap",
+                "buckets": sorted(int(b) for b in buckets),
+                "staged": staged,
+            },
+        )
         os.makedirs(aside, exist_ok=True)
         for b in sorted(buckets):
             live_b = os.path.join(self.index_path, f"bucket={b}")
@@ -262,6 +290,118 @@ class ETLPipeline:
                 os.replace(stage_b, live_b)
         shutil.rmtree(aside)
         shutil.rmtree(staging)
+        self._clear_intent("")
+
+    # -- crash recovery --------------------------------------------------
+
+    def _intent_path(self, suffix: str) -> str:
+        return self.index_path + suffix + ".intent"
+
+    def _write_intent(self, suffix: str, payload: dict) -> None:
+        tmp = self._intent_path(suffix) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._intent_path(suffix))
+
+    def _clear_intent(self, suffix: str) -> None:
+        try:
+            os.remove(self._intent_path(suffix))
+        except FileNotFoundError:
+            pass
+
+    def recover(self) -> list[str]:
+        """Heal a crash-interrupted :meth:`_rewrite` / :meth:`_swap_buckets`.
+
+        The commit protocol writes a tiny ``.intent`` file AFTER the
+        staging dir is fully written and BEFORE any live dir is touched,
+        and removes it after cleanup — so the intent file is the commit
+        record:
+
+        - intent present  -> the staged result is the table's truth:
+          roll FORWARD (finish the interrupted renames/deletes) to the
+          post-operation state;
+        - intent absent   -> the operation never committed: live is the
+          pre-operation state, any scratch dirs are garbage.
+
+        Idempotent, driver-side-only (a handful of renames — no Spark
+        job), and invoked automatically on pipeline construction so a
+        restart after a crash heals the index before first read. Returns
+        the operations rolled forward. This is the plain-Parquet
+        equivalent of a lakehouse table's transaction-log replay; the
+        semantics protected are the reference's delete-then-add
+        (`index_manager.py:347-368`).
+        """
+        recovered: list[str] = []
+        parent, base = os.path.split(self.index_path)
+        try:
+            entries = os.listdir(parent or ".")
+        except OSError:
+            return recovered
+        for fn in sorted(entries):
+            if not (fn.startswith(base) and fn.endswith(".intent")):
+                continue
+            intent_file = os.path.join(parent, fn)
+            try:
+                with open(intent_file) as f:
+                    intent = json.load(f)
+            except (OSError, ValueError):
+                os.remove(intent_file)
+                continue
+            if intent.get("op") == "rewrite":
+                self._recover_rewrite(intent.get("suffix", ""))
+            elif intent.get("op") == "swap":
+                self._recover_swap(intent.get("buckets", []), intent.get("staged", []))
+            os.remove(intent_file)
+            recovered.append(intent.get("op", "?"))
+        return recovered
+
+    def _recover_rewrite(self, suffix: str) -> None:
+        staging = self.index_path + suffix + ".staging"
+        old = self.index_path + suffix + ".old"
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # staged table committed but not yet promoted
+            if os.path.exists(self.index_path):
+                shutil.rmtree(self.index_path)
+            os.replace(staging, self.index_path)
+        elif not os.path.exists(self.index_path) and os.path.exists(old):
+            # staging already promoted away or lost; fall back to the
+            # aside copy so the index is never unreadable
+            os.replace(old, self.index_path)
+        for p in (staging, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+    def _recover_swap(self, buckets: list[int], staged: list[int]) -> None:
+        staging = self.index_path + ".staging"
+        aside = self.index_path + ".old"
+        staged_set = set(staged)
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.makedirs(self.index_path, exist_ok=True)
+            for b in buckets:
+                live_b = os.path.join(self.index_path, f"bucket={b}")
+                stage_b = os.path.join(staging, f"bucket={b}")
+                if os.path.exists(stage_b):
+                    if os.path.exists(live_b):
+                        shutil.rmtree(live_b)
+                    os.replace(stage_b, live_b)
+                elif b in staged_set:
+                    # staged dir gone = already moved into live before the
+                    # crash: live_b is the post state, keep it
+                    continue
+                elif os.path.exists(live_b):
+                    # never staged: the swap drops this bucket (e.g. a
+                    # delete emptied it)
+                    shutil.rmtree(live_b)
+        elif os.path.exists(aside):
+            # crashed before commit with aside copies somehow present:
+            # restore any bucket whose live dir is missing
+            for bdir in os.listdir(aside):
+                live_b = os.path.join(self.index_path, bdir)
+                if not os.path.exists(live_b):
+                    os.replace(os.path.join(aside, bdir), live_b)
+        for p in (staging, aside):
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
     # -- the dataflow --------------------------------------------------------
 
