@@ -203,6 +203,16 @@ _TOUCHED_BY_ROUND[8] = frozenset({
     # from input size (state_partitions_for) instead of the literal 8 —
     # resolves to 8 at driver SFs, changed plumbing, re-verify:
     "q_streaming_interval_join", "q_streaming_outer_join",
+    # sf1 full-registry rehearsal fixes: q_cosine_pairs re-planned from
+    # label self-join + expression cosine to the bit-exact blocked
+    # rank-1-update kernel (operators/pairs.py; 50.9 s -> 4.7 s at sf1,
+    # oracle unchanged); rect family moved to the density-scaled
+    # fixture (_RECT_FIGURES_SQL — byte-identical rows at every driver
+    # SF, only >=sf1 changes):
+    "q_cosine_pairs",
+    # q_rank_auto / rank consumers: rank.py's two persists now tracked
+    # (leak fix; values unchanged):
+    "q_rank_auto",
 })
 
 

@@ -91,12 +91,18 @@ _BREAK_PATTERNS = [
 _FENCE = re.compile(r"(?m)^```")
 
 
-def next_content_break(text: str, start: int) -> int:
+def next_content_break(text: str, start: int, fences: list[int] | None = None) -> int:
     """Earliest content-break offset at/after ``start``; ``len(text)`` if
     none. A candidate inside an open fenced code block (odd number of
-    ``` fence lines before it) is skipped (markdown_manager.py:96-137)."""
+    ``` fence lines before it) is skipped (markdown_manager.py:96-137).
+
+    ``fences``: precomputed ``` line offsets — callers that probe one
+    document at several offsets (the per-page loops) scan the fences
+    once instead of once per call."""
     n = len(text)
-    fence_positions = [m.start() for m in _FENCE.finditer(text)]
+    fence_positions = (
+        fences if fences is not None else [m.start() for m in _FENCE.finditer(text)]
+    )
 
     def in_fence(pos: int) -> bool:
         return sum(1 for f in fence_positions if f <= pos) % 2 == 1
@@ -201,6 +207,7 @@ def _fused_doc_rows(
     break_offset) rows. Pure function so anchor_search_checked can run
     the REAL operator and verify its claims in one pass."""
     text = text if isinstance(text, str) else ""
+    fences = [m.start() for m in _FENCE.finditer(text)]  # once per doc
     out = []
     prev = 0
     for page in range(1, n_pages + 1):
@@ -214,7 +221,7 @@ def _fused_doc_rows(
                 anchor = prev + m.start()
                 found = 1
         anchor = max(anchor, prev)  # W4 monotone clamp
-        out.append((page, anchor, found, next_content_break(text, anchor)))
+        out.append((page, anchor, found, next_content_break(text, anchor, fences)))
         prev = anchor
     return out
 
@@ -223,11 +230,13 @@ def _fused_doc_rows(
 
 CHECKED_SCHEMA = (
     "filename string, page int, monotone_ok boolean, match_at_anchor_ok boolean, "
-    "anchor_earliest_ok boolean, path_equal_ok boolean, break_ok boolean"
+    "anchor_earliest_ok boolean, break_ok boolean"
 )
 
 
-def _verify_break(text: str, start: int, claimed: int) -> bool:
+def _verify_break(
+    text: str, start: int, claimed: int, fences: list[int] | None = None
+) -> bool:
     """Brute-force T11 postcondition check, structurally independent of
     next_content_break: enumerate EVERY break-pattern match in
     [start, claimed], drop fenced ones by prefix fence-count parity, and
@@ -236,7 +245,8 @@ def _verify_break(text: str, start: int, claimed: int) -> bool:
     n = len(text)
     if not (start <= claimed <= n):
         return False
-    fences = [m.start() for m in _FENCE.finditer(text)]
+    if fences is None:
+        fences = [m.start() for m in _FENCE.finditer(text)]
 
     def in_fence(pos: int) -> bool:
         return sum(1 for f in fences if f <= pos) % 2 == 1
@@ -274,13 +284,16 @@ def anchor_search_checked(
                            previous anchor first matches exactly at the
                            claimed offset; found=0 rows: the pattern
                            truly has no match after the previous anchor;
-    - path_equal_ok      — the row equals the relation-shaped
-                           composition (find_page_anchors_pandas on
-                           synthesized snippets + next_content_break) —
-                           the independent second implementation;
     - break_ok           — _verify_break: claimed break offset is in
                            [anchor, len(text)] and is exactly the
-                           earliest non-fenced break pattern position.
+                           earliest non-fenced break pattern position
+                           (a brute-force enumerate-all re-derivation,
+                           not a second call into next_content_break).
+
+    Equality with the relation-shaped second implementation
+    (find_page_anchors + join + with_content_breaks) is pinned
+    separately in tests/test_anchors.py — running it inline here would
+    double the kernel cost for a check the suite already holds.
 
     Emitted columns are only (filename, page) + verdict booleans — both
     DuckDB-reproducible — so a SQL oracle of literal TRUEs turns the
@@ -310,7 +323,6 @@ def anchor_search_checked(
                     "monotone_ok",
                     "match_at_anchor_ok",
                     "anchor_earliest_ok",
-                    "path_equal_ok",
                     "break_ok",
                 ],
             )
@@ -327,30 +339,18 @@ def check_claimed_anchors(
     n_pages: int = 4,
     stride: int = 200,
     snip_len: int = 60,
-) -> list[tuple[int, bool, bool, bool, bool, bool]]:
+) -> list[tuple[int, bool, bool, bool, bool]]:
     """Verdict rows (page, monotone_ok, match_at_anchor_ok,
-    anchor_earliest_ok, path_equal_ok, break_ok) for CLAIMED fused-search
-    output rows (page, anchor, found, break_offset). Module-level pure
-    function so tests can feed corrupted claims and watch each verdict
-    flip (monkeypatching cannot reach Spark's worker processes)."""
+    anchor_earliest_ok, break_ok) for CLAIMED fused-search output rows
+    (page, anchor, found, break_offset). Module-level pure function so
+    tests can feed corrupted claims and watch each verdict flip
+    (monkeypatching cannot reach Spark's worker processes)."""
     text = text if isinstance(text, str) else ""
-    # independent second path: relational composition over the same
-    # synthesized page snippets
+    fences = [m.start() for m in _FENCE.finditer(text)]  # once per doc
     snippets = [
         text[(p - 1) * stride : (p - 1) * stride + snip_len]
         for p in range(1, n_pages + 1)
     ]
-    rel = find_page_anchors_pandas(
-        pd.DataFrame(
-            {
-                "filename": "x",
-                "text": text,
-                "page": range(1, n_pages + 1),
-                "snippet": snippets,
-            }
-        )
-    )
-    rel_rows = {int(r.page): (int(r.anchor), int(r.found)) for r in rel.itertuples()}
     out = []
     prev_anchor = 0
     prev_cursor = 0
@@ -365,18 +365,13 @@ def check_claimed_anchors(
         else:
             match_at = True
             earliest = cpat is None or cpat.search(text, prev_cursor) is None
-        ra, rf = rel_rows.get(page, (None, None))
-        path_equal = (
-            ra == anchor and rf == found and next_content_break(text, ra) == brk
-        )
         out.append(
             (
                 page,
                 monotone,
                 match_at,
                 earliest,
-                bool(path_equal),
-                _verify_break(text, anchor, brk),
+                _verify_break(text, anchor, brk, fences),
             )
         )
         prev_anchor = anchor

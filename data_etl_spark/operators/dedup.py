@@ -75,7 +75,9 @@ def word_shingles(
     # at 100 TB.
     from pyspark.storagelevel import StorageLevel
 
-    sh = sh.persist(StorageLevel.DISK_ONLY)
+    from ..cache import tracked_persist
+
+    sh = tracked_persist(sh, StorageLevel.DISK_ONLY)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("__df"))

@@ -1,0 +1,120 @@
+"""Exact top-k cosine PAIRS inside partitioning groups — the brute-force
+near-dup baseline (SURVEY.md §2.9 V3; reference distance config
+`index_manager.py:114-120` analog) made scale-survivable.
+
+The naive form — self-join on the group key, expression cosine per pair,
+global TakeOrdered — is exact but pays an interpreted higher-order-
+function fold on the QUADRATIC pair set: measured 50.9 s at ~sf1
+(20k vectors, 10 labels -> 20M pairs), 40x its sf0.1 wall. This kernel
+computes the same pairs per group in numpy, which would be a one-line
+matmul except for cross-engine determinism: BLAS reorders the reduction
+(pairwise/SIMD), so its last-ulp results differ from the sequential
+left-fold both Spark's ``F.aggregate`` and DuckDB's ``list_dot_product``
+evaluate — and a value hash has no tolerance. Instead the dot matrix is
+accumulated DIMENSION BY DIMENSION (``acc += outer(A[:, d], B[:, d])``),
+which performs each pair's additions in exactly the left-fold order —
+bit-identical to the expression form and the oracle — while staying
+fully vectorized (64 rank-1 updates, not 20M interpreted folds:
+~50x faster, and O(n·k) output per group instead of O(n²) rows ever
+leaving the kernel).
+
+Row-blocked (``_BLOCK`` rows of A at a time) so peak memory is
+``_BLOCK x n`` doubles per task regardless of group size; groups
+distribute across the cluster by the group key. For corpora whose
+groups outgrow even that (or with no trusted group column), the ANN
+family (IVF cells, LSH buckets) is the documented scale path — this
+operator is the exact baseline those are measured against.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: rows of the left operand scored per rank-1-update sweep
+_BLOCK = 1024
+
+PAIR_SCHEMA = "label bigint, vec1 bigint, vec2 bigint, cos_sim double"
+
+
+def _seq_norms(m: np.ndarray) -> np.ndarray:
+    """sqrt of the left-fold sum of squares, one per row — bit-identical
+    to ``sqrt(aggregate(zip_with(v, v, *), 0.0, +))``."""
+    acc = np.zeros(m.shape[0])
+    for d in range(m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _top_pairs_group(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])[order]
+    n = len(ids)
+    label = pdf["label"].iloc[0]
+    if n < 2:
+        return pd.DataFrame(columns=["label", "vec1", "vec2", "cos_sim"])
+    norms = _seq_norms(m)
+
+    # candidate top-k among non-NULL-cosine pairs + up to k zero-norm
+    # (NULL cosine) fillers, exactly the engines' NULLS-LAST ordering
+    best: list[tuple] = []  # (sort_key_cos, vec1, vec2, cos)
+    null_pairs: list[tuple] = []
+    for s in range(0, n, _BLOCK):
+        e = min(s + _BLOCK, n)
+        acc = np.zeros((e - s, n))
+        for d in range(m.shape[1]):
+            acc = acc + np.outer(m[s:e, d], m[:, d])
+        denom = np.outer(norms[s:e], norms)
+        ii, jj = np.indices(acc.shape)
+        upper = (ii + s) < jj  # vec1 < vec2 on id-sorted rows
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / denom
+        nz = upper & (denom != 0.0)
+        if nz.any():
+            c = cos[nz]
+            i1 = ids[ii[nz] + s]
+            i2 = ids[jj[nz]]
+            # engines sort NaN FIRST under DESC (both Spark and DuckDB
+            # treat NaN as greater than any double)
+            key = np.where(np.isnan(c), np.inf, c)
+            take = min(k, len(c))
+            part = np.lexsort((i2, i1, -key))[:take]
+            best.extend(zip(key[part], i1[part], i2[part], c[part]))
+            best.sort(key=lambda t: (-t[0], t[1], t[2]))
+            best = best[:k]
+        if len(null_pairs) < k:
+            zz = upper & (denom == 0.0)
+            if zz.any():
+                i1 = ids[ii[zz] + s]
+                i2 = ids[jj[zz]]
+                part = np.lexsort((i2, i1))[: k - len(null_pairs)]
+                null_pairs.extend((int(a), int(b)) for a, b in zip(i1[part], i2[part]))
+
+    rows = [(label, int(a), int(b), float(c)) for (_, a, b, c) in best]
+    rows += [(label, a, b, None) for (a, b) in null_pairs[: max(0, k - len(rows))]]
+    return pd.DataFrame(rows, columns=["label", "vec1", "vec2", "cos_sim"])
+
+
+def top_cosine_pairs_per_group(
+    e: DataFrame, k: int, group_col: str = "label"
+) -> DataFrame:
+    """Per-group exact top-k same-group pairs by (cos DESC, vec1, vec2).
+
+    Input columns: (vec_id, ``group_col``, emb double-array). NULL group
+    keys are dropped (the self-join this replaces never matched them).
+    Emits <= 2k rows per group (k scored + k NULL-cosine fillers), so
+    the global TakeOrdered downstream touches O(groups x k) rows.
+    """
+    from pyspark.sql import functions as F
+
+    grouped = (
+        e.filter(F.col(group_col).isNotNull())
+        .select("vec_id", F.col(group_col).alias("label"), "emb")
+        .groupBy("label")
+    )
+    return grouped.applyInPandas(
+        lambda pdf: _top_pairs_group(pdf, k), schema=PAIR_SCHEMA
+    )

@@ -71,6 +71,9 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..cache import tracked_persist
 
 __all__ = [
     "boundary_accuracy",
@@ -183,9 +186,13 @@ def exact_global_rank(
     and pass them here, skipping this function's per-call boundary pass.
     """
     b = _range_buckets(df, range_expr, n_buckets=n_buckets, bounds=bounds)
-    # ≤ n_buckets rows; persisted so the offset self-join and any total
-    # computed from it read one materialization (KBs, leak-safe).
-    counts = b.groupBy("__bkt").agg(F.count("*").alias("__cnt")).persist()
+    # <= n_buckets rows; persisted so the offset self-join and any total
+    # computed from it read one materialization (KBs) — tracked so
+    # long-lived harnesses reclaim the cache entry between queries.
+    counts = tracked_persist(
+        b.groupBy("__bkt").agg(F.count("*").alias("__cnt")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     offs = (
         counts.alias("a")
         .join(counts.alias("b"), F.col("b.__bkt") < F.col("a.__bkt"), "left")
@@ -240,7 +247,10 @@ def exact_global_cumsum(
     b = _range_buckets(df, range_expr, n_buckets=n_buckets, bounds=bounds)
     val = value_col.cast("bigint").alias("__val")
     b = b.withColumn("__val", val)
-    sums = b.groupBy("__bkt").agg(F.sum("__val").alias("__bsum")).persist()
+    sums = tracked_persist(
+        b.groupBy("__bkt").agg(F.sum("__val").alias("__bsum")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     offs = (
         sums.alias("a")
         .join(sums.alias("b"), F.col("b.__bkt") < F.col("a.__bkt"), "left")

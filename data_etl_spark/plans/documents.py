@@ -319,7 +319,7 @@ _ANCHOR_ORACLE = """
 SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS filename,
        CAST(p.page AS INT) AS page,
        TRUE AS monotone_ok, TRUE AS match_at_anchor_ok,
-       TRUE AS anchor_earliest_ok, TRUE AS path_equal_ok, TRUE AS break_ok
+       TRUE AS anchor_earliest_ok, TRUE AS break_ok
 FROM documents, (SELECT unnest(generate_series(1, 4)) AS page) p
 """
 

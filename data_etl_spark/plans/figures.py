@@ -241,8 +241,25 @@ def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are exact in both engines.
 # ---------------------------------------------------------------------------
 
+# Rect-family fixture: same shape as _FIGURES_SQL but the document
+# count SCALES with the part table ("max(50, N/400)" docs) instead of
+# staying fixed at 50. With a fixed modulus, 10x data means 10x DENSER
+# pages — the per-page overlap graph grows quadratically and the sf1
+# rehearsal measured q_rect_merge at 54.7x (a fixture artifact, the
+# same class as the round-7 dup-density lessons: a real 10x corpus has
+# 10x pages, not pages 10x thicker). The scaled modulus keeps per-page
+# rect density CONSTANT (~13) at every SF while staying byte-identical
+# to the old fixture at every driver/bench SF (part rows <= 20000 ->
+# modulus 50 exactly). Only the rect queries use it: they are the only
+# pairwise-per-page plans, and they join no other fixture's filename
+# space (the caption/anchor fixtures keep the shared % 50 keyspace).
+_RECT_FIGURES_SQL = _FIGURES_SQL.replace(
+    "p_partkey % 50",
+    "p_partkey % greatest(50, CAST(floor((SELECT count(*) FROM part) / 400.0) AS BIGINT))",
+)
+
 _RECT_CC_ORACLE = f"""
-WITH RECURSIVE figures AS ({_FIGURES_SQL}),
+WITH RECURSIVE figures AS ({_RECT_FIGURES_SQL}),
 edges0 AS (
     SELECT a.fig_key AS src, b.fig_key AS dst
     FROM figures a
@@ -276,12 +293,19 @@ GROUP BY filename, page, component
 """
 
 
+def _rect_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rect family's density-scaled figures fixture (see
+    _RECT_FIGURES_SQL) — identical to _figures at every SF <= 0.1."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECT_FIGURES_SQL.replace("VARCHAR", "STRING"))
+
+
 def _rect_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-round overlap-graph CC + per-component bbox union — the shared
     DuckDB-exact truth side of q_rect_components and q_rect_merge."""
     from ..operators.components import connected_components
 
-    f = _figures(spark, sf_dir).select(
+    f = _rect_figures(spark, sf_dir).select(
         "fig_key", "filename", "page", "x0", "y0", "x1", "y1"
     )
     tol = 40.0
@@ -360,7 +384,7 @@ def q_rect_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RECT_MERGE_ORACLE = f"""
-WITH RECURSIVE figures AS ({_FIGURES_SQL}),
+WITH RECURSIVE figures AS ({_RECT_FIGURES_SQL}),
 edges0 AS (
     SELECT a.fig_key AS src, b.fig_key AS dst
     FROM figures a
@@ -402,7 +426,9 @@ def q_rect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rects import merge_rects
 
     tol = 40.0
-    fig = _figures(spark, sf_dir).select("filename", "page", "x0", "y0", "x1", "y1")
+    fig = _rect_figures(spark, sf_dir).select(
+        "filename", "page", "x0", "y0", "x1", "y1"
+    )
     merged = merge_rects(fig, tol=tol)
     comp = _rect_components_df(spark, sf_dir)
     return rect_merge_verdicts(fig, comp, merged, tol=tol)

