@@ -269,13 +269,124 @@ def _driver_rows(repo_dir: str) -> dict[str, tuple[int, bool]]:
     return rows_by_name
 
 
+#: manifest recording each query's helper fingerprint when it last held
+#: a window slot (VERDICT r7, next #5): {name: {"round": N, "fp": hex}}
+_FP_MANIFEST = ".driver_fingerprints.json"
+
+
+def _query_fingerprint_map() -> dict[str, str]:
+    """name -> md5 over the query module's source PLUS the package
+    modules it imports (one static-import hop into data_etl_spark.*,
+    which covers the functions/ and operators/ helpers every plan leans
+    on). A changed helper flips the fingerprint of every query whose
+    module imports it, so the refill can re-verify exactly the greens
+    whose code paths moved — without a Spark session at window-build
+    time."""
+    import ast
+    import hashlib
+    import importlib.util
+    import sys as _sys
+
+    spec_cache: dict[str, str | None] = {}
+
+    def _spec_path(mod: str) -> str | None:
+        if mod not in spec_cache:
+            try:
+                spec = importlib.util.find_spec(mod)
+                spec_cache[mod] = spec.origin if spec else None
+            except (ImportError, ValueError, AttributeError):
+                spec_cache[mod] = None
+        return spec_cache[mod]
+
+    file_hash: dict[str, str] = {}
+
+    def _hash_file(path: str) -> str:
+        if path not in file_hash:
+            try:
+                with open(path, "rb") as f:
+                    file_hash[path] = hashlib.md5(f.read()).hexdigest()
+            except OSError:
+                file_hash[path] = "?"
+        return file_hash[path]
+
+    mod_deps: dict[str, list[str]] = {}
+
+    def _deps(mod_name: str) -> list[str]:
+        if mod_name in mod_deps:
+            return mod_deps[mod_name]
+        mod = _sys.modules.get(mod_name)
+        path = getattr(mod, "__file__", None)
+        if not path:
+            mod_deps[mod_name] = []
+            return []
+        files = [path]
+        try:
+            with open(path, "rb") as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            tree = None
+        if tree is not None:
+            pkg = mod_name.rsplit(".", 1)[0] if "." in mod_name else mod_name
+            for node in ast.walk(tree):
+                target = None
+                if isinstance(node, ast.ImportFrom) and node.module is not None:
+                    if node.level:  # relative: resolve against the package
+                        base = mod_name.split(".")
+                        target = ".".join(base[: -node.level] + [node.module])
+                    elif node.module.startswith("data_etl_spark"):
+                        target = node.module
+                elif isinstance(node, ast.ImportFrom) and node.level:
+                    target = pkg
+                if target:
+                    # find_spec, not sys.modules: lazily-imported helpers
+                    # (the `from ..operators.x import y` inside query
+                    # bodies) are not imported at window-build time
+                    dep_path = _spec_path(target)
+                    if dep_path:
+                        files.append(dep_path)
+        mod_deps[mod_name] = sorted(set(files))
+        return mod_deps[mod_name]
+
+    out = {}
+    for name, q in REGISTRY.items():
+        h = hashlib.md5()
+        for path in _deps(q.fn.__module__):
+            h.update(_hash_file(path).encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _load_fp_manifest(repo_dir: str) -> dict:
+    import json
+
+    try:
+        with open(os.path.join(repo_dir, _FP_MANIFEST)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_fp_manifest(repo_dir: str, window: list[str], fps: dict[str, str], building: int) -> None:
+    import json
+
+    manifest = _load_fp_manifest(repo_dir)
+    for n in window:
+        manifest[n] = {"round": building, "fp": fps.get(n, "?")}
+    tmp = os.path.join(repo_dir, _FP_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=0, sort_keys=True)
+    os.replace(tmp, os.path.join(repo_dir, _FP_MANIFEST))
+
+
 def _driver_window() -> list[str]:
     """This round's <=50-name exposure: registry names without a
     driver-green row first, least-recently-attempted order
     (never-attempted names before persistent failures, so a >cap backlog
     drains across rounds instead of the same leading names re-occupying
     every slot), topped up with already-green names for re-verification —
-    this round's touched queries before alphabetical freshness.
+    this round's touched queries, then greens whose HELPER code changed
+    since their last window slot (fingerprint drift), then
+    least-recently-verified freshness.
     """
     import glob
     import re
@@ -310,24 +421,37 @@ def _driver_window() -> list[str]:
     if FLAGSHIP not in window:
         window.append(FLAGSHIP)
     # Refill the remaining slots with already-green names for
-    # re-verification — queries whose PLANS changed this round
-    # (listed in _TOUCHED_THIS_ROUND) first, so a modified-but-
-    # previously-green query can't ride stale evidence through a round
-    # (VERDICT r3, next #6); then LEAST-RECENTLY-VERIFIED greens, so
-    # with ~195 names and ~50 slots every green eventually cycles back
-    # through the driver instead of alphabetically-late names starving
-    # (VERDICT r5, next #1). Name is the final tiebreak for determinism.
+    # re-verification — (1) queries whose PLANS changed this round
+    # (listed in _TOUCHED_THIS_ROUND), so a modified-but-previously-
+    # green query can't ride stale evidence through a round (VERDICT
+    # r3, next #6); (2) greens whose helper FINGERPRINT drifted since
+    # the round they last held a slot — a shared functions/ or
+    # operators/ edit re-verifies its consumers even when nobody listed
+    # them (VERDICT r7, next #5); (3) LEAST-RECENTLY-VERIFIED greens,
+    # so with ~200 names and ~50 slots every green eventually cycles
+    # back (VERDICT r5, next #1). Name is the final tiebreak.
     window_set = set(window)
+    fps = _query_fingerprint_map()
+    manifest = _load_fp_manifest(repo_dir)
+
+    def _helper_drifted(n: str) -> bool:
+        rec = manifest.get(n)
+        return bool(rec) and rec.get("fp") != fps.get(n)
+
     refill = sorted(
         (n for n in REGISTRY if n not in window_set),
         key=lambda n: (
             n not in _TOUCHED_THIS_ROUND,
+            not _helper_drifted(n),
             evidence.get(n, (0, False))[0],
             n,
         ),
     )
     window += refill[: _WINDOW_CAP - len(window)]
-    return sorted(window)
+    window = sorted(window)
+    building = (max(recorded) + 1) if recorded else 1
+    _record_fp_manifest(repo_dir, window, fps, building)
+    return window
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -51,6 +51,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__  # the PLAN module, for
+        wrapped.__wrapped__ = fn            # fingerprinting/introspection
         REGISTRY[name] = Query(name, wrapped, oracle, tuple(tags), doc=fn.__doc__ or "")
         return wrapped
 

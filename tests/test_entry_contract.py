@@ -162,3 +162,35 @@ def test_touched_queries_hold_window_slots():
         f"modified-but-green queries displaced from the driver window: "
         f"{dropped} — remove a new registry name or prune _TOUCHED_THIS_ROUND"
     )
+
+
+def test_refill_prioritizes_helper_drift(monkeypatch, tmp_path):
+    """VERDICT r7 #5: a green query whose helper fingerprint drifted
+    since its last window slot refills BEFORE fresher-but-undrifted
+    greens (and after this round's touched set)."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    # everything green in r01 -> no unchecked names compete for slots
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    fps = {n: "fp_now" for n in names}
+    drifted = names[-1]  # alphabetically last: would lose the old sort
+    manifest = {n: {"round": 1, "fp": "fp_now"} for n in names}
+    manifest[drifted] = {"round": 1, "fp": "fp_then"}
+    (tmp_path / "._ignore").write_text("")
+    (tmp_path / ".driver_fingerprints.json").write_text(json.dumps(manifest))
+
+    monkeypatch.setattr(entry_mod, "_query_fingerprint_map", lambda: fps)
+    monkeypatch.setattr(entry_mod, "_TOUCHED_THIS_ROUND", frozenset())
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    window = entry_mod._driver_window()
+    assert drifted in window, "helper-drifted green must re-enter the window"
+    # and the manifest was re-recorded for the new window at round 2
+    rec = json.loads((tmp_path / ".driver_fingerprints.json").read_text())
+    assert rec[drifted] == {"round": 2, "fp": "fp_now"}
