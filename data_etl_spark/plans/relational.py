@@ -965,6 +965,103 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_join_auto — the fifth planner gate (VERDICT r7, next #6): plain vs
+# salted equi-join chosen from the MEASURED fact-side key-skew ratio
+# (q_key_skew's statistic driving operators/planner.auto_join). Two
+# legs so the driver exercises the gate itself:
+#   leg 'user' joins on the near-uniform user_id (ratio ~1.3 at every
+#   SF -> plain always);
+#   leg 'hot' joins on a constructed key where every even event shares
+#   one value (ratio = n_keys/2: 8.0 at sf0.001 -> plain, 75 at sf0.01
+#   and 750 at sf0.1 -> salted), so BOTH branches and a gate FLIP are
+#   hash-checked across the driver's scale factors.
+# Salting is result-invisible, so the oracle is the plain join plus the
+# same ratio CASE reproduced as a scalar subquery.
+# ---------------------------------------------------------------------------
+
+_JOIN_AUTO_THR = 16.0
+
+_HK_SQL = "CASE WHEN event_id % 2 = 0 THEN CAST(-1 AS BIGINT) ELSE user_id END"
+
+_JOIN_AUTO_ORACLE = f"""
+WITH dima AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+statsa AS (
+    SELECT CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt) AS ratio
+    FROM (SELECT user_id, count(*) AS cnt FROM events
+          WHERE user_id IS NOT NULL GROUP BY user_id)
+),
+he AS (
+    SELECT event_id, event_type, {_HK_SQL} AS hk FROM events
+),
+dimb AS (
+    SELECT hk, count(*) AS c FROM he GROUP BY hk
+),
+statsb AS (
+    SELECT CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt) AS ratio
+    FROM (SELECT hk, count(*) AS cnt FROM he
+          WHERE hk IS NOT NULL GROUP BY hk)
+)
+SELECT 'user' AS leg, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d.c) AS BIGINT) AS sum_dim,
+       (SELECT CASE WHEN ratio > {_JOIN_AUTO_THR} THEN 'salted' ELSE 'plain' END
+        FROM statsa) AS strategy
+FROM events e JOIN dima d ON e.user_id = d.user_id
+GROUP BY e.event_type
+UNION ALL
+SELECT 'hot' AS leg, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d.c) AS BIGINT) AS sum_dim,
+       (SELECT CASE WHEN ratio > {_JOIN_AUTO_THR} THEN 'salted' ELSE 'plain' END
+        FROM statsb) AS strategy
+FROM he e JOIN dimb d ON e.hk = d.hk
+GROUP BY e.event_type
+"""
+
+
+@register("q_join_auto", oracle=_JOIN_AUTO_ORACLE, tags=("phase1", "join", "skew", "planner"))
+def q_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-gated join (auto_join): gate decision rides the hashed result."""
+    from ..operators.planner import auto_join
+
+    e = load_table(spark, sf_dir, "events")
+
+    dima = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    a = auto_join(
+        e.select("event_id", "user_id", "event_type"),
+        dima,
+        ["user_id"],
+        "event_id",
+        skew_threshold=_JOIN_AUTO_THR,
+        strategy_name="strategy",
+    )
+    lega = a.groupBy("event_type", "strategy").agg(
+        F.count("*").alias("n"), F.sum("c").alias("sum_dim")
+    ).select(F.lit("user").alias("leg"), "event_type", "n", "sum_dim", "strategy")
+
+    hk = F.when(F.col("event_id") % 2 == 0, F.lit(-1).cast("bigint")).otherwise(
+        F.col("user_id")
+    )
+    he = e.select("event_id", "event_type", hk.alias("hk"))
+    dimb = he.groupBy("hk").agg(F.count("*").alias("c"))
+    b = auto_join(
+        he,
+        dimb,
+        ["hk"],
+        "event_id",
+        skew_threshold=_JOIN_AUTO_THR,
+        strategy_name="strategy",
+    )
+    legb = b.groupBy("event_type", "strategy").agg(
+        F.count("*").alias("n"), F.sum("c").alias("sum_dim")
+    ).select(F.lit("hot").alias("leg"), "event_type", "n", "sum_dim", "strategy")
+
+    return lega.unionByName(legb)
+
+
+# ---------------------------------------------------------------------------
 # q_percentiles — exact interpolated percentiles (Spark `percentile` ==
 # DuckDB `quantile_cont`: both sort and linearly interpolate, and the
 # interpolation arithmetic on doubles is identical). Median/p25/p75 of

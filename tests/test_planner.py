@@ -157,3 +157,45 @@ def test_auto_dedup_single_driver_action(spark):
     assert after - before <= baseline, (
         "auto_dedup ran more driver jobs than its one count gate"
     )
+
+
+def test_auto_join_branches_result_equal_and_gate_flips(spark):
+    """auto_join (VERDICT r7 #6): the salted and plain branches produce
+    identical rows on a skewed corpus, and the measured-skew gate picks
+    salted for a hot-key fact side but plain for a uniform one."""
+    import pyspark.sql.functions as F
+
+    from data_etl_spark.operators.joins import salted_join
+    from data_etl_spark.operators.planner import auto_join
+
+    # hot key 0 owns half the fact rows; keys 1..200 one row each
+    rows = [(i, 0 if i % 2 == 0 else 1 + (i % 200), f"t{i % 3}") for i in range(800)]
+    fact = spark.createDataFrame(rows, "event_id long, k long, tag string")
+    dim = fact.groupBy("k").agg(F.count("*").alias("c"))
+
+    salted = auto_join(
+        fact, dim, ["k"], "event_id", skew_threshold=16.0, strategy_name="s"
+    )
+    assert salted.select("s").distinct().collect()[0].s == "salted"
+    plain = fact.join(dim, ["k"]).withColumn("s", F.lit("x"))
+    key = lambda r: (r.event_id, r.k, r.tag, r.c)
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+    # uniform fact side: the gate stays plain (no salting overhead)
+    uni = spark.createDataFrame(
+        [(i, i % 100, "t") for i in range(500)], "event_id long, k long, tag string"
+    )
+    udim = uni.groupBy("k").agg(F.count("*").alias("c"))
+    out = auto_join(uni, udim, ["k"], "event_id", skew_threshold=16.0, strategy_name="s")
+    assert out.select("s").distinct().collect()[0].s == "plain"
+
+    # NULL fact keys neither join nor skew the measurement
+    nulled = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else 1 + (i % 10), "t") for i in range(400)],
+        "event_id long, k long, tag string",
+    )
+    ndim = nulled.groupBy("k").agg(F.count("*").alias("c"))
+    out2 = auto_join(nulled, ndim, ["k"], "event_id", skew_threshold=16.0, strategy_name="s")
+    got = out2.collect()
+    assert all(r.k is not None for r in got)
+    assert out2.select("s").distinct().collect()[0].s == "plain"
