@@ -213,6 +213,10 @@ _TOUCHED_BY_ROUND[8] = frozenset({
     # q_rank_auto / rank consumers: rank.py's two persists now tracked
     # (leak fix; values unchanged):
     "q_rank_auto",
+    # gate-threshold calibration (VERDICT r7 #3): _ADAPT_N 256 -> 1024
+    # (engine + oracle share the constant; values unchanged at every
+    # driver SF — branch flip stays between sf0.01 and sf0.1):
+    "q_lsh_adaptive",
 })
 
 

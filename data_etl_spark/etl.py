@@ -749,7 +749,7 @@ class ETLPipeline:
             .select("q_vec_id", "rank", "c_vec_id", "rrf")
         )
 
-    def search(self, queries: Sequence[str], k: int = 5, threshold: int = 1024) -> DataFrame:
+    def search(self, queries: Sequence[str], k: int = 5, threshold: int = 2048) -> DataFrame:
         """Cost-gated cosine top-k over the index (V4): exact brute
         force (broadcast query side) while the index holds <=
         ``threshold`` rows, the in-memory IVF rewrite above it — the
@@ -767,7 +767,7 @@ class ETLPipeline:
         )
         return auto_knn(qdf, corpus, k=k, threshold=threshold)
 
-    def near_dups(self, threshold: int = 1024, tau: float = 0.5) -> DataFrame:
+    def near_dups(self, threshold: int = 4096, tau: float = 0.5) -> DataFrame:
         """Cost-gated near-duplicate chunk pairs over the index — the
         dedup twin of :meth:`search` (operators/planner.py::auto_dedup
         at the pipeline API): exact inverted-index scoring while the
@@ -785,7 +785,7 @@ class ETLPipeline:
         return auto_dedup(chunks, threshold=threshold, tau=tau)
 
     def rank_chunks(
-        self, metric: str = "n_tokens", threshold: int = 100_000
+        self, metric: str = "n_tokens", threshold: int = 1_000_000
     ) -> DataFrame:
         """Cost-gated exact global rank of the index's chunks by
         ``metric`` ascending (ties broken by filename, chunk_idx) — the

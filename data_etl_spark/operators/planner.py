@@ -42,7 +42,7 @@ def auto_rank(
     order_cols,
     range_expr,
     *,
-    threshold: int = 100_000,
+    threshold: int = 1_000_000,
     n_buckets: int | None = None,
     rank_name: str = "rank",
     total_name: str | None = None,
@@ -77,6 +77,16 @@ def auto_rank(
     a sentinel below the domain — NULL ordering defaults differ across
     engines anyway, so the caller must decide placement explicitly),
     monotone in the leading order column.
+
+    Threshold 1,000,000: calibrated at ~sf1 (CALIBRATION_r08.json) —
+    the single window was FASTER than the bucketed pass at every
+    measured size through 1.6M rows (1.99 s vs 4.55 s at 1.6M; the
+    bucketed path pays a boundary job + an extra shuffle), so the
+    latency crossover was never reached locally and the default is set
+    by the task-memory bound instead: ~1M ~100-byte rows is ~100 MB in
+    one sort task, comfortably inside any executor; beyond that a
+    single-task sort risks spill on a real cluster regardless of what
+    local timing says.
     """
     from pyspark.sql import Window as W2
 
@@ -114,10 +124,16 @@ def auto_knn(
     c_id: str = "c_vec_id",
     q_vec: str = "q_emb",
     c_vec: str = "c_emb",
-    threshold: int = 1024,
+    threshold: int = 2048,
     n_centroids: int = 8,
 ) -> DataFrame:
-    """Top-k cosine per probe; physical strategy chosen by corpus size."""
+    """Top-k cosine per probe; physical strategy chosen by corpus size.
+
+    Threshold 2048: calibrated at ~sf1 (CALIBRATION_r08.json) — exact
+    broadcast kNN wins through 2048 corpus rows (0.81 s vs IVF 0.90 s),
+    IVF wins from 4096 up (1.29 vs 1.04, widening to 3.86 vs 1.54 at
+    16384), so the default sits on the last measured exact-wins size.
+    """
     n_corpus = corpus.count()
     if n_corpus <= threshold:
         return exact_knn(
@@ -145,7 +161,7 @@ def auto_knn(
 def auto_dedup(
     docs: DataFrame,
     *,
-    threshold: int = 1024,
+    threshold: int = 4096,
     tau: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs with exact shingle-Jaccard >= ``tau``; candidate
@@ -167,6 +183,16 @@ def auto_dedup(
     identical (doc1, doc2, n_common, jaccard, strategy) schema, both
     are SQL-expressible, and the registered query's oracle reproduces
     the gate as a scalar-count subquery over the two UNION ALL branches.
+
+    Threshold 4096: the ~sf1 calibration (CALIBRATION_r08.json) never
+    reached a latency crossover — exact won at every measured size
+    through 8192 docs (1.53 s vs banded 9.58 s; the banded path pays a
+    ~6 s fixed MinHash-signature cost locally) — but exact's true cost
+    is DUP-DENSITY-bound, not size-bound: the rehearsal corpus is
+    deliberately reworded (low co-shingle density), while a dup-dense
+    corpus at the same size explodes the co-shingle pair join that
+    banding caps. 4096 keeps the measured-faster branch for every size
+    the rehearsal covered with margin below the density blow-up regime.
     """
     from .dedup import (
         lsh_candidate_pairs,
@@ -248,10 +274,16 @@ def auto_join(
     are excluded from the measurement: an inner equi-join prunes them
     before the shuffle, so they cannot skew any task.
 
-    Default threshold 16: measured on ~sf1 (scripts/calibrate_gates.py,
-    uniform vs --skew-shaped corpora) — plain and salted are within
-    noise of each other through ratio ~10, so the gate stays on the
-    no-overhead plain branch until the hot key dominates outright.
+    Default threshold 16: the ~sf1 calibration (CALIBRATION_r08.json)
+    showed plain + AQE BEATING salted at every measured hot-key share
+    (plain ~0.26 s flat vs salted ~0.44 s even at ratio 12000 — AQE's
+    skew-split absorbs a 1M-row hot key locally, and salting always
+    pays the n_salts-fold dim replication), so locally the crossover is
+    unreachable and the default comes from the straggler model instead:
+    salting matters when one key's rows exceed what a single executor
+    task can hold/process within the stage budget — a regime local
+    timing cannot surface. 16 means "the hot task would be 16x the
+    average"; below that AQE's split is the cheaper mitigation.
     """
     keys = list(keys)
     sizes = fact

@@ -1443,7 +1443,7 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle reproduces the gate with the same `& 255` CASE.
 # ---------------------------------------------------------------------------
 
-_ADAPT_N = 256
+_ADAPT_N = 1024
 
 _ADAPT_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK}),

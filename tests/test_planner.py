@@ -199,3 +199,58 @@ def test_auto_join_branches_result_equal_and_gate_flips(spark):
     got = out2.collect()
     assert all(r.k is not None for r in got)
     assert out2.select("s").distinct().collect()[0].s == "plain"
+
+
+def test_gate_defaults_match_calibration():
+    """VERDICT r7 #3: the library defaults sit on the measured-winner
+    side of the ~sf1 calibration table (CALIBRATION_r08.json) — if the
+    data is re-measured and the winners move, this fails until the
+    defaults (or the documented reasoning) are updated."""
+    import inspect
+    import json
+    import os
+
+    from data_etl_spark.operators import planner
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CALIBRATION_r08.json")
+    with open(path) as f:
+        cal = json.load(f)
+
+    def default_of(fn, name):
+        return inspect.signature(fn).parameters[name].default
+
+    # auto_rank: the window branch must have WON at every measured size
+    # up to the default threshold (the default may exceed the measured
+    # range only on the documented task-memory argument)
+    thr = default_of(planner.auto_rank, "threshold")
+    for n, t in cal["auto_rank"].items():
+        if int(n) <= thr:
+            assert t["window"] <= t["bucketed"], (n, t)
+    assert thr == 1_000_000
+
+    # auto_knn: exact wins at the default, IVF wins at the next measured
+    # size up
+    thr = default_of(planner.auto_knn, "threshold")
+    sizes = sorted(int(n) for n in cal["auto_knn"])
+    assert thr in sizes
+    at = cal["auto_knn"][str(thr)]
+    assert at["exact"] <= at["ivf"], at
+    above = cal["auto_knn"][str(sizes[sizes.index(thr) + 1])]
+    assert above["ivf"] <= above["exact"], above
+
+    # auto_dedup: exact won at every measured size through the default
+    thr = default_of(planner.auto_dedup, "threshold")
+    for n, t in cal["auto_dedup"].items():
+        if int(n) <= thr:
+            assert t["exact"] <= t["banded"], (n, t)
+
+    # lsh band width: 8-bit within 10% of 16-bit at the adaptive cut,
+    # 16-bit strictly better at the next measured size
+    from data_etl_spark.plans.similarity import _ADAPT_N
+
+    sizes = sorted(int(n) for n in cal["lsh_band"])
+    assert _ADAPT_N in sizes
+    at = cal["lsh_band"][str(_ADAPT_N)]
+    assert at["band8"] <= at["band16"] * 1.10, at
+    above = cal["lsh_band"][str(sizes[sizes.index(_ADAPT_N) + 1])]
+    assert above["band16"] <= above["band8"], above
