@@ -82,12 +82,17 @@ def test_partitioned_write_prunes_read(spark, sf_dir):
 
 
 def test_arrow_scoring_stays_vectorized(spark, sf_dir):
-    # the similarity pair loops must run as ArrowEvalPython (pandas UDF,
-    # Arrow batches), never BatchEvalPython (row-at-a-time pickling)
-    for name in ("q_knn_exact", "q_rp_lsh_pairs", "q_cosine_pairs"):
+    # the similarity pair loops must run on an Arrow path — scalar
+    # pandas UDFs (ArrowEvalPython) or a grouped Arrow kernel
+    # (FlatMapGroupsInPandas; q_cosine_pairs since round 8) — never
+    # BatchEvalPython (row-at-a-time pickling)
+    for name in ("q_knn_exact", "q_rp_lsh_pairs"):
         plan = _plan(spark, sf_dir, name)
         assert "ArrowEvalPython" in plan, name
         assert "BatchEvalPython" not in plan, name
+    plan = _plan(spark, sf_dir, "q_cosine_pairs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_sole_fault_plans_semi_anti(spark, sf_dir):
