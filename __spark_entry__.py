@@ -382,6 +382,9 @@ def _record_fp_manifest(repo_dir: str, window: list[str], fps: dict[str, str], b
     os.replace(tmp, os.path.join(repo_dir, _FP_MANIFEST))
 
 
+_WINDOW_CACHE: dict[str, list[str]] = {}
+
+
 def _driver_window() -> list[str]:
     """This round's <=50-name exposure: registry names without a
     driver-green row first, least-recently-attempted order
@@ -391,11 +394,18 @@ def _driver_window() -> list[str]:
     this round's touched queries, then greens whose HELPER code changed
     since their last window slot (fingerprint drift), then
     least-recently-verified freshness.
+
+    Memoized per (process, repo dir): the build RECORDS fingerprints
+    into the manifest (consuming the drift signal), so a second uncached
+    call could compute a DIFFERENT refill — and the driver calls
+    queries() and oracle_sql() separately, which must agree.
     """
     import glob
     import re
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if repo_dir in _WINDOW_CACHE:
+        return _WINDOW_CACHE[repo_dir]
     recorded = [
         int(m.group(1))
         for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
@@ -455,6 +465,7 @@ def _driver_window() -> list[str]:
     window = sorted(window)
     building = (max(recorded) + 1) if recorded else 1
     _record_fp_manifest(repo_dir, window, fps, building)
+    _WINDOW_CACHE[repo_dir] = window
     return window
 
 

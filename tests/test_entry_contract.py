@@ -194,3 +194,31 @@ def test_refill_prioritizes_helper_drift(monkeypatch, tmp_path):
     # and the manifest was re-recorded for the new window at round 2
     rec = json.loads((tmp_path / ".driver_fingerprints.json").read_text())
     assert rec[drifted] == {"round": 2, "fp": "fp_now"}
+
+
+def test_window_is_stable_across_calls_despite_drift(monkeypatch, tmp_path):
+    """queries() and oracle_sql() call _driver_window separately; the
+    build consumes the drift signal (it records fingerprints), so
+    without per-repo memoization the SECOND call could compute a
+    different refill and the two dicts would desync at the driver."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    fps = {n: "fp_now" for n in names}
+    manifest = {n: {"round": 1, "fp": "fp_now"} for n in names}
+    manifest[names[-1]] = {"round": 1, "fp": "fp_then"}  # one drifted green
+    (tmp_path / ".driver_fingerprints.json").write_text(json.dumps(manifest))
+    monkeypatch.setattr(entry_mod, "_query_fingerprint_map", lambda: fps)
+    monkeypatch.setattr(entry_mod, "_TOUCHED_THIS_ROUND", frozenset())
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    first = entry_mod._driver_window()
+    second = entry_mod._driver_window()
+    assert first == second
+    assert names[-1] in first
