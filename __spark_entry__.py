@@ -217,6 +217,15 @@ _TOUCHED_BY_ROUND[8] = frozenset({
     # (engine + oracle share the constant; values unchanged at every
     # driver SF — branch flip stays between sf0.01 and sf0.1):
     "q_lsh_adaptive",
+    # fuzz chaos x --relational-too wave (the NULL-bearing relational
+    # star had never met the relational-only queries): NULL-ordering
+    # contracts (NULLS FIRST window oracles, sentinel range keys),
+    # eqNullSafe group joins, count(col) vs count(*) rank targets, and
+    # NULL-guarded fingerprints — driver data carries no relational
+    # NULLs so values are unchanged, plans/oracles changed:
+    "q_window_running", "q_window_analytics", "q_window_lag_lead",
+    "q_window_range_frame", "q_approx_quantile_eval", "q_equidepth_bins",
+    "q_rfm_segments", "q_snapshot_diff",
 })
 
 

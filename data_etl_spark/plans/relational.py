@@ -570,7 +570,7 @@ SELECT o_custkey, o_orderkey,
        lead(o_orderkey) OVER w AS next_orderkey,
        date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
@@ -594,10 +594,10 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_RUNNING_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
        max(o_orderkey) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_key
 FROM orders
 """
@@ -1231,10 +1231,10 @@ WITH o AS (
     FROM orders
 )
 SELECT o_custkey, o_orderkey,
-       CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY od_s
+       CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY od_s NULLS FIRST
                              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
-       percent_rank() OVER (PARTITION BY o_custkey ORDER BY od_s, o_orderkey) AS pr,
-       cume_dist() OVER (PARTITION BY o_custkey ORDER BY od_s, o_orderkey) AS cd
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY od_s NULLS FIRST, o_orderkey) AS pr,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY od_s NULLS FIRST, o_orderkey) AS cd
 FROM o
 """
 
@@ -1834,13 +1834,13 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_ANALYTIC_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice,
        first_value(o_totalprice) OVER w AS cust_first_price,
-       last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cust_last_price,
        nth_value(o_totalprice, 2) OVER w AS cust_second_price,
-       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_pct_rank,
-       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_cume_dist
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS price_pct_rank,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS price_cume_dist
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
@@ -2179,10 +2179,14 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     ps = F.lit(list(_AQ_PS)).cast("array<double>")
+    # count(l_quantity), not count(*): both percentile functions ignore
+    # NULL values, so the rank target must be over the NON-NULL
+    # population or every verdict shifts by the NULL share
+    # (fuzz chaos x relational star)
     sk = li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", ps).alias("__ex"),
         F.approx_percentile("l_quantity", ps, F.lit(_AQ_ACCURACY)).alias("__apx"),
-        F.count("*").alias("__n"),
+        F.count("l_quantity").alias("__n"),
     )
     per_p = sk.select(
         "l_returnflag",
@@ -2197,8 +2201,15 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__z.__ex").alias("exact_val"),
         F.col("__z.__apx").alias("__apx_v"),
     )
+    # eqNullSafe: a NULL l_returnflag group is a group like any other —
+    # the plain string-key join dropped it from the engine while the
+    # oracle's GROUP BY kept it (fuzz chaos x relational star)
     ranked = (
-        li.join(F.broadcast(per_p), "l_returnflag")
+        li.join(
+            F.broadcast(per_p),
+            li["l_returnflag"].eqNullSafe(per_p["l_returnflag"]),
+        )
+        .drop(li["l_returnflag"])
         .groupBy("l_returnflag", "p", "exact_val", "__apx_v", "__n")
         .agg(
             F.sum(F.when(F.col("l_quantity") < F.col("__apx_v"), 1).otherwise(0)).alias("__lt"),
@@ -2211,10 +2222,12 @@ def q_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "p",
         "exact_val",
-        (
+        F.when(F.col("__n") == 0, F.lit(True))  # empty sketch: nothing to bound
+        .otherwise(
             (F.col("__le") >= target - margin)
             & (F.col("__lt") + F.lit(1) <= target + margin)
-        ).alias("within_bound"),
+        )
+        .alias("within_bound"),
     )
 
 
@@ -2385,9 +2398,11 @@ WITH per_cust AS (
 scored AS (
     SELECT o_custkey, last_order, frequency,
            CAST(monetary AS DOUBLE) AS monetary,
-           ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
-           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+           -- o_custkey NULLS FIRST: the NULL-custkey group is a row like
+           -- any other and Spark's ASC tie-break puts NULLs first
+           ntile(5) OVER (ORDER BY last_order DESC, o_custkey NULLS FIRST) AS r,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey NULLS FIRST) AS f,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey NULLS FIRST) AS m
     FROM per_cust
 )
 SELECT o_custkey, last_order, frequency, monetary,
@@ -2419,9 +2434,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ties share a bucket and the within-bucket ordering disambiguates).
     from ..operators.rank import boundary_accuracy, boundary_probes
 
-    r_key = -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date"))
+    # coalesce: the rank helper's range key must be NON-NULL; a customer
+    # whose every order date (or price) is NULL sorts LAST under DESC in
+    # both engines, so the sentinel sits above the ascending key domain
+    r_key = F.coalesce(
+        -F.datediff(F.to_date("last_order"), F.lit("1970-01-01").cast("date")),
+        F.lit(1e18),
+    )
     f_key = -F.col("frequency")
-    m_key = -F.col("monetary_dec").cast("double")
+    m_key = F.coalesce(-F.col("monetary_dec").cast("double"), F.lit(1e18))
     n_b = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     probes = F.lit(boundary_probes(n_b)).cast("array<double>")
     acc = F.lit(boundary_accuracy(n_b))
@@ -2452,9 +2473,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_name="__rk_m",
         bounds=brow["bm"] or [],
     ).select("o_custkey", "__rk_m")
-    ranked = per_cust.join(rk_r, "o_custkey").join(rk_f, "o_custkey").join(
-        rk_m, "o_custkey"
-    )
+    # eqNullSafe joins: the NULL-custkey group is a customer like any
+    # other — plain key joins dropped it while the oracle's GROUP BY
+    # kept it (fuzz chaos x relational star). Each rank frame's key is
+    # renamed first so the chained joins stay unambiguous.
+    ranked = per_cust
+    for rk in (rk_r, rk_f, rk_m):
+        rk = rk.withColumnRenamed("o_custkey", "__k")
+        ranked = ranked.join(
+            rk, F.col("o_custkey").eqNullSafe(F.col("__k"))
+        ).drop("__k")
     scored = ranked.select(
         "o_custkey", "last_order", "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
@@ -3092,17 +3120,22 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SNAPSHOT_DIFF_ORACLE = """
+-- coalesce inside the fingerprint: Spark's ANSI concat NULL-propagates
+-- while DuckDB's concat SKIPS NULLs, so an unguarded NULL status/price
+-- makes the engine drop the row (NULL <> NULL filter) where the oracle
+-- still fingerprints it (fuzz chaos x relational star) — a NULL column
+-- is a value the diff must see, not a row-killer
 WITH v1 AS (
     SELECT o_orderkey AS k,
-           md5(concat(o_orderstatus, ':',
-                      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))) AS fp
+           md5(concat(coalesce(o_orderstatus, '~null~'), ':',
+                      coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '~null~'))) AS fp
     FROM orders WHERE o_orderkey % 7 <> 0
 ),
 v2 AS (
     SELECT o_orderkey AS k,
-           md5(concat(o_orderstatus, ':',
-                      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                           + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS VARCHAR))) AS fp
+           md5(concat(coalesce(o_orderstatus, '~null~'), ':',
+                      coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS VARCHAR), '~null~'))) AS fp
     FROM orders WHERE o_orderkey % 5 <> 0
 )
 SELECT coalesce(v1.k, v2.k) AS o_orderkey,
@@ -3121,9 +3154,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-cents fingerprint: double->string formatting differs between
     # engines (Java vs DuckDB shortest-roundtrip), bigint->string never does
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    fp1 = F.md5(F.concat(F.col("o_orderstatus"), F.lit(":"), cents.cast("string")))
+    status = F.coalesce(F.col("o_orderstatus"), F.lit("~null~"))
+    fp1 = F.md5(
+        F.concat(status, F.lit(":"), F.coalesce(cents.cast("string"), F.lit("~null~")))
+    )
     cents2 = cents + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(F.lit(0))
-    fp2 = F.md5(F.concat(F.col("o_orderstatus"), F.lit(":"), cents2.cast("string")))
+    fp2 = F.md5(
+        F.concat(status, F.lit(":"), F.coalesce(cents2.cast("string"), F.lit("~null~")))
+    )
     v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
         F.col("o_orderkey").alias("k1"), fp1.alias("fp1")
     )
@@ -3430,7 +3468,7 @@ _EQUIDEPTH_ORACLE = f"""
 WITH t AS (
     SELECT l_extendedprice,
            ntile({_EQUIDEPTH_N}) OVER (
-               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+               ORDER BY l_extendedprice NULLS FIRST, l_orderkey, l_linenumber) AS bin
     FROM lineitem
 )
 SELECT bin, count(*) AS n_rows,
@@ -3446,12 +3484,17 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    # NULL prices sort FIRST (both sides say so explicitly — Spark's asc
+    # default, NULLS FIRST in the oracle) and the rank helper's
+    # range_expr contract requires NON-NULL: coalesce to a sentinel
+    # below the price domain so NULL rows range-bucket with the rows
+    # they sort with (fuzz chaos x relational star).
     # total rides along from the helper's persisted bucket counts — no
     # separate count scan of the fact table.
     ranked = exact_global_rank(
         base,
         [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
-        F.col("l_extendedprice"),
+        F.coalesce(F.col("l_extendedprice"), F.lit(-1e18)),
         rank_name="__grank",
         total_name="__total",
     )

@@ -28,11 +28,13 @@ def main() -> int:
         os.makedirs(d, exist_ok=True)
         rng = random.Random(seed)
         _write_corpus(d, rng, mode)
+        # MUST mirror fuzz_probe's flags exactly (chaos = skew + nulls
+        # star) or this tool diffs a different corpus than the probe ran
         T._write_relational(
             d,
             rng,
-            skew=(mode == "skew"),
-            nulls=(mode == "nulls"),
+            skew=(mode in ("skew", "chaos")),
+            nulls=(mode in ("nulls", "chaos")),
             small=(mode == "smallgroups"),
         )
     spark = build_session("dbg-diff")

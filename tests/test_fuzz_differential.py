@@ -786,12 +786,19 @@ _QUERIES = _eligible()
 def _canon(rows, cols):
     import datetime as _dt
 
+    import pandas as _pd
+
     out = []
     for row in rows:
         vals = []
         for c in sorted(cols):
             v = row[c] if isinstance(row, dict) else getattr(row, c)
-            if isinstance(v, float):
+            if v is _pd.NaT:
+                # DuckDB NULL dates come back as pandas NaT (a datetime
+                # whose isoformat() is the string 'NaT'); Spark's
+                # collect() gives None — same NULL, one repr
+                v = None
+            elif isinstance(v, float):
                 v = None if math.isnan(v) else round(v, 6)
             elif isinstance(v, _dt.datetime):
                 v = v.isoformat()  # Timestamp/datetime -> one repr
@@ -1059,6 +1066,22 @@ _CHAOS_PINNED = [
     "q_retention_cohort",
     "q_asof_join",
     "q_minmax_by",
+    # round 8: the NULL-bearing relational star had never met the
+    # relational-only queries (sweeps without --relational-too skip
+    # them) — chaos seed 97 x --relational-too caught 8 divergences in
+    # one pass: window NULL-ordering (Spark asc = NULLS FIRST, DuckDB
+    # default NULLS LAST), NULL group keys dropped by plain equi-joins,
+    # count(*) vs count(col) rank targets, and ANSI-concat-vs-DuckDB-
+    # concat NULL fingerprints. Pin every fixed query on this corpus.
+    "q_window_running",
+    "q_window_analytics",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_approx_quantile_eval",
+    "q_equidepth_bins",
+    "q_rfm_segments",
+    "q_snapshot_diff",
+    "q_join_auto",
 ]
 
 
