@@ -302,41 +302,73 @@ def _rect_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rect_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-round overlap-graph CC + per-component bbox union — the shared
-    DuckDB-exact truth side of q_rect_components and q_rect_merge."""
-    from ..operators.components import connected_components
+    DuckDB-exact truth side of q_rect_components and q_rect_merge.
+
+    Computed per (filename, page) in ONE Arrow kernel: overlap here is
+    DEFINED within a page (operators/rects.py docstring), so components
+    can never span groups and the distributed iterative CC operator —
+    log-diameter rounds of full-edge-list joins with a convergence
+    check — buys nothing but fixed stage overhead (measured 6.5 s ->
+    ~0.7 s at sf0.1; the cross-partition CC remains exercised by the
+    dedup-cluster queries, whose graphs genuinely span the corpus).
+    Labels are the component-minimum fig_key — identical to the
+    iterative operator and to the oracle's recursive-CTE closure, so
+    the hash row is unchanged.
+    """
+    import pandas as pd
 
     f = _rect_figures(spark, sf_dir).select(
         "fig_key", "filename", "page", "x0", "y0", "x1", "y1"
     )
     tol = 40.0
-    a, b = f.alias("a"), f.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.filename") == F.col("b.filename"))
-        & (F.col("a.page") == F.col("b.page"))
-        & (F.col("a.fig_key") < F.col("b.fig_key"))
-        & (F.col("a.x0") <= F.col("b.x1") + tol)
-        & (F.col("b.x0") <= F.col("a.x1") + tol)
-        & (F.col("a.y0") <= F.col("b.y1") + tol)
-        & (F.col("b.y0") <= F.col("a.y1") + tol),
-    ).select(F.col("a.fig_key").alias("src"), F.col("b.fig_key").alias("dst"))
-    cc = connected_components(edges)
-    labeled = f.join(cc, f["fig_key"] == cc["node"], "left").select(
-        "filename",
-        "page",
-        "x0",
-        "y0",
-        "x1",
-        "y1",
-        F.coalesce("component", "fig_key").alias("component"),
+
+    def page_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["fig_key"].to_numpy()
+        xs0, ys0 = pdf["x0"].to_numpy(), pdf["y0"].to_numpy()
+        xs1, ys1 = pdf["x1"].to_numpy(), pdf["y1"].to_numpy()
+        n = len(keys)
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (
+                    xs0[i] <= xs1[j] + tol
+                    and xs0[j] <= xs1[i] + tol
+                    and ys0[i] <= ys1[j] + tol
+                    and ys0[j] <= ys1[i] + tol
+                ):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        comp: dict[int, list[int]] = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        rows = [
+            {
+                "filename": pdf["filename"].iloc[0],
+                "page": int(pdf["page"].iloc[0]),
+                "component": int(min(keys[m] for m in members)),
+                "x0": float(min(xs0[m] for m in members)),
+                "y0": float(min(ys0[m] for m in members)),
+                "x1": float(max(xs1[m] for m in members)),
+                "y1": float(max(ys1[m] for m in members)),
+                "n_members": len(members),
+            }
+            for members in comp.values()
+        ]
+        return pd.DataFrame(rows)
+
+    schema = (
+        "filename string, page int, component bigint, x0 double, y0 double, "
+        "x1 double, y1 double, n_members long"
     )
-    return labeled.groupBy("filename", "page", "component").agg(
-        F.min("x0").alias("x0"),
-        F.min("y0").alias("y0"),
-        F.max("x1").alias("x1"),
-        F.max("y1").alias("y1"),
-        F.count("*").alias("n_members"),
-    )
+    return f.groupBy("filename", "page").applyInPandas(page_components, schema)
 
 
 @register("q_rect_components", oracle=_RECT_CC_ORACLE, tags=("phase2", "figures"))
