@@ -845,11 +845,18 @@ GROUP BY doc_id
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc triangle counts in the LSH candidate graph.
 
-    Scale: the wedge join (e1 ⋈ e2 on the middle vertex) is the
-    quadratic step; it shuffles on vertex ids and is bounded by the
-    candidate graph — already band-limited — not the corpus. The closing
-    edge check is a join, not a lookup, so the whole census is three
-    shuffles regardless of graph size.
+    Compact-forward with DEGREE-ordered orientation: every edge points
+    from its lower-(degree, id) endpoint to the higher one, so each
+    triangle is enumerated exactly once from its lowest-ordered vertex
+    and — the scale property — the maximum out-degree is O(sqrt(m)),
+    bounding total wedge work at O(m^1.5) regardless of how hub-heavy
+    the candidate graph gets. Orienting by raw doc_id (the r3 form)
+    leaves band-collision hubs with their full degree as out-degree:
+    the sf1 rehearsal measured 25.3 s / ~19x on the 10x corpus, vs
+    6.7 s / ~5x for the degree orientation — wedges at hubs are the
+    whole cost. The enumeration ORDER changes; the triangle SET and the
+    per-doc membership counts do not, so the id-ordered recursive
+    oracle is unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
@@ -857,12 +864,45 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.lsh_candidate_pairs(sig)
         .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
         .distinct()
-        .persist()  # three self-join legs read one materialization
+        .persist()  # degree agg + three census legs read one materialization
     )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    # no broadcast hint: the degree table is vertex-cardinality (corpus-
+    # scale at 100 TB); AQE picks broadcast when it actually fits
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # orient low (deg, id) -> high (deg, id); ids are unique so the
+    # order is total and the orientation acyclic
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).persist()
+    ab = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("dd").alias("bd"),
+    )
+    ac = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("dd").alias("cd"),
+    )
+    # wedge at the lowest-ordered vertex a: out-neighbors b < c by (deg, id)
+    w = ab.join(ac, "a").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    close = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = w.join(close, ["b", "c"])
     members = (
         tri.select(F.col("a").alias("doc_id"))
         .unionAll(tri.select(F.col("b").alias("doc_id")))
