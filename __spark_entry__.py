@@ -227,6 +227,18 @@ _TOUCHED_BY_ROUND[8] = frozenset({
     "q_window_range_frame", "q_approx_quantile_eval", "q_equidepth_bins",
     "q_rfm_segments", "q_snapshot_diff",
 })
+_TOUCHED_BY_ROUND[9] = frozenset({
+    # VERDICT r8 #1 / ADVICE r8 #1: the degree-ordered triangle-census
+    # rewrite (plans/dedup.py) landed in r8's final snapshot AFTER the
+    # driver window was built — it has never been driver-hashed. Judge
+    # verified oracle-equality at sf0.01 manually; this slot makes the
+    # driver record it.
+    "q_dup_triangles",
+    # state_partitions_for now sums directory trees (ADVICE r8 #4);
+    # resolves to the same 8 at driver SFs (single-file fixtures), but
+    # the sizing plumbing changed — re-verify the stream-stream joins:
+    "q_streaming_interval_join", "q_streaming_outer_join",
+})
 
 
 def _current_touched() -> frozenset:

@@ -298,6 +298,11 @@ class ETLPipeline:
         return self.index_path + suffix + ".intent"
 
     def _write_intent(self, suffix: str, payload: dict) -> None:
+        # The owner stamp lets recover() reject (and never delete) a
+        # SIBLING pipeline's intent whose index path shares a filename
+        # prefix (e.g. /data/idx vs /data/idx2 — startswith alone would
+        # claim and destroy idx2's commit record from idx).
+        payload = dict(payload, owner=os.path.basename(self.index_path))
         tmp = self._intent_path(suffix) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -346,6 +351,12 @@ class ETLPipeline:
                     intent = json.load(f)
             except (OSError, ValueError):
                 os.remove(intent_file)
+                continue
+            # Prefix match is not ownership: idx2's intent startswith
+            # "idx". Only act on (and only remove) intents this pipeline
+            # wrote; a sibling's record is left for the sibling's own
+            # recover() to roll forward.
+            if intent.get("owner", base) != base:
                 continue
             if intent.get("op") == "rewrite":
                 self._recover_rewrite(intent.get("suffix", ""))

@@ -101,6 +101,27 @@ _STATE_MIN_PARTITIONS = 8
 _STATE_SPLIT_BYTES = 128 * 1024 * 1024
 
 
+def _tree_bytes(path: str) -> int:
+    """Total data bytes under ``path`` — a single file's size, or the
+    recursive sum of file sizes for a directory-backed parquet dataset.
+    ``os.path.getsize`` on a directory returns the directory-ENTRY size
+    (~4 KiB), which made the input-sized state rule dead code outside
+    single-file fixtures (ADVICE r8)."""
+    try:
+        if not os.path.isdir(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+    except OSError:
+        return 0
+
+
 def state_partitions_for(spark: SparkSession, sf_dir: str) -> int:
     """State-store partition count sized from the INPUT, not a constant.
 
@@ -119,10 +140,8 @@ def state_partitions_for(spark: SparkSession, sf_dir: str) -> int:
     first batch (each drain starts a fresh checkpoint), and results are
     partition-count-invariant — proven by scripts/config_sweep.py.
     """
-    try:
-        input_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    except OSError:
-        input_bytes = 0
+    path = os.path.join(sf_dir, "events.parquet")
+    input_bytes = _tree_bytes(path)
     splits = -(-input_bytes // _STATE_SPLIT_BYTES)  # ceil
     cap = 4 * spark.sparkContext.defaultParallelism
     return int(min(max(splits, _STATE_MIN_PARTITIONS), cap))

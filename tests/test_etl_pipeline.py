@@ -494,3 +494,33 @@ def test_release_tracked_drains_all_pipeline_persists(pipe, docs, spark):
     assert persisted() <= baseline, (
         f"persisted RDDs leaked: {persisted()} > baseline {baseline}"
     )
+
+
+def test_recover_skips_sibling_prefix_intent(pipe, docs, spark, tmp_path):
+    """Two pipelines whose index paths share a filename prefix
+    (``index`` / ``index2``) must not claim each other's intent files:
+    recover() on the shorter-prefixed pipeline would otherwise load the
+    sibling's intent, no-op, and os.remove() it — destroying the
+    sibling's commit record (ADVICE r8 #3)."""
+    import json
+    import os
+
+    pipe.ingest(docs)
+    sib = ETLPipeline(
+        spark,
+        str(tmp_path / "index2"),
+        ETLConfig(chunk_size=100, chunk_overlap=20, n_buckets=4),
+    )
+    sib.ingest(docs)
+    # simulate the sibling crashing mid-swap: its intent file survives
+    sibling_intent = str(tmp_path / "index2.intent")
+    with open(sibling_intent, "w") as f:
+        json.dump({"op": "swap", "buckets": [0], "staged": [], "owner": "index2"}, f)
+
+    # "index".startswith match would claim index2.intent without the
+    # owner check; it must neither act on it nor delete it
+    assert pipe.recover() == []
+    assert os.path.exists(sibling_intent)
+    # the owning pipeline recovers (and clears) its own record
+    assert sib.recover() == ["swap"]
+    assert not os.path.exists(sibling_intent)

@@ -103,3 +103,33 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     assert len(out) == 80, "restart reprocessed or dropped records"
     assert sorted(out.doc_id) == list(range(80))
     assert out.doc_id.is_unique
+
+
+def test_state_partitions_sized_from_directory_tree(spark, tmp_path):
+    """state_partitions_for must sum a directory-backed parquet
+    dataset's file bytes, not take os.path.getsize of the directory
+    entry (~4 KiB), which silently pinned the input-sized rule to the
+    floor outside single-file fixtures (ADVICE r8 #4)."""
+    import os
+
+    from data_etl_spark.streaming.jobs import (
+        _STATE_SPLIT_BYTES,
+        _tree_bytes,
+        state_partitions_for,
+    )
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    # two "part files" of 3 splits total (padding, not real parquet:
+    # only the byte accounting is under test)
+    (d / "part-0").write_bytes(b"\0" * (2 * _STATE_SPLIT_BYTES))
+    (d / "part-1").write_bytes(b"\0" * (_STATE_SPLIT_BYTES // 2))
+    assert _tree_bytes(str(d)) == 2 * _STATE_SPLIT_BYTES + _STATE_SPLIT_BYTES // 2
+    got = state_partitions_for(spark, str(tmp_path))
+    # ceil(2.5 splits) = 3 < floor 8 -> floor; the point is the bytes
+    # were COUNTED (directory-entry size would give splits=1 too, so
+    # assert on _tree_bytes above and the floor/cap contract here)
+    cap = 4 * spark.sparkContext.defaultParallelism
+    assert got == min(max(3, 8), cap)
+    # missing input degrades to the floor, never raises
+    assert state_partitions_for(spark, str(tmp_path / "nope")) == min(8, cap)
