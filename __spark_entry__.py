@@ -238,6 +238,14 @@ _TOUCHED_BY_ROUND[9] = frozenset({
     # resolves to the same 8 at driver SFs (single-file fixtures), but
     # the sizing plumbing changed — re-verify the stream-stream joins:
     "q_streaming_interval_join", "q_streaming_outer_join",
+    # VERDICT r8 #2: q_simhash_eval re-planned — n_cand now counted
+    # combinatorially over the (simhash -> count) table (the 41M-at-sf1
+    # banded pair set is never materialized) and n_hit tested on the
+    # truth pairs; sf1 30.3 s -> 15.1 s. Oracle unchanged.
+    "q_simhash_eval",
+    # q_dup_triangles census body factored into _triangle_census
+    # (identical plan; unit-pinned on a hub-heavy graph) — already
+    # listed above for the r8 rewrite.
 })
 
 

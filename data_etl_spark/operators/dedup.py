@@ -212,3 +212,131 @@ def shingle_pair_stats(shingles: DataFrame, key: str = "doc_id") -> DataFrame:
     s2 = sizes.select(F.col(key).alias("doc2"), F.col("n_sh").alias("n_sh2"))
     # per-doc sizes are corpus-unbounded: no broadcast hint (planner picks)
     return pairs.join(s1, "doc1").join(s2, "doc2")
+
+
+def setsim_pairs(
+    shingles: DataFrame, tau: float, key: str = "doc_id"
+) -> DataFrame:
+    """Exact set-similarity self-join: every pair with Jaccard >= tau,
+    via PREFIX FILTERING with the POSITIONAL bound (Chaudhuri et al.
+    SSJoin, ICDE'06; Bayardo et al. All-Pairs, WWW'07; Xiao et al.
+    PPJoin, WWW'08) instead of the full inverted-index join.
+
+    Under any global total order of tokens, if J(A,B) >= tau then the
+    first ``|A| - ceil(tau*|A|) + 1`` tokens of A and of B must share an
+    element (were the prefixes disjoint, the whole intersection would
+    fit in one suffix of size ceil(tau*|A|) - 1 < tau*|A| <= |A n B|).
+    So candidates = pairs co-occurring in a PREFIX token — a provably
+    complete envelope — and each candidate is verified exactly. The
+    order is (document frequency ASC, token ASC): rarest first, which
+    pushes hot tokens out of every prefix. The prefix uses the floor
+    form ``n - floor(tau*n) + 1`` (>= the ceil form, so completeness
+    survives any float rounding of tau*n).
+
+    Two further complete prunes ride the candidate join:
+    - SIZE: J >= tau forces tau*max(|A|,|B|) <= min(|A|,|B|).
+    - POSITIONAL (PPJoin): a token matching at sorted positions (i, j)
+      bounds the overlap by 1 + min(|A|-i, |B|-j); J >= tau needs
+      overlap >= tau/(1+tau) * (|A|+|B|). Positions only grow along
+      successive shared tokens, so the FIRST shared prefix token gives
+      the largest bound — "any matching row passes" is exactly "the
+      first match passes", and dropping rows that fail keeps the
+      envelope complete. (Both float comparisons are relaxed by 1e-9:
+      a looser envelope is always safe, verification is exact.)
+
+    WHEN THIS WINS: corpora whose token DF is power-law and UNCAPPED —
+    the inverted-index join pays sum(df^2) pairs, which a single hot
+    token makes quadratic, while no hot token ever enters a prefix
+    here. On DF-capped short-doc corpora (all driver/test SFs: max df
+    136 at sf1, cap 1000 — the cap never binds) the plain capped join
+    is locally faster; this operator is the EXACT path that needs no
+    recall-trading cap at 100 TB.
+
+    Verification is JVM-side: per-doc sorted token arrays (semi-joined
+    down to candidate members BEFORE the collect), exact
+    ``size(array_intersect(...))`` counts (token sets are distinct
+    upstream) — value-identical to the brute-force join at any tau.
+
+    Returns (doc1, doc2, n_common, n_sh1, n_sh2) for pairs with
+    J >= tau, doc1 < doc2 — the shingle_pair_stats shape, thresholded.
+    """
+    from pyspark.sql import Window as W
+
+    sizes = shingles.groupBy(key).agg(F.count("*").alias("n_sh"))
+    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("__df"))
+    order = W.partitionBy(key).orderBy("__df", "shingle")
+    ranked = (
+        shingles.join(df_counts, "shingle")
+        .select(key, "shingle", F.row_number().over(order).alias("__rk"))
+        .join(sizes, key)
+    )
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("n_sh") - F.floor(F.lit(float(tau)) * F.col("n_sh")) + 1
+    )
+    a = prefix.select(
+        F.col(key).alias("doc1"),
+        "shingle",
+        F.col("n_sh").alias("n_sh1"),
+        F.col("__rk").alias("__rk1"),
+    )
+    b = prefix.select(
+        F.col(key).alias("doc2"),
+        "shingle",
+        F.col("n_sh").alias("n_sh2"),
+        F.col("__rk").alias("__rk2"),
+    )
+    size_ok = (
+        F.least("n_sh1", "n_sh2").cast("double")
+        >= F.lit(float(tau)) * F.greatest("n_sh1", "n_sh2") - F.lit(1e-9)
+    )
+    pos_ok = (
+        1 + F.least(F.col("n_sh1") - F.col("__rk1"), F.col("n_sh2") - F.col("__rk2"))
+    ).cast("double") >= F.lit(float(tau) / (1.0 + float(tau))) * (
+        F.col("n_sh1") + F.col("n_sh2")
+    ) - F.lit(1e-9)
+    cand = (
+        a.join(b, "shingle")
+        .filter((F.col("doc1") < F.col("doc2")) & size_ok & pos_ok)
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    # prune the token table to candidate members BEFORE the per-doc
+    # array build (cand is tiny post-prefix; shingles is corpus-scale)
+    members = (
+        cand.select(F.explode(F.array("doc1", "doc2")).alias(key)).distinct()
+    )
+    arrs = (
+        shingles.join(members, key, "left_semi")
+        .groupBy(key)
+        .agg(F.collect_list("shingle").alias("__arr"), F.count("*").alias("n_sh"))
+    )
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col(key).alias("doc1"),
+                F.col("__arr").alias("__a1"),
+                F.col("n_sh").alias("n_sh1"),
+            ),
+            "doc1",
+        )
+        .join(
+            arrs.select(
+                F.col(key).alias("doc2"),
+                F.col("__arr").alias("__a2"),
+                F.col("n_sh").alias("n_sh2"),
+            ),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("__a1", "__a2")).alias("n_common"),
+            "n_sh1",
+            "n_sh2",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+    return verified.filter(jac >= F.lit(float(tau)))

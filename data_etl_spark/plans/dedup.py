@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..cache import tracked_persist
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..sources import load_table
@@ -866,6 +867,14 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()  # degree agg + three census legs read one materialization
     )
+    return _triangle_census(e)
+
+
+def _triangle_census(e: DataFrame) -> DataFrame:
+    """(doc_id, n_triangles) for an undirected simple edge set (u, v),
+    u < v, via degree-ordered compact-forward wedges (see
+    q_dup_triangles' docstring; unit-pinned against the id-oriented
+    brute force on hub-heavy graphs in tests/test_properties.py)."""
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -949,34 +958,84 @@ SELECT (SELECT count(*) FROM cand) AS n_cand,
 
 @register("q_simhash_eval", oracle=_SIMHASH_EVAL_ORACLE, tags=("phase3", "dedup", "eval"))
 def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall of SimHash candidates vs Jaccard>=0.5 truth."""
+    """Precision/recall of SimHash candidates vs Jaccard>=0.5 truth.
+
+    Re-planned for scale (VERDICT r8 #2 — this was the slowest sf1
+    query at 30 s), value-identical to the unchanged brute-force oracle:
+
+    - CANDIDATE side: n_cand is a COUNT, so the 41M-at-sf1 banded pair
+      set is never materialized. The 16-bit hash space caps the
+      (simhash -> doc count) table at 65,536 rows no matter the corpus;
+      band collisions are counted combinatorially over that table by
+      inclusion-exclusion: with s_b = distinct-hash pairs sharing band
+      b (hamming<=3, c1*c2 each) and same = identical-hash pairs
+      (C(c,2) each, members of BOTH band counts),
+      n_cand = (s0 + same) + (s1 + same) - same = s0 + s1 + same.
+    - n_hit only needs candidacy tested ON the truth pairs (small):
+      attach each side's simhash, test band-share + hamming<=3 — the
+      exact membership predicate of the cand set.
+
+    The truth side stays the DF-capped shingle inverted-index join
+    (shingle_pair_stats): on these corpora no shingle approaches the
+    cap (max df 136 at sf1 vs cap 1000), so its pair volume is bounded
+    and it measurably beats the prefix-filtered path (4.1 s vs 17 s at
+    sf1) — setsim_pairs is the exact uncapped alternative, exercised by
+    q_setsim_join.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    allp = (
-        a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n_sh1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n_sh2"))
-    jac = F.col("n_common").cast("double") / (
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+    jac_truth = F.col("n_common").cast("double") / (
         F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
     )
-    truth = (
-        allp.join(s1, "doc1").join(s2, "doc2")
-        .filter(jac >= _SIMHASH_EVAL_TAU)
-        .select("doc1", "doc2")
-        .persist()
+    truth = tracked_persist(
+        DD.shingle_pair_stats(sh)
+        .filter(jac_truth >= _SIMHASH_EVAL_TAU)
+        .select("doc1", "doc2"),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    cand = q_simhash_pairs(spark, sf_dir).select("doc1", "doc2").persist()
-    hit = cand.join(truth, ["doc1", "doc2"])
-    # three 1-row aggregates cross-joined: stays one distributed plan,
+    sh_doc = tracked_persist(
+        q_simhash(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
+    hi = F.floor(F.col("simhash") / 256.0).cast("bigint")
+    lo = F.col("simhash") % 256
+    hc = sh_doc.groupBy("simhash").agg(F.count("*").alias("c")).select(
+        "simhash", "c", hi.alias("hi"), lo.alias("lo")
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+
+    def _cross_band(col: str) -> DataFrame:
+        """1-row sum of c1*c2 over DISTINCT-hash pairs sharing band
+        ``col`` with hamming <= 3 (same-hash pairs counted in _same)."""
+        a, b = hc.alias("a"), hc.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{col}") == F.col(f"b.{col}"))
+                & (F.col("a.simhash") < F.col("b.simhash")),
+            )
+            .filter(ham <= 3)
+            .agg(F.coalesce(F.sum(F.col("a.c") * F.col("b.c")), F.lit(0)))
+        )
+
+    s0 = _cross_band("hi").toDF("s0")
+    s1 = _cross_band("lo").toDF("s1")
+    same = hc.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0)).alias("same")
+    )
+    h1 = sh_doc.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    h2 = sh_doc.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    is_cand = (
+        (F.floor(F.col("h1") / 256.0) == F.floor(F.col("h2") / 256.0))
+        | (F.col("h1") % 256 == F.col("h2") % 256)
+    ) & (F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+    hit = truth.join(h1, "doc1").join(h2, "doc2").filter(is_cand)
+    # 1-row aggregates cross-joined: stays one distributed plan,
     # no driver-side counts
-    nc = cand.agg(F.count("*").alias("n_cand"))
+    nc = (
+        s0.crossJoin(s1)
+        .crossJoin(same)
+        .select((F.col("s0") + F.col("s1") + F.col("same")).alias("n_cand"))
+    )
     nt = truth.agg(F.count("*").alias("n_truth"))
     nh = hit.agg(F.count("*").alias("n_hit"))
     return (
@@ -993,6 +1052,51 @@ def q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_truth") > 0, F.col("n_hit").cast("double") / F.col("n_truth")
             ).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_setsim_join — exact set-similarity self-join (every pair with
+# shingle-Jaccard >= tau) via PREFIX FILTERING (SSJoin/All-Pairs): the
+# scale path for exact near-dup joins. The global token order is
+# (document frequency ASC, token ASC), so ubiquitous shingles fall out
+# of every prefix and no posting list in the candidate join grows with
+# corpus size; each candidate is verified exactly (JVM array_intersect).
+# The oracle is the brute-force inverted-index join — completeness of
+# the prefix envelope is exactly what the hash check proves.
+# ---------------------------------------------------------------------------
+
+_SETSIM_TAU = 0.5
+
+_SETSIM_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+allp AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2, p.n_common, s1.n_sh AS n_sh1, s2.n_sh AS n_sh2,
+       CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) AS jaccard
+FROM allp p
+JOIN sizes s1 ON s1.doc_id = p.doc1
+JOIN sizes s2 ON s2.doc_id = p.doc2
+WHERE CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common)
+      >= {_SETSIM_TAU}
+"""
+
+
+@register("q_setsim_join", oracle=_SETSIM_ORACLE, tags=("phase3", "dedup"))
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=tau pairs via the prefix-filtered set-sim join."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+    pairs = DD.setsim_pairs(sh, _SETSIM_TAU)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+    return pairs.select(
+        "doc1", "doc2", "n_common", "n_sh1", "n_sh2", jac.alias("jaccard")
     )
 
 

@@ -460,3 +460,95 @@ def test_adaptive_lsh_narrow_band_candidates_superset(spark, sf_dir):
     missing = wide.join(narrow, ["v1", "v2"], "left_anti").count()
     assert missing == 0
     assert narrow.count() >= wide.count()
+
+
+def test_setsim_pairs_equals_brute_force(spark):
+    """Prefix-filter completeness (the theorem setsim_pairs rests on):
+    on an adversarial mini-corpus — identical docs, near-dups, subset
+    docs, disjoint docs, hub tokens shared by everyone, 1-token docs —
+    the prefix+size+positional envelope must recover EXACTLY the
+    brute-force Jaccard>=tau pair set, at several tau."""
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.operators.dedup import setsim_pairs
+
+    corpora = [
+        ("d1", ["a", "b", "c", "d"]),
+        ("d2", ["a", "b", "c", "d"]),          # identical to d1
+        ("d3", ["a", "b", "c", "e"]),          # near-dup of d1 (J=0.6)
+        ("d4", ["a", "b"]),                    # subset of d1 (J=0.5)
+        ("d5", ["x", "y", "z"]),               # disjoint
+        ("d6", ["x", "y", "z", "w", "v"]),     # J(d5,d6)=0.6
+        ("d7", ["hub"]),                       # 1-token doc
+        ("d8", ["hub"]),                       # J(d7,d8)=1.0
+        ("d9", ["hub", "a", "x", "q"]),        # hub token + spread
+        ("d10", ["q"]),                        # J(d9,d10)=0.25
+    ]
+    rows = [(d, t) for d, toks in corpora for t in toks]
+    sh = spark.createDataFrame(rows, "doc_id string, shingle string")
+
+    def brute(tau):
+        a = sh.selectExpr("doc_id AS doc1", "shingle")
+        b = sh.selectExpr("doc_id AS doc2", "shingle")
+        sizes = sh.groupBy("doc_id").count()
+        p = (
+            a.join(b, "shingle")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .groupBy("doc1", "doc2")
+            .agg(F.count("*").alias("nc"))
+            .join(sizes.selectExpr("doc_id AS doc1", "count AS n1"), "doc1")
+            .join(sizes.selectExpr("doc_id AS doc2", "count AS n2"), "doc2")
+        )
+        jac = F.col("nc") / (F.col("n1") + F.col("n2") - F.col("nc"))
+        return {
+            (r.doc1, r.doc2, r.nc)
+            for r in p.filter(jac >= tau).collect()
+        }
+
+    for tau in (0.25, 0.5, 0.75, 1.0):
+        got = {
+            (r.doc1, r.doc2, r.n_common)
+            for r in setsim_pairs(sh, tau).collect()
+        }
+        assert got == brute(tau), f"tau={tau}"
+
+
+def test_triangle_census_degree_oriented_equals_brute(spark):
+    """ADVICE r8 #1: pin the degree-ordered compact-forward triangle
+    census against the straightforward id-oriented enumeration on a
+    hub-heavy graph (one vertex adjacent to everything — exactly the
+    shape where the degree orientation changes the wedge structure)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.plans.dedup import _triangle_census
+
+    # hub h adjacent to v0..v9; v0..v9 form a cycle (10 triangles with
+    # the hub); plus a separate clique k0..k3 (4 choose 3 = 4 triangles)
+    # and a hub-to-clique bridge edge (no new triangle)
+    edges = set()
+    for i in range(10):
+        edges.add(tuple(sorted(("h", f"v{i}"))))
+        edges.add(tuple(sorted((f"v{i}", f"v{(i + 1) % 10}"))))
+    for x, y in itertools.combinations([f"k{i}" for i in range(4)], 2):
+        edges.add((x, y))
+    edges.add(tuple(sorted(("h", "k0"))))
+    e = spark.createDataFrame(sorted(edges), "u string, v string")
+
+    # brute force: adjacency set in Python
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                expected[x] = expected.get(x, 0) + 1
+
+    got = {r.doc_id: r.n_triangles for r in _triangle_census(e).collect()}
+    assert got == expected
+    # sanity on the fixture itself: hub participates in all 10 cycle
+    # triangles, each clique member in 3
+    assert expected["h"] == 10 and expected["k0"] == 3
