@@ -26,8 +26,15 @@ _LOG = logging.getLogger(__name__)
 _TRACKED: list[DataFrame] = []
 
 
-def tracked_persist(df: DataFrame, level: StorageLevel) -> DataFrame:
-    """Persist ``df`` and remember the handle for later release."""
+def tracked_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER
+) -> DataFrame:
+    """Persist ``df`` and remember the handle for later release.
+
+    The default level is ``DataFrame.persist()``'s own default
+    (MEMORY_AND_DISK_DESER), so ``tracked_persist(x)`` is a drop-in for
+    ``x.persist()`` — every plan-internal persist goes through here so
+    harnesses can drain the cache between queries (VERDICT r8 #3)."""
     df.persist(level)
     _TRACKED.append(df)
     return df

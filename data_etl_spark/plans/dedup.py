@@ -94,7 +94,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # persist: the shingle set feeds both sides of the self-join and the
     # size lookup; without it the whole tokenize+explode subtree runs 3x.
-    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
     return (
         DD.shingle_pair_stats(sh)
         .select(
@@ -143,7 +143,7 @@ GROUP BY a.doc_id, b.doc_id
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs via bucket self-join."""
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
     return DD.lsh_candidate_pairs(sig)
 
 
@@ -258,16 +258,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cache each leg re-runs the words-explode + 16-bit majority
     # aggregation over the full corpus (same rationale as
     # q_ngram_jaccard's shingle persist).
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                F.floor(F.col("simhash") / 256.0).cast("bigint"),
-                F.col("simhash") % 256,
-            )
-        ).alias("band", "band_val"),
-    ).persist()
+    banded = tracked_persist(
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    F.floor(F.col("simhash") / 256.0).cast("bigint"),
+                    F.col("simhash") % 256,
+                )
+            ).alias("band", "band_val"),
+        )
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -331,7 +333,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
     pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
     return dedup_clusters(pairs)
 
@@ -434,7 +436,7 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-after-LSH pattern, here emitting the tuning metric.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
     # candidate pairs via the SAME operator production banding uses
     # (operators/dedup.py::lsh_candidate_pairs); n_shared_bands ==
     # count of agreeing seeds since signatures hold one row per seed
@@ -561,7 +563,9 @@ GROUP BY sh.doc_id
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 4-gram contamination flags via broadcast semi-join."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d, n=4, max_df=None).persist(StorageLevel.DISK_ONLY)
+    sh = tracked_persist(
+        DD.word_shingles(d, n=4, max_df=None), StorageLevel.DISK_ONLY
+    )
     bench = (
         sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
     )
@@ -719,10 +723,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK persist evicts pathologically, so pin it DISK_ONLY:
     # sequential parquet-speed re-reads, zero executor-memory pressure
     # (round-3 verdict, wrong #4).
-    occ = (
+    occ = tracked_persist(
         ws_df.select("doc_id", F.posexplode(arr).alias("pos0", "shingle"))
-        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "shingle")
-        .persist(StorageLevel.DISK_ONLY)
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "shingle"),
+        StorageLevel.DISK_ONLY,
     )
     dup = (
         occ.groupBy("shingle")
@@ -860,13 +864,12 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
-    e = (
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
+    e = tracked_persist(
         DD.lsh_candidate_pairs(sig)
         .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
         .distinct()
-        .persist()  # degree agg + three census legs read one materialization
-    )
+    )  # degree agg + three census legs read one materialization
     return _triangle_census(e)
 
 
@@ -891,12 +894,14 @@ def _triangle_census(e: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("sd"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    ).persist()
+    o = tracked_persist(
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
     ab = o.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
         F.col("dd").alias("bd"),
@@ -1158,7 +1163,7 @@ FROM it3 i JOIN deg d ON i.u = d.u
 def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact 3-iteration PageRank over the LSH candidate graph."""
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
     cand = DD.lsh_candidate_pairs(sig).select(
         F.col("doc1").alias("u"), F.col("doc2").alias("v")
     )
@@ -1166,14 +1171,13 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LSH-candidate lineage textually, but at runtime every replica
     # hits the cached edge blocks (measured: same wall time as a
     # checkpoint, without running jobs at plan-construction time).
-    edges = (
+    edges = tracked_persist(
         cand.union(cand.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
     )
     # deg feeds every iteration's contribution join plus the final select —
     # persist the one-shuffle aggregate instead of re-shuffling edges 5x
-    deg = edges.groupBy("u").agg(F.count("*").alias("d")).persist()
+    deg = tracked_persist(edges.groupBy("u").agg(F.count("*").alias("d")))
     nn = deg.agg(F.count("*").alias("n"))
     base = F.expr(f"(({_PR_SCALE} * 3) DIV 20) DIV n")
     pr = (
@@ -1258,7 +1262,7 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.word_shingles(d)).persist()
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
     pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
     comp = dedup_clusters(pairs).select("doc_id", "canonical_id")
     ws = TX.words(F.col("text"))
@@ -1409,7 +1413,7 @@ LIMIT 50
 def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 directed-containment pairs via the shingle inverted index."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -1496,7 +1500,7 @@ GROUP BY t, tot.n_true_total
 def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall per band-agreement threshold (LSH calibration)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.word_shingles(d).persist(StorageLevel.DISK_ONLY)
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
     # candidate pairs via the SAME operator production banding uses
     # (operators/dedup.py::lsh_candidate_pairs); n_shared_bands ==
     # count of agreeing seeds since signatures hold one row per seed
@@ -1506,11 +1510,10 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
     )
-    scored = (
+    scored = tracked_persist(
         cand.join(DD.shingle_pair_stats(sh), ["doc1", "doc2"])
         .select("n_agree", (jac >= _TUNE_TAU).cast("int").alias("is_true"))
-        .persist()  # candidate-pair-sized; feeds the total and all 8 thresholds
-    )
+    )  # candidate-pair-sized; feeds the total and all 8 thresholds
     tot = scored.agg(F.sum("is_true").alias("n_true_total"))
     return (
         scored.select(

@@ -595,7 +595,9 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # hourly feeds three consumers (its own grain + two rollups)
-    hourly = hourly.persist()
+    from ..cache import tracked_persist
+
+    hourly = tracked_persist(hourly)
     return shape(hourly, "hour").unionByName(shape(daily, "day")).unionByName(
         shape(monthly, "month")
     )
@@ -1728,9 +1730,14 @@ def q_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q")
     ).collect()
     bounds = qrow[0]["q"] or []
-    lvl = exact_global_cumsum(
-        chg, order, F.col("t_us"), F.col("delta"), cumsum_name="run", bounds=bounds
-    ).persist(StorageLevel.DISK_ONLY)
+    from ..cache import tracked_persist
+
+    lvl = tracked_persist(
+        exact_global_cumsum(
+            chg, order, F.col("t_us"), F.col("delta"), cumsum_name="run", bounds=bounds
+        ),
+        StorageLevel.DISK_ONLY,
+    )
     opener = (F.col("delta") == 1) & (F.col("run") == 1)
     isl = exact_global_cumsum(
         lvl,

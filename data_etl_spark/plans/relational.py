@@ -2418,11 +2418,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import exact_global_rank, ntile_from_rank
 
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
-    ).persist()
+    from ..cache import tracked_persist
+
+    per_cust = tracked_persist(
+        o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+        )
+    )
     # Three INDEPENDENT rank passes over the cached aggregate, joined
     # back on the customer key — chaining them instead would make each
     # pass's three subtrees (counts, ranked) recompute all previous
@@ -2587,8 +2591,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # DISK_ONLY: one row per distinct lineitem — corpus-scale (the
     # dedup.py persist policy; memory-caching would evict hotter blocks)
-    items = li.select("l_orderkey", "l_partkey").distinct().persist(
-        StorageLevel.DISK_ONLY
+    from ..cache import tracked_persist
+
+    items = tracked_persist(
+        li.select("l_orderkey", "l_partkey").distinct(), StorageLevel.DISK_ONLY
     )
     # basket count rides the plan as a broadcast 1-row crossJoin — no
     # driver-side count job (the lm_perplexity rule)

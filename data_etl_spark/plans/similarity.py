@@ -432,10 +432,10 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the 32-dot signature + norm is consumed by FOUR scans
     # (two join legs x two bands) — without the cache each leg would
     # recompute the whole expression chain.
-    sig = (
+    sig = tracked_persist(
         e.withColumn("sg", _band_sigs("emb"))
         .select("vec_id", "emb", "sg.s0", "sg.s1", V.l2_norm(F.col("emb")).alias("nrm"))
-    ).persist()
+    )
 
     def pairs_on(key: str) -> DataFrame:
         a = sig.select(
@@ -1079,9 +1079,9 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb"),
         lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
     )
-    c = cs.select(
-        "c_vec_id", F.col("emb").alias("c_emb"), deq.alias("c_deq")
-    ).persist()  # one corpus materialization feeds both search legs
+    c = tracked_persist(
+        cs.select("c_vec_id", F.col("emb").alias("c_emb"), deq.alias("c_deq"))
+    )  # one corpus materialization feeds both search legs
 
     ex = exact_knn(F.broadcast(q), c.select("c_vec_id", "c_emb"), k=5).select(
         "q_vec_id", "c_vec_id"
@@ -1223,12 +1223,11 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c_deq")
     )
-    c = (
+    c = tracked_persist(
         base.filter(F.col("vec_id") >= _PQ_Q_MAX)
         .select(F.col("vec_id").alias("c_vec_id"), F.col("emb").alias("c_emb"))
         .join(deq, "c_vec_id")
-        .persist()  # one reconstruction feeds both search legs
-    )
+    )  # one reconstruction feeds both search legs
     q = base.filter(
         (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_Q_MAX)
     ).select(F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("q_emb"))
@@ -1310,15 +1309,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp = e.filter(F.col("vec_id") >= _SEM_K).select("vec_id", emb.alias("emb"))
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_cent"), F.asc("cent_id"))
-    assigned = (
+    assigned = tracked_persist(
         corp.crossJoin(F.broadcast(cent))
         .withColumn("cos_cent", V.cosine(F.col("emb"), F.col("cemb")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", F.col("cent_id").alias("cluster"), "cos_cent")
-        .persist()  # feeds both pair-join legs and the final select —
-        # without it the k x corpus scoring subtree is planned 6x
-    )
+    )  # feeds both pair-join legs and the final select —
+    # without it the k x corpus scoring subtree is planned 6x
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
         F.col("cluster"), F.col("cos_cent").alias("a_cc"),
@@ -1477,7 +1475,7 @@ def q_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.as_double(F.col("embedding")).alias("emb")
     )
     cnt = e.agg(F.count("*").alias("__c"))
-    sig = (
+    sig = tracked_persist(
         e.withColumn("sg", _band_sigs("emb"))
         .select(
             "vec_id", "emb", F.col("sg.s0").alias("s16"),
@@ -1498,7 +1496,6 @@ def q_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("band_bits"),
         )
-        .persist()
     )
     a = sig.select(
         F.col("s").alias("k"), F.col("vec_id").alias("vec1"),

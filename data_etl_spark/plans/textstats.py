@@ -1383,8 +1383,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISK_ONLY: the exploded token stream is corpus-scale (~|tokens|
     # rows) — caching it in executor memory would evict hotter blocks at
     # 100 TB, the same reasoning as q_dup_spans' 8-gram intermediate.
-    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).persist(
-        StorageLevel.DISK_ONLY
+    from ..cache import tracked_persist
+
+    tok = tracked_persist(
+        d.select(F.explode(TX.words(F.col("text"))).alias("word")),
+        StorageLevel.DISK_ONLY,
     )
     seeds = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
     bucket = F.expr(_CMS_BUCKET)

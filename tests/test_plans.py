@@ -591,3 +591,43 @@ def test_lsh_adaptive_gate_rides_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # one signature materialization feeds both self-join legs
     assert "InMemoryTableScan" in plan
+
+
+def test_registry_queries_drain_to_baseline(spark, sf_dir):
+    """VERDICT r8 #3: every plan-internal persist is routed through
+    tracked_persist, so running a representative query from each
+    persist-heavy family and then release_tracked() must return the
+    JVM's persisted-RDD count to its pre-query baseline — the invariant
+    bench_full's between-query drain relies on. (A static sweep backs
+    this: `grep -r "\\.persist(" data_etl_spark/` has no untracked
+    sites.)"""
+    from data_etl_spark.cache import release_tracked
+    from data_etl_spark.plans import REGISTRY
+
+    def persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_tracked()
+    spark.catalog.clearCache()
+    baseline = persisted()
+
+    # one per family that persists internally: shingle dedup, simhash
+    # counting, triangle census, pagerank, LSH tuning, rank/RFM,
+    # market basket, CMS tokens, rollup, interval sweep, banded cosine,
+    # SQ/PQ knn, IVF-ish semantic dedup, adaptive LSH, setsim
+    names = [
+        "q_ngram_jaccard", "q_simhash_pairs", "q_simhash_eval",
+        "q_dup_triangles", "q_pagerank_dupgraph", "q_lsh_tuning_curve",
+        "q_rfm_segments", "q_market_basket", "q_cms_heavy_hitters",
+        "q_rollup_hierarchy", "q_interval_sweep", "q_dup_spans", "q_decontaminate",
+        "q_rp_lsh_pairs", "q_sq_knn", "q_pq_knn", "q_semantic_dedup",
+        "q_lsh_adaptive", "q_setsim_join",
+    ]
+    for name in names:
+        if name not in REGISTRY:
+            continue
+        REGISTRY[name].fn(spark, sf_dir).count()
+        release_tracked()
+        assert persisted() <= baseline, (
+            f"{name} leaked persisted RDDs: {persisted()} > {baseline}"
+        )
