@@ -28,6 +28,9 @@ FLAGSHIP = "q_chunk_pipeline"
 # queries, then alphabetical re-verification refill.
 
 _WINDOW_CAP = 50
+#: refill slots reserved for least-recently-verified rotation even when
+#: a wide helper edit drifts much of the registry (see _driver_window)
+_LRV_FLOOR = 10
 
 # Queries whose Spark plan or oracle changed, KEYED BY ROUND: the window
 # refill re-verifies the current round's entries before alphabetically-
@@ -405,10 +408,59 @@ def _record_fp_manifest(repo_dir: str, window: list[str], fps: dict[str, str], b
     manifest = _load_fp_manifest(repo_dir)
     for n in window:
         manifest[n] = {"round": building, "fp": fps.get(n, "?")}
+    # Names never yet windowed get a round-0 baseline fingerprint NOW:
+    # without one, _helper_drifted can never fire for them, so a plan
+    # rewritten between two window builds could silently dodge
+    # re-verification forever (the r8 q_dup_triangles gap — VERDICT r8
+    # #5). With the baseline, the next code change flips the drift bit.
+    for n in REGISTRY:
+        if n not in manifest:
+            manifest[n] = {"round": 0, "fp": fps.get(n, "?")}
     tmp = os.path.join(repo_dir, _FP_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=0, sort_keys=True)
     os.replace(tmp, os.path.join(repo_dir, _FP_MANIFEST))
+    _write_staleness_report(repo_dir, window, manifest, building)
+
+
+#: per-round window-staleness audit (VERDICT r8 #5): name -> last
+#: driver-green round, last window slot, whether this build re-exposes
+#: it; summary block carries the max/percentile staleness so a human
+#: (or the contract test) can see rotation health at a glance.
+_STALENESS_REPORT = "WINDOW_STALENESS.json"
+
+
+def _write_staleness_report(
+    repo_dir: str, window: list[str], manifest: dict, building: int
+) -> None:
+    import json
+
+    evidence = _driver_rows(repo_dir)
+    rows = {}
+    for n in sorted(REGISTRY):
+        last_round, ever_green = evidence.get(n, (0, False))
+        green_round = last_round if ever_green else 0
+        rows[n] = {
+            "last_green_round": green_round,
+            "green_staleness": (building - green_round) if ever_green else None,
+            "last_window_round": manifest.get(n, {}).get("round", 0),
+            "in_this_window": n in set(window),
+        }
+    stales = sorted(
+        r["green_staleness"] for r in rows.values()
+        if r["green_staleness"] is not None and not r["in_this_window"]
+    )
+    report = {
+        "building_round": building,
+        "n_registry": len(REGISTRY),
+        "n_window": len(window),
+        "max_green_staleness_outside_window": stales[-1] if stales else 0,
+        "queries": rows,
+    }
+    tmp = os.path.join(repo_dir, _STALENESS_REPORT + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=0, sort_keys=True)
+    os.replace(tmp, os.path.join(repo_dir, _STALENESS_REPORT))
 
 
 _WINDOW_CACHE: dict[str, list[str]] = {}
@@ -481,16 +533,26 @@ def _driver_window() -> list[str]:
         rec = manifest.get(n)
         return bool(rec) and rec.get("fp") != fps.get(n)
 
-    refill = sorted(
-        (n for n in REGISTRY if n not in window_set),
-        key=lambda n: (
-            n not in _TOUCHED_THIS_ROUND,
-            not _helper_drifted(n),
-            evidence.get(n, (0, False))[0],
-            n,
-        ),
-    )
-    window += refill[: _WINDOW_CAP - len(window)]
+    greens = [n for n in REGISTRY if n not in window_set]
+    remaining = _WINDOW_CAP - len(window)
+
+    def age_key(n: str) -> tuple:
+        return (evidence.get(n, (0, False))[0], n)
+
+    touched = sorted((n for n in greens if n in _TOUCHED_THIS_ROUND), key=age_key)
+    rest = sorted((n for n in greens if n not in _TOUCHED_THIS_ROUND), key=age_key)
+    # LRV floor: a wide helper edit can drift half the registry; if the
+    # drift tier were allowed to flood every refill slot, the stalest
+    # greens would stop rotating and their evidence age without bound
+    # (the staleness report tracks exactly this). The floor goes to the
+    # STALEST untouched greens irrespective of drift status — a drift
+    # wave cannot starve rotation, and drifted-but-unpicked names keep
+    # their old manifest fingerprint, so they drain over later rounds.
+    floor_names = rest[: min(_LRV_FLOOR, max(0, remaining - len(touched)))]
+    floor_set = set(floor_names)
+    drifted = [n for n in rest if n not in floor_set and _helper_drifted(n)]
+    others = [n for n in rest if n not in floor_set and not _helper_drifted(n)]
+    window += (touched + floor_names + drifted + others)[:remaining]
     window = sorted(window)
     building = (max(recorded) + 1) if recorded else 1
     _record_fp_manifest(repo_dir, window, fps, building)

@@ -222,3 +222,79 @@ def test_window_is_stable_across_calls_despite_drift(monkeypatch, tmp_path):
     second = entry_mod._driver_window()
     assert first == second
     assert names[-1] in first
+
+
+def test_fp_manifest_covers_entire_registry(monkeypatch, tmp_path):
+    """VERDICT r8 #5: the r8 q_dup_triangles rewrite dodged drift
+    detection because only WINDOW names got fingerprinted — a name never
+    windowed since manifesting had no baseline to drift from. After any
+    window build, EVERY registry name must appear in the manifest."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    entry_mod._driver_window()
+    manifest = json.loads((tmp_path / ".driver_fingerprints.json").read_text())
+    assert set(manifest) >= set(REGISTRY)
+    # non-window names carry the round-0 baseline (drift-eligible now)
+    windowed = set(entry_mod._driver_window())
+    baseline = [n for n in names if n not in windowed]
+    assert all(manifest[n]["round"] == 0 for n in baseline)
+
+
+def test_staleness_report_written_and_bounded(monkeypatch, tmp_path):
+    """The window build emits WINDOW_STALENESS.json covering every
+    registry name, and on the REAL repo evidence no green query outside
+    this round's window may be more than _STALENESS_BOUND rounds stale —
+    the starvation tripwire the LRV floor exists to keep green.
+
+    (A bound of 4 is arithmetically impossible: ~206 names / 50 slots
+    needs >=5 rounds of pure rotation before fresh/touched/drift
+    displacement; 8 = the pure-rotation period plus a drift-wave round's
+    slack.)"""
+    import json
+
+    repo_report = json.loads(open("WINDOW_STALENESS.json").read())
+    assert repo_report["max_green_staleness_outside_window"] <= 8
+    assert set(repo_report["queries"]) == set(
+        __import__("data_etl_spark.plans", fromlist=["REGISTRY"]).REGISTRY
+    )
+
+
+def test_lrv_floor_survives_drift_wave(monkeypatch, tmp_path):
+    """A helper edit that drifts EVERY green must not flood the whole
+    refill: at least _LRV_FLOOR slots still go to the least-recently-
+    verified tier so rotation never stalls."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    # everything green in r1; the first 60 re-verified in r2
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names[:60]})
+    )
+    # every name drifted (manifest fp != current fp)
+    fps = {n: "fp_now" for n in names}
+    manifest = {n: {"round": 2, "fp": "fp_then"} for n in names}
+    (tmp_path / ".driver_fingerprints.json").write_text(json.dumps(manifest))
+    monkeypatch.setattr(entry_mod, "_query_fingerprint_map", lambda: fps)
+    monkeypatch.setattr(entry_mod, "_TOUCHED_THIS_ROUND", frozenset())
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    window = set(entry_mod._driver_window())
+    # the r1-stale tail (LRV tier) must hold at least the floor...
+    stale_tail = set(names[60:]) - {entry_mod.FLAGSHIP}
+    got_lrv = len(window & stale_tail)
+    assert got_lrv >= entry_mod._LRV_FLOOR
