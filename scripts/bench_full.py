@@ -25,6 +25,7 @@ sys.path.insert(0, ".")
 from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
+from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
@@ -47,9 +48,12 @@ def main() -> None:
                 print(f"warmup FAILED {name}: {exc!r}", file=sys.stderr)
             release_tracked()
 
+    tracker = StageMetricsTracker(spark)
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in names:
+        tracker.snapshot()  # reset watermark past any inter-query work
         t0 = time.perf_counter()
         try:
             materialize(REGISTRY[name].fn(spark, SF_DIR))
@@ -58,6 +62,7 @@ def main() -> None:
             print(f"bench FAILED {name}: {exc!r}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        metrics[name] = tracker.snapshot()
         print(f"{timings[name]:8.3f}s  {name}", file=sys.stderr)
         # plan-internal persists (auto_dedup's shingle set) must not
         # accumulate across a ~200-query JVM
@@ -75,6 +80,7 @@ def main() -> None:
         "timing": "single_run_after_warmup",
         "n_queries": len(timings),
         "queries": timings,
+        "stage_metrics": metrics,
         "sf": sf_val,
     }
     if errors:

@@ -27,23 +27,33 @@ sys.path.insert(0, ".")
 from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
+from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF1_DIR = os.environ.get("SF1_DIR", "/tmp/sf1")
 WARM_DIR = "/root/testdata/sf0.001"
 GATE = 12.0
 RETIME_AT = 9.0
+#: shuffle-bytes tripwire (VERDICT r8 #6): 10x data through a
+#: linear-shuffle plan moves ~10x the bytes; 15x allows partial-agg /
+#: partition-count constants, beyond that the shuffle grew superlinearly
+SHUFFLE_GATE = 15.0
+#: ignore ratios on tiny absolute volumes (metadata noise)
+SHUFFLE_MIN_BYTES = 64 * 1024 * 1024
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed(spark, name: str) -> float:
+def timed(spark, name: str, tracker=None) -> tuple[float, dict | None]:
+    if tracker is not None:
+        tracker.snapshot()
     t0 = time.perf_counter()
     materialize(REGISTRY[name].fn(spark, SF1_DIR))
     dt = time.perf_counter() - t0
+    m = tracker.snapshot() if tracker is not None else None
     release_tracked()
-    return dt
+    return dt, m
 
 
 def main() -> None:
@@ -69,15 +79,19 @@ def main() -> None:
         release_tracked()
     print("warmup done", flush=True)
 
+    tracker = StageMetricsTracker(spark)
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(names):
         try:
-            timings[name] = round(timed(spark, name), 3)
+            t, m = timed(spark, name, tracker)
         except Exception as exc:
             errors[name] = repr(exc)[:300]
             print(f"bench FAILED {name}: {exc!r}", file=sys.stderr, flush=True)
             continue
+        timings[name] = round(t, 3)
+        metrics[name] = m
         print(f"[{i + 1}/{len(names)}] {name} {timings[name]:.2f}s", flush=True)
 
     # movers: re-time min-of-2 before judging the gate
@@ -85,8 +99,8 @@ def main() -> None:
     for name, t in sorted(timings.items()):
         b = base_q.get(name)
         if b and t / b > RETIME_AT:
-            t2 = round(timed(spark, name), 3)
-            timings[name] = min(t, t2)
+            t2, _ = timed(spark, name)
+            timings[name] = min(t, round(t2, 3))
             retimed.append(name)
             print(f"re-timed {name}: {t:.2f} -> min {timings[name]:.2f}", flush=True)
 
@@ -96,6 +110,19 @@ def main() -> None:
         if base_q.get(n)
     }
     over = {n: r for n, r in ratios.items() if r > GATE}
+
+    # superlinear-shuffle tripwire (VERDICT r8 #6): compare per-query
+    # shuffle-write bytes against the sf0.1 artifact's stage_metrics
+    base_m = base.get("stage_metrics") or {}
+    shuffle_ratios = {}
+    for n, m in metrics.items():
+        b = (base_m.get(n) or {}).get("shuffle_write_bytes", 0)
+        s1 = m.get("shuffle_write_bytes", 0)
+        if b and s1 >= SHUFFLE_MIN_BYTES:
+            shuffle_ratios[n] = round(s1 / b, 2)
+    superlinear = {
+        n: r for n, r in shuffle_ratios.items() if r > SHUFFLE_GATE
+    }
     result = (
         "PASS - zero queries above 12x; max "
         + max(ratios, key=ratios.get)
@@ -103,6 +130,8 @@ def main() -> None:
         if not over
         else f"FAIL - {sorted(over)} above 12x"
     )
+    if superlinear:
+        result += f"; SUPERLINEAR SHUFFLE - {sorted(superlinear)}"
     out = {
         "metric": "scale_rehearsal_10x_full_registry",
         "what": (
@@ -123,6 +152,17 @@ def main() -> None:
         "queries_sec": dict(sorted(timings.items())),
         "ratio_vs_sf01": dict(
             sorted(ratios.items(), key=lambda kv: -kv[1])
+        ),
+        "stage_metrics": metrics,
+        "shuffle_gate": (
+            f"shuffle_write bytes <= {SHUFFLE_GATE}x sf0.1 for 10x data "
+            f"(queries moving >= {SHUFFLE_MIN_BYTES >> 20} MiB)"
+        ),
+        "superlinear_shuffle": dict(
+            sorted(superlinear.items(), key=lambda kv: -kv[1])
+        ),
+        "shuffle_ratio_vs_sf01": dict(
+            sorted(shuffle_ratios.items(), key=lambda kv: -kv[1])
         ),
     }
     path = os.path.join(repo, f"BENCH_SF1_FULL_r{round_no}.json")
