@@ -249,6 +249,11 @@ _TOUCHED_BY_ROUND[9] = frozenset({
     # q_dup_triangles census body factored into _triangle_census
     # (identical plan; unit-pinned on a hub-heavy graph) — already
     # listed above for the r8 rewrite.
+    # chaos-keys fuzz (VERDICT r8 #7): DuckDB refuses <<(negative) while
+    # Spark wraps — shl2 is now contract-NULL for negative keys on both
+    # sides. Driver data has non-negative keys (values unchanged); plan
+    # + oracle changed:
+    "q_bitwise_funcs",
 })
 
 

@@ -3635,11 +3635,18 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything stays bigint: DuckDB << returns BIGINT while Spark
 # shiftleft preserves width, and bit_count returns INT in Spark vs
 # BIGINT in DuckDB — both sides cast explicitly.
+#
+# NEGATIVE-KEY CONTRACT (chaos-keys fuzz, round 9): DuckDB REFUSES to
+# left-shift a negative number (OutOfRangeException) while Spark's
+# shiftleft wraps two's-complement — there is no shared semantics, so
+# the contract is shl2 IS NULL for negative keys, spelled identically
+# on both sides (right-shift, masks, or/xor, popcount agree on
+# negatives in both engines — probed, not assumed).
 # ---------------------------------------------------------------------------
 
 _BITWISE_ORACLE = """
 SELECT p_partkey,
-       CAST(p_partkey << 2 AS BIGINT) AS shl2,
+       CAST(CASE WHEN p_partkey >= 0 THEN p_partkey << 2 END AS BIGINT) AS shl2,
        CAST(p_partkey >> 1 AS BIGINT) AS shr1,
        CAST(p_partkey & 255 AS BIGINT) AS low8,
        CAST(p_partkey | 16 AS BIGINT) AS or16,
@@ -3657,7 +3664,7 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("p_partkey")
     return p.select(
         "p_partkey",
-        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.when(k >= 0, F.shiftleft(k, 2).cast("bigint")).alias("shl2"),
         F.shiftright(k, 1).cast("bigint").alias("shr1"),
         k.bitwiseAND(F.lit(255)).cast("bigint").alias("low8"),
         k.bitwiseOR(F.lit(16)).cast("bigint").alias("or16"),

@@ -24,18 +24,22 @@ def main() -> int:
     mode, seed = sys.argv[1], int(sys.argv[2])
     names = sys.argv[3:]
     d = f"/tmp/dbg_{mode}_{seed}"
+    # "<mode>+chaos-keys" mirrors fuzz_probe's --chaos-keys composition
+    chaos_keys = mode.endswith("+chaos-keys")
+    base_mode = mode.removesuffix("+chaos-keys")
     if not os.path.exists(os.path.join(d, "documents.parquet")):
         os.makedirs(d, exist_ok=True)
         rng = random.Random(seed)
-        _write_corpus(d, rng, mode)
+        _write_corpus(d, rng, base_mode)
         # MUST mirror fuzz_probe's flags exactly (chaos = skew + nulls
         # star) or this tool diffs a different corpus than the probe ran
         T._write_relational(
             d,
             rng,
-            skew=(mode in ("skew", "chaos")),
-            nulls=(mode in ("nulls", "chaos")),
-            small=(mode == "smallgroups"),
+            skew=(base_mode in ("skew", "chaos")),
+            nulls=(base_mode in ("nulls", "chaos")),
+            small=(base_mode == "smallgroups"),
+            chaos_keys=chaos_keys,
         )
     spark = build_session("dbg-diff")
     con = duckdb.connect()

@@ -150,6 +150,15 @@ def main() -> int:
         help="interaction corpus: unicode x NULLs x skew at once",
     )
     ap.add_argument(
+        "--chaos-keys",
+        action="store_true",
+        help=(
+            "adversarial p_partkey values (negative/huge/dense-run) so the "
+            "SQL-derived figures/rect fixtures inherit chaos; composes "
+            "with any corpus mode"
+        ),
+    )
+    ap.add_argument(
         "--relational-too",
         action="store_true",
         help="also run purely-relational queries",
@@ -184,7 +193,10 @@ def main() -> int:
         skew=(mode in ("skew", "chaos")),
         nulls=(mode in ("nulls", "chaos")),
         small=(mode == "smallgroups"),
+        chaos_keys=args.chaos_keys,
     )
+    if args.chaos_keys:
+        mode += "+chaos-keys"
 
     spark = build_session("fuzz-probe")
     only = set(args.names)

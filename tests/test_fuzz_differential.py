@@ -454,6 +454,7 @@ def _write_relational(
     skew: bool = False,
     nulls: bool = False,
     small: bool = False,
+    chaos_keys: bool = False,
 ):
     """FK-consistent random star schema in the driver's shapes: negative
     acctbals, date collisions (200 distinct order days), customers with
@@ -491,6 +492,30 @@ def _write_relational(
     else:
         n_cust, n_supp, n_part, n_ord = 60, 8, 40, 300
     nf = 0.1 if nulls else 0.0  # baseline NULL fraction for the dimension
+    if chaos_keys:
+        # Adversarial part keys (round 8's last fuzz blind spot): the
+        # figures/rect/anchor fixtures are SQL-DERIVED from p_partkey
+        # arithmetic, so the usual corpus chaos never reaches them.
+        # Negative keys drive negative modulo (pages <= 0, negative
+        # bbox coords, 'doc_-37' filenames), huge keys probe 64-bit
+        # arithmetic through the *37/*73 fixtures, and a dense
+        # consecutive run packs one page with overlapping rects. Keys
+        # stay UNIQUE (p_partkey is a PK some oracles rely on).
+        q = n_part // 4
+        pkeys = [-rng.randrange(1, 10**6) for _ in range(q)]
+        pkeys += [10**12 + rng.randrange(10**9) for _ in range(q)]
+        base = rng.randrange(10**6)
+        pkeys += [base + i for i in range(q)]
+        while len(pkeys) < n_part:
+            pkeys.append(rng.randrange(10**9))
+        pkeys = sorted(set(pkeys))[:n_part]
+        while len(pkeys) < n_part:  # collision top-up, still unique
+            k = rng.randrange(10**9)
+            if k not in pkeys:
+                pkeys.append(k)
+        rng.shuffle(pkeys)
+    else:
+        pkeys = list(range(n_part))
     pq.write_table(
         pa.table(
             {
@@ -542,7 +567,7 @@ def _write_relational(
     pq.write_table(
         pa.table(
             {
-                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_partkey": pa.array(pkeys, pa.int64()),
                 "p_name": pa.array(
                     [
                         f"{rng.choice(_ADJ)} {rng.choice(_NOUN)}"
@@ -602,7 +627,7 @@ def _write_relational(
             lines.append(
                 (
                     ok,
-                    5 if hot_line else rng.randrange(n_part),
+                    pkeys[5] if hot_line else pkeys[rng.randrange(n_part)],
                     2 if hot_line else rng.randrange(n_supp),
                     ln,
                     float(rng.randint(1, 50)),
@@ -1088,3 +1113,46 @@ _CHAOS_PINNED = [
 @pytest.mark.parametrize("name", _CHAOS_PINNED)
 def test_chaos_matches_oracle(spark, chaos_dir, name):
     _assert_matches(spark, chaos_dir, name)
+
+
+@pytest.fixture(scope="module")
+def chaoskeys_dir(tmp_path_factory):
+    """Chaos star PLUS adversarial part keys (round 9): the
+    figures/rect/anchor fixtures are SQL-derived from p_partkey, so
+    NULL/unicode corpus chaos never reaches them — negative keys
+    (negative bbox coords, pages <= 0, 'doc_-N' filenames), 10^12-range
+    keys, and a dense consecutive run are the only fuzz lever that
+    does."""
+    rng = random.Random(101)
+    d = str(tmp_path_factory.mktemp("fuzz_chaoskeys"))
+    _write_corpus_tables(
+        d, _chaos_documents(rng), _chaos_events(rng), _chaos_embeddings(rng)
+    )
+    _write_relational(d, rng, skew=True, nulls=True, chaos_keys=True)
+    return d
+
+
+# the part-derived phase-2 star (figures/rects/anchors/placement) plus
+# the one query chaos-keys actually broke (q_bitwise_funcs: DuckDB
+# refuses <<(negative) while Spark wraps — contract-NULL now); swept
+# green across seeds 11-15 x {chaos, nulls, smallgroups, random} via
+# scripts/fuzz_probe.py --chaos-keys --relational-too
+_CHAOSKEYS_PINNED = [
+    "q_rect_components",
+    "q_rect_merge",
+    "q_bbox_union",
+    "q_figure_enumeration",
+    "q_figure_caption_asof",
+    "q_figure_placement",
+    "q_page_bounds",
+    "q_anchor_search",
+    "q_first_long_line",
+    "q_bitwise_funcs",
+    "q_local_supplier_volume",
+    "q_market_basket",
+]
+
+
+@pytest.mark.parametrize("name", _CHAOSKEYS_PINNED)
+def test_chaoskeys_matches_oracle(spark, chaoskeys_dir, name):
+    _assert_matches(spark, chaoskeys_dir, name)
