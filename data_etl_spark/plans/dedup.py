@@ -1599,3 +1599,95 @@ def q_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return auto_dedup(d, threshold=_DEDUP_AUTO_N, tau=_DEDUP_AUTO_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_auto_dense — the BANDED side of auto_dedup's gate under the
+# driver's eye (VERDICT r8 #8): the driver corpora (500 docs at
+# sf0.001/0.01) sit on the exact branch of q_dedup_auto, so the banded
+# subtree was hash-checked only by the local oracle suite. This variant
+# runs the SAME auto_dedup on a density-tripled corpus — each document
+# plus an identical-text clone (exact dups the bands MUST recall:
+# identical shingles => identical signatures => always candidates) and
+# a suffix-reworded clone (near-dups below 1.0) — 1,500 docs at sf0.01,
+# above the unchanged 1,024 threshold. Together with q_dedup_auto
+# (exact at the same SF) both physical branches carry driver hash rows.
+#
+# The base slice is SF-CAPPED (doc_id < 600): this query's job is gate-
+# BRANCH correctness, not scale measurement (the banded machinery's
+# scale behavior is benched by the minhash/LSH family at full SF), and
+# an uncapped density-tripled corpus at sf1 costs 170 s for no extra
+# coverage. Capped: ~2 s at every SF, banded at all of them.
+# ---------------------------------------------------------------------------
+
+_DENSE_OFF = 10_000_000
+_DENSE_CAP = 600
+_DENSE_SUFFIX = " shared trailing rewording tail words"
+
+_DENSE_DOCS_CTE = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id < {_DENSE_CAP}
+    UNION ALL
+    SELECT doc_id + {_DENSE_OFF}, text FROM documents WHERE doc_id < {_DENSE_CAP}
+    UNION ALL
+    SELECT doc_id + {2 * _DENSE_OFF}, text || '{_DENSE_SUFFIX}'
+    FROM documents WHERE doc_id < {_DENSE_CAP}
+"""
+
+_DENSE_SHINGLE_CTE = DD.word_shingles_sql(f"({_DENSE_DOCS_CTE})")
+
+_DEDUP_AUTO_DENSE_ORACLE = f"""
+WITH sh AS ({_DENSE_SHINGLE_CTE}),
+nn AS (SELECT count(*) AS c FROM ({_DENSE_DOCS_CTE})),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ap AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT p.doc1, p.doc2, p.n_common,
+           CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) AS jaccard
+    FROM ap p
+    JOIN sizes s1 ON s1.doc_id = p.doc1
+    JOIN sizes s2 ON s2.doc_id = p.doc2
+),
+sig AS ({DD.minhash_signatures_sql(_DENSE_SHINGLE_CTE)}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sig a
+    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
+              AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, n_common, jaccard, 'exact' AS strategy
+FROM scored
+WHERE jaccard >= {_DEDUP_AUTO_TAU} AND (SELECT c FROM nn) <= {_DEDUP_AUTO_N}
+UNION ALL
+SELECT s.doc1, s.doc2, s.n_common, s.jaccard, 'banded' AS strategy
+FROM scored s JOIN cand USING (doc1, doc2)
+WHERE s.jaccard >= {_DEDUP_AUTO_TAU} AND (SELECT c FROM nn) > {_DEDUP_AUTO_N}
+"""
+
+
+@register(
+    "q_dedup_auto_dense",
+    oracle=_DEDUP_AUTO_DENSE_ORACLE,
+    tags=("phase3", "dedup", "planner"),
+)
+def q_dedup_auto_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_dedup's banded branch on the density-tripled corpus."""
+    from ..operators.planner import auto_dedup
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DENSE_CAP)
+        .select("doc_id", "text")
+    )
+    dense = d.unionAll(
+        d.select((F.col("doc_id") + _DENSE_OFF).alias("doc_id"), "text")
+    ).unionAll(
+        d.select(
+            (F.col("doc_id") + 2 * _DENSE_OFF).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_DENSE_SUFFIX)).alias("text"),
+        )
+    )
+    return auto_dedup(dense, threshold=_DEDUP_AUTO_N, tau=_DEDUP_AUTO_TAU)
