@@ -254,6 +254,20 @@ _TOUCHED_BY_ROUND[9] = frozenset({
     # sides. Driver data has non-negative keys (values unchanged); plan
     # + oracle changed:
     "q_bitwise_funcs",
+    # r9 sf1-rehearsal scale fixes (plan + oracle changed on each): the
+    # graph-analytic queries moved off the any-seed LSH graph (edge count
+    # quadratic in corpus — 10x docs gave 31x edges) onto the
+    # >= _GRAPH_MIN_SHARED-seeds precision graph, and SemDeDup's k now
+    # scales as max(8, floor(sqrt(n/2))) on both engine and oracle sides
+    # (fixed k=8 put ~n/8 vectors per cluster -> ~n^2/128 in-cluster
+    # cosines at 10x). q_dup_triangles (already slotted above) shares the
+    # graph change.
+    "q_pagerank_dupgraph", "q_semantic_dedup",
+    # minhash_signatures rewritten columnar (operators/dedup.py: k min
+    # aggregates per key + post-agg unpivot, replacing the pre-shuffle
+    # k-row seed explode — bit-identical values, oracle unchanged);
+    # re-verify the signature table itself and its nearest consumer:
+    "q_minhash_signatures", "q_minhash_banded_pairs",
 })
 
 

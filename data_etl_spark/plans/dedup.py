@@ -820,14 +820,38 @@ def entity_match_pairs(customer: DataFrame) -> DataFrame:
 # separating tight duplicate cliques from chainy false-positive paths.
 # Compact-forward enumeration (a<b<c ordered joins) counts each triangle
 # exactly once and never materializes a node's full neighborhood.
+#
+# The graph is the PRECISION-FILTERED candidate set: pairs sharing >= 2
+# of the 8 minhash seeds. The 1-row-band any-seed graph has a QUADRATIC
+# background term — two unrelated docs collide on some seed with a
+# corpus-independent probability (1-(1-J)^8 over the background-Jaccard
+# distribution), so its edge count grows ~n²: measured on the 10x
+# key-remapped rehearsal corpus, 5k docs -> 82,655 edges but 50k docs ->
+# 2,554,962 edges (31x for 10x data; hub degree 79 -> 407), and wedge
+# work on the dense graph pushed the census to ~160 s cold. Requiring a
+# SECOND independent seed agreement drops the background rate to the J²
+# class (same precision move as q_minhash_banded_pairs' r=2 bands)
+# while keeping duplicate-family structure: 2,502 edges / 2,296
+# triangles at sf0.1 -> 150,805 edges at 10x (~60x from a deliberately
+# dup-dense corpus, but 4 orders of magnitude below the any-seed graph's
+# wedge volume; census cost is now candidate-generation-bound). Graph
+# analytics over recall-max any-seed candidates is a scale-killer at
+# 100 TB; the any-seed set remains available upstream via
+# q_minhash_lsh_pairs where every pair is individually cheap to consume.
 # ---------------------------------------------------------------------------
+
+#: graph-analytic queries (triangles, PageRank) read the candidate graph
+#: restricted to pairs sharing >= this many of the 8 minhash seeds
+_GRAPH_MIN_SHARED = 2
 
 _TRIANGLE_ORACLE = f"""
 WITH sig AS ({_MINHASH_ORACLE}),
 e AS (
-    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    SELECT a.doc_id AS u, b.doc_id AS v
     FROM sig a
     JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.seed) >= {_GRAPH_MIN_SHARED}
 ),
 tri AS (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -848,27 +872,26 @@ GROUP BY doc_id
 
 @register("q_dup_triangles", oracle=_TRIANGLE_ORACLE, tags=("phase3", "dedup", "graph"))
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc triangle counts in the LSH candidate graph.
+    """Per-doc triangle counts in the precision-filtered LSH graph
+    (pairs sharing >= _GRAPH_MIN_SHARED seeds — see the block comment
+    above for the measured quadratic-background rationale).
 
     Compact-forward with DEGREE-ordered orientation: every edge points
     from its lower-(degree, id) endpoint to the higher one, so each
     triangle is enumerated exactly once from its lowest-ordered vertex
     and — the scale property — the maximum out-degree is O(sqrt(m)),
     bounding total wedge work at O(m^1.5) regardless of how hub-heavy
-    the candidate graph gets. Orienting by raw doc_id (the r3 form)
-    leaves band-collision hubs with their full degree as out-degree:
-    the sf1 rehearsal measured 25.3 s / ~19x on the 10x corpus, vs
-    6.7 s / ~5x for the degree orientation — wedges at hubs are the
-    whole cost. The enumeration ORDER changes; the triangle SET and the
-    per-doc membership counts do not, so the id-ordered recursive
-    oracle is unchanged.
+    the graph gets (orienting by raw doc_id leaves band-collision hubs
+    with their full degree as out-degree). The two defenses are
+    complementary: the >= 2-seed filter keeps m near-linear in the
+    corpus, the degree orientation bounds wedge work in m.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
     e = tracked_persist(
         DD.lsh_candidate_pairs(sig)
+        .filter(F.col("n_shared_bands") >= _GRAPH_MIN_SHARED)
         .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
-        .distinct()
     )  # degree agg + three census legs read one materialization
     return _triangle_census(e)
 
@@ -1131,9 +1154,11 @@ _PR_ITERS = 3
 _PR_ORACLE = f"""
 WITH sig AS ({_MINHASH_ORACLE}),
 cand AS (
-    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    SELECT a.doc_id AS u, b.doc_id AS v
     FROM sig a
     JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.seed) >= {_GRAPH_MIN_SHARED}
 ),
 edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
 deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
@@ -1161,12 +1186,15 @@ FROM it3 i JOIN deg d ON i.u = d.u
 
 @register("q_pagerank_dupgraph", oracle=_PR_ORACLE, tags=("phase3", "dedup", "graph"))
 def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact 3-iteration PageRank over the LSH candidate graph."""
+    """Integer-exact 3-iteration PageRank over the precision-filtered
+    LSH graph (>= _GRAPH_MIN_SHARED shared seeds; the any-seed graph's
+    edge count is quadratic in the corpus — see q_dup_triangles' block
+    comment — and every PageRank iteration shuffles all of it)."""
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
-    cand = DD.lsh_candidate_pairs(sig).select(
-        F.col("doc1").alias("u"), F.col("doc2").alias("v")
-    )
+    cand = DD.lsh_candidate_pairs(sig).filter(
+        F.col("n_shared_bands") >= _GRAPH_MIN_SHARED
+    ).select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
     # lazy persist, not an eager checkpoint: the unrolled plan replicates
     # the LSH-candidate lineage textually, but at runtime every replica
     # hits the cached edge blocks (measured: same wall time as a

@@ -1251,7 +1251,7 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
 # embedding-space semantic deduplication. Cluster the corpus around k
-# centroids (designated vectors vec_id < _SEM_K, the IVF trick that
+# centroids (designated vectors vec_id < k, the IVF trick that
 # keeps the oracle exact — a trained k-means drops in unchanged), then
 # inside each cluster mark as duplicates every vector that has cosine
 # >= _SEM_TAU to a cluster-mate ranked closer to the centroid (tie:
@@ -1259,18 +1259,27 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nearest its centroid — deterministic, no RNG.
 #
 # Scale: assignment is a broadcast(k) x corpus scan; the quadratic step
-# is confined to in-cluster pairs, and k grows with the corpus (the
-# paper runs k=11k on LAION) so cluster sizes — and the per-cluster
-# pair volume — stay bounded. One shuffle on the cluster key, one
-# window over (cluster), no corpus x corpus anywhere.
+# is confined to in-cluster pairs, and k GROWS WITH THE CORPUS (the
+# paper runs k=11k on LAION): k = max(8, floor(sqrt(n/2))) computed
+# from the data on BOTH engine and oracle sides (1-row scalar rider on
+# the Spark side, scalar subquery in SQL — the same gate-reproduction
+# pattern as q_knn_auto). That balances the two cost terms: assignment
+# is n*k cosines, in-cluster pairing ~ n*(n/k)/2, equal at
+# k = sqrt(n/2). A FIXED k is the scale bug this replaced: with k=8 the
+# 10x rehearsal corpus put ~6,250 vectors per cluster and the pair step
+# evaluated ~156M full-vector cosines (52 s cold); with corpus-scaled k
+# both terms stay ~n^1.5. One shuffle on the cluster key, one window
+# over (cluster), no corpus x corpus anywhere.
 # ---------------------------------------------------------------------------
 
-_SEM_K = 8
+_SEM_MIN_K = 8
 _SEM_TAU = 0.30
 
 _SEM_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings WHERE {_EMB_OK} AND vec_id < {_SEM_K}),
-corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK} AND vec_id >= {_SEM_K}),
+WITH kk AS (SELECT greatest({_SEM_MIN_K}, CAST(floor(sqrt(count(*) / 2.0)) AS BIGINT)) AS k
+            FROM embeddings WHERE {_EMB_OK}),
+cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings, kk WHERE {_EMB_OK} AND vec_id < kk.k),
+corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings, kk WHERE {_EMB_OK} AND vec_id >= kk.k),
 scored AS (
     SELECT c.vec_id, c.emb, t.cent_id, {V.cosine_sql('c.emb', 't.cemb')} AS cos_cent
     FROM corp c CROSS JOIN cent t
@@ -1299,15 +1308,24 @@ FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
 @register("q_semantic_dedup", oracle=_SEM_ORACLE, tags=("phase3", "similarity", "dedup"))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: in-cluster cosine-threshold duplicates; keeper = nearest
-    to centroid."""
+    to centroid. k = max(8, floor(sqrt(n/2))) rides the plan as a
+    broadcast 1-row scalar (see block comment — fixed k was the scale
+    bug)."""
     from pyspark.sql import Window as W
 
     e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
-    cent = e.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cent_id"), emb.alias("cemb")
+    kdf = e.agg(
+        F.greatest(
+            F.lit(_SEM_MIN_K).cast("long"),
+            F.floor(F.sqrt(F.count("*") / F.lit(2.0))),
+        ).alias("__k")
     )
-    corp = e.filter(F.col("vec_id") >= _SEM_K).select("vec_id", emb.alias("emb"))
+    base = e.select("vec_id", emb.alias("emb")).crossJoin(F.broadcast(kdf))
+    cent = base.filter(F.col("vec_id") < F.col("__k")).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    corp = base.filter(F.col("vec_id") >= F.col("__k")).select("vec_id", "emb")
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_cent"), F.asc("cent_id"))
     assigned = tracked_persist(
         corp.crossJoin(F.broadcast(cent))

@@ -181,7 +181,7 @@ def test_semantic_dedup_giant_cluster(spark):
     from data_etl_spark.plans.similarity import _SEM_TAU
 
     n, dim = 1500, 8
-    # vec 0 = the only centroid (vec_id < _SEM_K filter keeps it); all
+    # vec 0 = the only centroid (vec_id < k floor of 8 keeps it); all
     # corpus vectors identical => one cluster, every pair above tau
     rows = [(0, [1.0] + [0.0] * (dim - 1))] + [
         (i, [0.0] * (dim - 2) + [3.0, 4.0]) for i in range(8, 8 + n)
