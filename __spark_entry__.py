@@ -263,11 +263,17 @@ _TOUCHED_BY_ROUND[9] = frozenset({
     # cosines at 10x). q_dup_triangles (already slotted above) shares the
     # graph change.
     "q_pagerank_dupgraph", "q_semantic_dedup",
-    # minhash_signatures rewritten columnar (operators/dedup.py: k min
-    # aggregates per key + post-agg unpivot, replacing the pre-shuffle
-    # k-row seed explode — bit-identical values, oracle unchanged);
-    # re-verify the signature table itself and its nearest consumer:
+    # minhash_signatures rewritten columnar, then REVERTED on an A/B
+    # measurement (columnar lost: wide-agg codegen cost); net change vs
+    # r8 is docstring-only but both held slots while the code moved:
     "q_minhash_signatures", "q_minhash_banded_pairs",
+    # auto_dedup's banded branch moved from any-seed candidates (whose
+    # corpus-quadratic background kept the semi-join from pruning — the
+    # 61 s sf1 rehearsal row) to 2-row-band candidates
+    # (banded_candidate_pairs); plan + oracle changed, and the graph
+    # queries' >= 2-seed edge set is now enumerated via C(8,2)
+    # combo buckets (same rows, oracles unchanged):
+    "q_dedup_auto", "q_dedup_auto_dense",
 })
 
 

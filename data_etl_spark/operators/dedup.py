@@ -201,6 +201,97 @@ def lsh_candidate_pairs(signatures: DataFrame, key: str = "doc_id") -> DataFrame
     )
 
 
+def banded_candidate_pairs(
+    signatures: DataFrame, key: str = "doc_id", r: int = 2
+) -> DataFrame:
+    """LSH candidates with r-row bands (b = k/r bands): a pair is a
+    candidate only if ALL r minhashes of some band agree. The bucket
+    key is the band's minhash CONCATENATION, so bucket occupancy — and
+    with it the self-join's pair-enumeration cost — sits on the J^r
+    background scale instead of :func:`lsh_candidate_pairs`'s J scale:
+    the 1-row-band bucket graph grows quadratically with the corpus
+    (measured: 10x docs -> 31x pairs on the rehearsal corpus) because
+    two unrelated docs collide on SOME single seed with a
+    corpus-independent probability, while an r=2 band requires an
+    independent double agreement. Candidate probability for a pair at
+    Jaccard s drops from 1-(1-s)^k to 1-(1-s^r)^(k/r) (the steeper
+    S-curve q_lsh_tuning_curve measures); identical texts have
+    identical signatures and are ALWAYS candidates.
+
+    Returns (doc1, doc2, n_shared_bands) with doc1 < doc2, one row per
+    candidate pair, n_shared_bands counting agreeing bands.
+    """
+    banded = (
+        signatures.withColumn("band", F.expr(f"seed div {r}"))
+        .groupBy(key, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seed"),
+                                F.col("minhash").cast("string").alias("minhash"),
+                            )
+                        )
+                    ),
+                    lambda s: s.minhash,
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col(key).alias("doc1"), "band", "band_key")
+    b = banded.select(F.col(key).alias("doc2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def shared_seed_pairs(
+    signatures: DataFrame, key: str = "doc_id", min_shared: int = 2
+) -> DataFrame:
+    """Pairs whose signatures agree on >= ``min_shared`` seeds, computed
+    WITHOUT enumerating the 1-row-band candidate set.
+
+    ``lsh_candidate_pairs(sig).filter(n_shared_bands >= 2)`` gives the
+    same pair set, but its self-join materializes every single-seed
+    collision first — the quadratic-background volume the filter then
+    throws away (at 10x the rehearsal corpus that intermediate is 31x
+    the pairs for 17x the docs, and it only gets worse). This operator
+    instead enumerates, per doc, the C(k, m) seed COMBINATIONS (m =
+    ``min_shared``; 28 per doc at k=8, m=2) and self-joins on the
+    combination bucket (seed ids + their minhashes): a pair lands in a
+    combo bucket exactly when it agrees on that whole m-subset, so the
+    join's enumeration volume is the J^m background scale — the SAME
+    scale as the result — plus C(s, m) duplicate hits per truly-similar
+    pair (s = seeds agreed), removed by the distinct.
+
+    Output: (doc1, doc2) distinct, doc1 < doc2 — the precision-filtered
+    dup-graph edge list used by the graph-analytic queries.
+    """
+    if min_shared != 2:
+        raise ValueError("only min_shared=2 is implemented (C(k,2) combo buckets)")
+    s1 = signatures.select(key, F.col("seed").alias("s1"), F.col("minhash").alias("m1"))
+    s2 = signatures.select(key, F.col("seed").alias("s2"), F.col("minhash").alias("m2"))
+    combos = s1.join(s2, key).filter(F.col("s1") < F.col("s2"))
+    a = combos.select(
+        F.col(key).alias("doc1"), "s1", "s2", "m1", "m2"
+    )
+    b = combos.select(
+        F.col(key).alias("doc2"), "s1", "s2", "m1", "m2"
+    )
+    return (
+        a.join(b, ["s1", "s2", "m1", "m2"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
 def shingle_pair_stats(shingles: DataFrame, key: str = "doc_id") -> DataFrame:
     """(doc1, doc2, n_common, n_sh1, n_sh2) for every co-shingled pair
     via the inverted index — the ONE implementation of the

@@ -170,13 +170,21 @@ def auto_dedup(
     - corpus <= ``threshold`` rows: the exact inverted-index pair stats
       (every co-shingled pair scored — the COMPLETE answer, and cheap
       while sum(df^2) over the shingle index is small);
-    - corpus > ``threshold`` rows: MinHash-banded candidate pairs first,
-      then exact Jaccard verified on the band survivors ONLY — the
-      shingle index is semi-joined down to candidate-adjacent docs
-      before any pairing, so the quadratic co-shingle step never sees
-      the full corpus. Recall is bounded by the band S-curve
-      (q_lsh_tuning_curve quantifies it); the trade is deliberate and
-      carried in the ``strategy`` output column.
+    - corpus > ``threshold`` rows: MinHash-banded candidate pairs first
+      (2-row bands — dedup.banded_candidate_pairs), then exact Jaccard
+      verified on the band survivors ONLY — the shingle index is
+      semi-joined down to candidate-adjacent docs before any pairing,
+      so the quadratic co-shingle step never sees the full corpus.
+      The bands must be r >= 2: 1-row-band candidates
+      (lsh_candidate_pairs) carry a corpus-quadratic background term
+      (any-seed collisions between unrelated docs), so at scale the
+      "pruning" semi-join kept nearly the whole corpus and this branch
+      degenerated into exact-plus-overhead (measured at the 10x
+      rehearsal: 61 s vs ~18 s). With r=2 the candidate set sits on the
+      J^2 background scale and the semi-join actually prunes. Recall is
+      bounded by the band S-curve 1-(1-s^2)^4 (q_lsh_tuning_curve
+      quantifies it; identical docs are always candidates); the trade
+      is deliberate and carried in the ``strategy`` output column.
 
     The gate's only driver action is one column-pruned ``count()``
     (same bounded-scalar class as auto_knn's). Both branches emit the
@@ -195,7 +203,7 @@ def auto_dedup(
     the rehearsal covered with margin below the density blow-up regime.
     """
     from .dedup import (
-        lsh_candidate_pairs,
+        banded_candidate_pairs,
         minhash_signatures,
         shingle_pair_stats,
         word_shingles,
@@ -213,8 +221,13 @@ def auto_dedup(
         stats = shingle_pair_stats(sh)
         strategy = "exact"
     else:
-        cand = lsh_candidate_pairs(minhash_signatures(sh)).select(
-            "doc1", "doc2"
+        # cand feeds the final restriction join AND both arms of the
+        # cand_docs union — persist the (small: band-survivor-sized)
+        # pair set so the signature/banding subtree runs once, not 3x.
+        cand = tracked_persist(
+            banded_candidate_pairs(minhash_signatures(sh)).select(
+                "doc1", "doc2"
+            )
         )
         cand_docs = (
             cand.select(F.col("doc1").alias("doc_id"))

@@ -365,29 +365,7 @@ def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH with 2-row bands (band key = joined minhash pair)."""
     d = load_table(spark, sf_dir, "documents")
     sig = DD.minhash_signatures(DD.word_shingles(d))
-    banded = (
-        sig.withColumn("band", F.expr("seed div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash").cast("string").alias("minhash")))
-                    ),
-                    lambda s: s.minhash,
-                ),
-                ":",
-            ).alias("band_key")
-        )
-    )
-    a = banded.select(F.col("doc_id").alias("doc1"), "band", "band_key")
-    b = banded.select(F.col("doc_id").alias("doc2"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
+    return DD.banded_candidate_pairs(sig)
 
 
 # ---------------------------------------------------------------------------
@@ -888,9 +866,12 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
+    # shared_seed_pairs == lsh_candidate_pairs filtered to
+    # n_shared_bands >= 2 (the oracle's HAVING), but enumerated via
+    # C(8,2) seed-combination buckets so the quadratic any-seed
+    # intermediate never materializes (operators/dedup.py docstring).
     e = tracked_persist(
-        DD.lsh_candidate_pairs(sig)
-        .filter(F.col("n_shared_bands") >= _GRAPH_MIN_SHARED)
+        DD.shared_seed_pairs(sig, min_shared=_GRAPH_MIN_SHARED)
         .select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
     )  # degree agg + three census legs read one materialization
     return _triangle_census(e)
@@ -1192,9 +1173,12 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment — and every PageRank iteration shuffles all of it)."""
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
-    cand = DD.lsh_candidate_pairs(sig).filter(
-        F.col("n_shared_bands") >= _GRAPH_MIN_SHARED
-    ).select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+    # combo-bucket enumeration of the >= 2-seed pair set — same rows as
+    # the oracle's HAVING count(DISTINCT seed) >= 2, without ever
+    # materializing the any-seed candidate volume (operators/dedup.py).
+    cand = DD.shared_seed_pairs(sig, min_shared=_GRAPH_MIN_SHARED).select(
+        F.col("doc1").alias("u"), F.col("doc2").alias("v")
+    )
     # lazy persist, not an eager checkpoint: the unrolled plan replicates
     # the LSH-candidate lineage textually, but at runtime every replica
     # hits the cached edge blocks (measured: same wall time as a
@@ -1600,11 +1584,16 @@ scored AS (
     JOIN sizes s2 ON s2.doc_id = p.doc2
 ),
 sig AS ({_MINHASH_ORACLE}),
+banded AS (
+    SELECT doc_id, seed // 2 AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS band_key
+    FROM sig GROUP BY doc_id, seed // 2
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM sig a
-    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
-              AND a.doc_id < b.doc_id
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
 )
 SELECT doc1, doc2, n_common, jaccard, 'exact' AS strategy
 FROM scored
@@ -1680,11 +1669,16 @@ scored AS (
     JOIN sizes s2 ON s2.doc_id = p.doc2
 ),
 sig AS ({DD.minhash_signatures_sql(_DENSE_SHINGLE_CTE)}),
+banded AS (
+    SELECT doc_id, seed // 2 AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS band_key
+    FROM sig GROUP BY doc_id, seed // 2
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM sig a
-    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash
-              AND a.doc_id < b.doc_id
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
 )
 SELECT doc1, doc2, n_common, jaccard, 'exact' AS strategy
 FROM scored

@@ -129,7 +129,7 @@ def test_auto_dedup_banded_is_candidate_restricted_exact(spark):
     }
     cand = {
         (r.doc1, r.doc2)
-        for r in DD.lsh_candidate_pairs(
+        for r in DD.banded_candidate_pairs(
             DD.minhash_signatures(DD.word_shingles(d))
         ).collect()
     }
@@ -138,6 +138,25 @@ def test_auto_dedup_banded_is_candidate_restricted_exact(spark):
         assert banded[k] == exact[k]
     # the exact dup pair shares every band: it must survive the gate
     assert (0, 1) in banded
+
+
+def test_shared_seed_pairs_matches_filtered_any_seed(spark):
+    """Combo-bucket enumeration == any-seed pairs filtered to >= 2
+    shared seeds (the graph queries' edge set) — same rows, computed
+    without materializing the quadratic any-seed intermediate."""
+    from data_etl_spark.operators import dedup as DD
+
+    d = _docs(spark)
+    sig = DD.minhash_signatures(DD.word_shingles(d))
+    combo = {(r.doc1, r.doc2) for r in DD.shared_seed_pairs(sig).collect()}
+    anyseed = {
+        (r.doc1, r.doc2)
+        for r in DD.lsh_candidate_pairs(sig)
+        .filter("n_shared_bands >= 2")
+        .collect()
+    }
+    assert combo == anyseed
+    assert (0, 1) in combo  # identical docs agree on every seed
 
 
 def test_auto_dedup_single_driver_action(spark):
