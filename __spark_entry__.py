@@ -274,6 +274,11 @@ _TOUCHED_BY_ROUND[9] = frozenset({
     # queries' >= 2-seed edge set is now enumerated via C(8,2)
     # combo buckets (same rows, oracles unchanged):
     "q_dedup_auto", "q_dedup_auto_dense",
+    # same precision move for the clustering path (transitive chaining
+    # makes any-seed background fuse unrelated clusters): candidates
+    # are now 2-row-band pairs; plans + recursive-CTE oracles changed,
+    # and q_corpus_filter's near_dup verdicts inherit the new clusters:
+    "q_dedup_clusters", "q_keep_best", "q_corpus_filter",
 })
 
 

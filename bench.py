@@ -149,6 +149,8 @@ def main() -> None:
         "timing": "min_of_2",
         "queries": timings,
         "sf": sf_val,
+        # shared-host contention context (see scripts/bench_full.py)
+        "loadavg_end": list(os.getloadavg()),
     }
     if errors:
         out["errors"] = errors

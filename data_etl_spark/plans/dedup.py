@@ -297,16 +297,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph: the canonical-assignment step of a full dedup pipeline
 # (candidates -> clusters -> keep min doc_id). Spark side is iterative
 # hash-min label propagation (operators/components.py); the oracle is a
-# recursive-CTE transitive closure — both deterministic.
+# recursive-CTE transitive closure — both deterministic. Candidates are
+# the 2-ROW-BAND pairs (banded_candidate_pairs): clustering transitively
+# CHAINS edges, so the any-seed graph's corpus-quadratic background
+# (single-seed collisions between unrelated docs) doesn't just add
+# edges, it fuses unrelated clusters — precision matters twice here.
 # ---------------------------------------------------------------------------
 
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE sig AS ({_MINHASH_ORACLE}),
+bands AS (
+    SELECT doc_id, seed // 2 AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS band_key
+    FROM sig GROUP BY doc_id, seed // 2
+),
 pairs AS (
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM sig a
-    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
 ),
 edges AS (
     SELECT doc1 AS src, doc2 AS dst FROM pairs
@@ -334,7 +343,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
-    pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
+    pairs = DD.banded_candidate_pairs(sig).select("doc1", "doc2")
     return dedup_clusters(pairs)
 
 
@@ -1231,11 +1240,16 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE sig AS ({_MINHASH_ORACLE}),
+bands AS (
+    SELECT doc_id, seed // 2 AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY seed) AS band_key
+    FROM sig GROUP BY doc_id, seed // 2
+),
 pairs AS (
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM sig a
-    JOIN sig b ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
 ),
 edges AS (
     SELECT doc1 AS src, doc2 AS dst FROM pairs
@@ -1275,7 +1289,7 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
-    pairs = DD.lsh_candidate_pairs(sig).select("doc1", "doc2")
+    pairs = DD.banded_candidate_pairs(sig).select("doc1", "doc2")
     comp = dedup_clusters(pairs).select("doc_id", "canonical_id")
     ws = TX.words(F.col("text"))
     q = d.select(

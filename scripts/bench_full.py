@@ -82,6 +82,11 @@ def main() -> None:
         "queries": timings,
         "stage_metrics": metrics,
         "sf": sf_val,
+        # host contention context: this box is shared, and external load
+        # inflates wall times 1.1-2x (stragglers on tiny queries can hit
+        # 10x) — record it so round-over-round comparisons can tell a
+        # plan regression from a noisy-neighbor run
+        "loadavg_end": list(os.getloadavg()),
     }
     if errors:
         out["errors"] = errors

@@ -40,6 +40,26 @@ SHUFFLE_GATE = 15.0
 #: ignore ratios on tiny absolute volumes (metadata noise)
 SHUFFLE_MIN_BYTES = 64 * 1024 * 1024
 
+#: Queries whose shuffle bytes are EXPECTED to grow superlinearly on
+#: the make_sf1 corpus, each with the reason a reader should audit.
+#: Two legitimate causes: (a) the 10x corpus rewords each base doc into
+#: a 10-member near-dup FAMILY, so true-duplicate pairs grow ~k^2 per
+#: family by construction — queries whose output is the dup-pair/
+#: cluster structure carry that growth in their results, not as plan
+#: background; (b) eval queries whose OUTPUT is the any-seed candidate
+#: set itself. Anything superlinear NOT in this dict is a regression.
+EXPECTED_SUPERLINEAR = {
+    "q_dedup_auto": "banded dup-family pairs grow ~k^2 per reworded family (true positives, cause a)",
+    "q_dedup_clusters": "cluster edges = banded dup-family pairs (cause a)",
+    "q_keep_best": "consumes q_dedup_clusters' edge set (cause a)",
+    "q_corpus_filter": "embeds q_dedup_clusters + decontaminate over the dup-dense corpus (cause a)",
+    "q_minhash_estimate": "output IS the any-seed candidate set it evaluates (cause b)",
+    "q_lsh_tuning_curve": "S-curve eval over n_shared_bands needs the any-seed census (cause b)",
+    "q_ml_minhash_join": "MLlib approxSimilarityJoin's internal OR-amplified bucket join is the any-seed scheme; kept for MLlib parity — auto_dedup's banded operator is the scale path",
+    "q_simhash_eval": "truth side = the DF-capped co-shingle pair universe being measured; postings-pair growth within the cap (cause b)",
+    "q_bm25": "physical-plan flip: term-df side broadcastable at sf0.1 (near-zero shuffle) but SMJ at sf1 — shuffle is linear in postings either way",
+}
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -123,6 +143,14 @@ def main() -> None:
     superlinear = {
         n: r for n, r in shuffle_ratios.items() if r > SHUFFLE_GATE
     }
+    expected_superlinear = {
+        n: (shuffle_ratios.get(n), EXPECTED_SUPERLINEAR[n])
+        for n in superlinear
+        if n in EXPECTED_SUPERLINEAR
+    }
+    unexpected_superlinear = {
+        n: r for n, r in superlinear.items() if n not in EXPECTED_SUPERLINEAR
+    }
     result = (
         "PASS - zero queries above 12x; max "
         + max(ratios, key=ratios.get)
@@ -130,8 +158,12 @@ def main() -> None:
         if not over
         else f"FAIL - {sorted(over)} above 12x"
     )
-    if superlinear:
-        result += f"; SUPERLINEAR SHUFFLE - {sorted(superlinear)}"
+    if unexpected_superlinear:
+        result += f"; SUPERLINEAR SHUFFLE - {sorted(unexpected_superlinear)}"
+    if expected_superlinear:
+        result += (
+            f"; expected-superlinear (documented): {sorted(expected_superlinear)}"
+        )
     out = {
         "metric": "scale_rehearsal_10x_full_registry",
         "what": (
@@ -159,11 +191,16 @@ def main() -> None:
             f"(queries moving >= {SHUFFLE_MIN_BYTES >> 20} MiB)"
         ),
         "superlinear_shuffle": dict(
-            sorted(superlinear.items(), key=lambda kv: -kv[1])
+            sorted(unexpected_superlinear.items(), key=lambda kv: -kv[1])
         ),
+        "superlinear_shuffle_expected": expected_superlinear,
         "shuffle_ratio_vs_sf01": dict(
             sorted(shuffle_ratios.items(), key=lambda kv: -kv[1])
         ),
+        # host contention context (see bench_full.py): ratios survive a
+        # uniformly-loaded box only when baseline and sf1 run under the
+        # same conditions — record the load so a reader can judge
+        "loadavg_end": list(os.getloadavg()),
     }
     path = os.path.join(repo, f"BENCH_SF1_FULL_r{round_no}.json")
     with open(path, "w") as f:
