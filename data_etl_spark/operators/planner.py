@@ -192,11 +192,14 @@ def auto_dedup(
     are SQL-expressible, and the registered query's oracle reproduces
     the gate as a scalar-count subquery over the two UNION ALL branches.
 
-    Threshold 4096: the ~sf1 calibration (CALIBRATION_r08.json) never
-    reached a latency crossover — exact won at every measured size
-    through 8192 docs (1.53 s vs banded 9.58 s; the banded path pays a
-    ~6 s fixed MinHash-signature cost locally) — but exact's true cost
-    is DUP-DENSITY-bound, not size-bound: the rehearsal corpus is
+    Threshold 4096: neither the r8 calibration (CALIBRATION_r08.json,
+    any-seed candidates) nor the r9 re-measurement after the 2-row-band
+    switch (exact 1.4-2.7 s vs banded 3.3-5.6 s from 512 through 16384
+    docs, min-of-2 on the 10x corpus under external load ~8-16) reaches
+    a latency crossover — the banded path pays a fixed MinHash+banding
+    cost that locally never amortizes, though the r=2 switch roughly
+    halved it (was ~9.6 s at 8192). Exact's true cost is
+    DUP-DENSITY-bound, not size-bound: the rehearsal corpus is
     deliberately reworded (low co-shingle density), while a dup-dense
     corpus at the same size explodes the co-shingle pair join that
     banding caps. 4096 keeps the measured-faster branch for every size
