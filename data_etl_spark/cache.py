@@ -25,6 +25,12 @@ _LOG = logging.getLogger(__name__)
 
 _TRACKED: list[DataFrame] = []
 
+#: (SparkContext, [rdd ids]) for localCheckpoint blocks — checkpointed
+#: RDDs are persisted at the RDD layer, OUTSIDE the CacheManager, so
+#: DataFrame.unpersist() never reaches them; they are droppable only by
+#: id through the JVM's persistent-RDD registry.
+_TRACKED_CKPT: list[tuple[object, list[int]]] = []
+
 
 def tracked_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER
@@ -38,6 +44,29 @@ def tracked_persist(
     df.persist(level)
     _TRACKED.append(df)
     return df
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` whose blocks release_tracked can drop.
+
+    localCheckpoint persists its RDD at the RDD layer (not the
+    CacheManager), so the blocks survive ``DataFrame.unpersist()`` and
+    linger until the JVM's ContextCleaner GCs them — a deterministic
+    leak for harnesses that run ~200 queries in one session (the r9
+    drain test caught q_dedup_clusters leaving 3 checkpoint RDDs).
+    This wrapper diffs the JVM persistent-RDD registry around the
+    checkpoint call and records the new ids for explicit unpersist at
+    release time. Single-threaded plan construction is assumed (true
+    everywhere in this repo: checkpoints happen inside one query's
+    eager build)."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=eager)
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    new_ids = sorted(after - before)
+    if new_ids:
+        _TRACKED_CKPT.append((sc, new_ids))
+    return out
 
 
 def release_tracked() -> int:
@@ -56,6 +85,26 @@ def release_tracked() -> int:
             if _session_alive(df):
                 _LOG.warning(
                     "release_tracked: unpersist failed on a live session: %s", exc
+                )
+    while _TRACKED_CKPT:
+        sc, ids = _TRACKED_CKPT.pop()
+        try:
+            registry = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                jrdd = registry.get(i)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+                    n += 1
+        except Exception as exc:
+            try:
+                alive = sc._jsc is not None
+            except Exception:
+                alive = False
+            if alive:
+                _LOG.warning(
+                    "release_tracked: checkpoint unpersist failed on a "
+                    "live session: %s",
+                    exc,
                 )
     return n
 

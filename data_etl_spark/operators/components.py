@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -77,14 +79,14 @@ def connected_components(
     ).select("e.src", "e.dst")
     if not assume_distinct:
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = tracked_local_checkpoint(sym, eager=True)
     # Round 0 fused into init: the aggregation that discovers the node
     # set also computes its first hop (label = min(node, min neighbor)).
-    labels = (
+    labels = tracked_local_checkpoint(
         sym.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
-        .select(F.col("src").alias("node"), "component")
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("node"), "component"),
+        eager=True,
     )
 
     for round_no in range(1, max_iter + 1):
@@ -107,8 +109,8 @@ def connected_components(
                     F.coalesce("neighbor_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        hop = tracked_local_checkpoint(hop, eager=True)
         # Early exit at the 1-hop fixpoint: if the hop changed nothing,
         # labels are equal across every edge (the only fixpoints of the
         # 1-hop min operator), hence constant per component — and since
@@ -141,7 +143,7 @@ def connected_components(
         if checkpoint_interval and round_no % checkpoint_interval == 0:
             new_labels = new_labels.checkpoint(eager=True)  # reliable store
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = tracked_local_checkpoint(new_labels, eager=True)
 
         # Convergence probe: limit-1 scan over the blocks the eager
         # checkpoint just materialized — no recompute job.

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import tracked_local_checkpoint
 from ..functions import vectors as V
 from .ivf import assign_cells
 
@@ -29,13 +30,13 @@ def kmeans_fit(
     max_iter: int = 10,
 ) -> DataFrame:
     """Returns centroids (cent_id, cemb) after at most ``max_iter`` rounds."""
-    cent = (
+    cent = tracked_local_checkpoint(
         vectors.orderBy(id_col)
         .limit(k)
         .select(F.col(id_col), F.col(vec_col))
         .withColumn("cent_id", F.row_number().over(W.orderBy(id_col)) - 1)
-        .select("cent_id", F.col(vec_col).alias("cemb"))
-        .localCheckpoint(eager=True)
+        .select("cent_id", F.col(vec_col).alias("cemb")),
+        eager=True,
     )
 
     for _ in range(max_iter):
@@ -52,8 +53,8 @@ def kmeans_fit(
                 ).alias("cemb")
             )
             .select(F.col("cell").alias("cent_id"), "cemb")
-            .localCheckpoint(eager=True)
         )
+        new_cent = tracked_local_checkpoint(new_cent, eager=True)
         # converged when assignments can't change: compare centroid sets
         moved = (
             new_cent.alias("n")

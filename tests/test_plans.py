@@ -622,6 +622,9 @@ def test_registry_queries_drain_to_baseline(spark, sf_dir):
         "q_rollup_hierarchy", "q_interval_sweep", "q_dup_spans", "q_decontaminate",
         "q_rp_lsh_pairs", "q_sq_knn", "q_pq_knn", "q_semantic_dedup",
         "q_lsh_adaptive", "q_setsim_join",
+        # r9: auto_dedup's banded branch added a second tracked persist
+        # (the candidate pair set) next to the shingle one
+        "q_dedup_auto", "q_dedup_clusters", "q_keep_best",
     ]
     for name in names:
         if name not in REGISTRY:
