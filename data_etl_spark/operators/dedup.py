@@ -356,22 +356,56 @@ def setsim_pairs(
     ``size(array_intersect(...))`` counts (token sets are distinct
     upstream) — value-identical to the brute-force join at any tau.
 
+    The three multiply-consumed intermediates are tracked-persisted
+    (DISK_ONLY): ``prefix`` feeds both sides of the candidate
+    self-join, ``cand`` feeds the member semi-join plus both verify
+    joins, and ``arrs`` feeds both verify sides. Unpersisted, Catalyst
+    recomputes the whole rank-window subtree per consumer — the
+    persists plus the window-form DF (below) measured 17.9 s -> 11.0 s
+    at sf1 for the identical result, and the full query wall 29.4 s ->
+    7.0 s min-of-2 (round-10 profiles, scripts/profile_setsim*.py).
+    The verification shape was A/B'd against the candidate-restricted
+    token join (cand |><| tokens -> groupBy(doc1,doc2).count): arrays
+    4.5 s vs token-join 11.1 s at sf1 — the token join shuffles
+    (doc1,doc2,shingle) at candidate x doc-size volume twice, while the
+    array attach ships each member's array once per pair side. Arrays
+    kept. DISK_ONLY for the same reason as ``word_shingles``: these are
+    corpus-scale sets that would evict hotter executor-memory blocks at
+    100 TB.
+
     Returns (doc1, doc2, n_common, n_sh1, n_sh2) for pairs with
     J >= tau, doc1 < doc2 — the shingle_pair_stats shape, thresholded.
     """
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
 
-    sizes = shingles.groupBy(key).agg(F.count("*").alias("n_sh"))
-    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("__df"))
+    from ..cache import tracked_persist
+
     order = W.partitionBy(key).orderBy("__df", "shingle")
-    ranked = (
-        shingles.join(df_counts, "shingle")
-        .select(key, "shingle", F.row_number().over(order).alias("__rk"))
-        .join(sizes, key)
+    # Token DF as a window count over partitionBy(shingle) — NOT a
+    # groupBy + join: the join shape shuffles and sorts the token table
+    # twice (agg side + SMJ probe side) before the rank window's third
+    # exchange; the window form is exactly two full-table exchanges
+    # (by shingle, then by key). Measured 4.4 s -> 1.7 s at sf1
+    # (scripts/profile_setsim4.py). Skew-safe: the per-shingle
+    # partition is bounded by word_shingles' DF cap. n_sh rides the
+    # rank window's exchange the same way (count over partitionBy(key)).
+    ranked = shingles.select(
+        key,
+        "shingle",
+        F.count("*").over(W.partitionBy("shingle")).alias("__df"),
+    ).select(
+        key,
+        "shingle",
+        F.row_number().over(order).alias("__rk"),
+        F.count("*").over(W.partitionBy(key)).alias("n_sh"),
     )
-    prefix = ranked.filter(
-        F.col("__rk")
-        <= F.col("n_sh") - F.floor(F.lit(float(tau)) * F.col("n_sh")) + 1
+    prefix = tracked_persist(
+        ranked.filter(
+            F.col("__rk")
+            <= F.col("n_sh") - F.floor(F.lit(float(tau)) * F.col("n_sh")) + 1
+        ),
+        StorageLevel.DISK_ONLY,
     )
     a = prefix.select(
         F.col(key).alias("doc1"),
@@ -394,7 +428,9 @@ def setsim_pairs(
     ).cast("double") >= F.lit(float(tau) / (1.0 + float(tau))) * (
         F.col("n_sh1") + F.col("n_sh2")
     ) - F.lit(1e-9)
-    cand = (
+    # cand is output-scale (two ids per row), not corpus-scale: default
+    # memory-and-disk level, unlike the corpus-scale prefix/arrs sets
+    cand = tracked_persist(
         a.join(b, "shingle")
         .filter((F.col("doc1") < F.col("doc2")) & size_ok & pos_ok)
         .select("doc1", "doc2")
@@ -405,10 +441,11 @@ def setsim_pairs(
     members = (
         cand.select(F.explode(F.array("doc1", "doc2")).alias(key)).distinct()
     )
-    arrs = (
+    arrs = tracked_persist(
         shingles.join(members, key, "left_semi")
         .groupBy(key)
-        .agg(F.collect_list("shingle").alias("__arr"), F.count("*").alias("n_sh"))
+        .agg(F.collect_list("shingle").alias("__arr"), F.count("*").alias("n_sh")),
+        StorageLevel.DISK_ONLY,
     )
     verified = (
         cand.join(
