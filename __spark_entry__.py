@@ -288,6 +288,12 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # instead of groupBy+join. sf1 wall 29.4 s -> 7.0 s min-of-2; oracle
     # unchanged (brute-force join), hash must still match:
     "q_setsim_join",
+    # VERDICT r9 #2: q_ml_minhash_join SF-capped at doc_id < 5000 on
+    # both engine and oracle sides (the q_dedup_auto_dense precedent) —
+    # the MLlib parity check now runs at a fixed size and is back under
+    # the shuffle tripwire (removed from EXPECTED_SUPERLINEAR). Plan +
+    # oracle changed (no-op below sf0.1 where doc_id < 5000 already):
+    "q_ml_minhash_join",
 })
 
 

@@ -588,6 +588,14 @@ _ML_MH_DIST = 0.6
 #: probability at <= 1e-8 — the 6-sigma never-fires-by-chance class.
 _ML_MH_RECALL_DIST = 0.1
 _ML_MH_TABLES = 8
+#: SF-cap (the q_dedup_auto_dense precedent, plans/dedup.py): this
+#: query's job is the MLlib approxSimilarityJoin PARITY check, not scale
+#: measurement — MLlib's OR-amplified bucket join IS the any-seed scheme
+#: whose corpus-quadratic background the rest of the repo engineered
+#: away (r9 tripwire: 175x shuffle-write for 10x data, 855 MB at sf1).
+#: The cap bounds the check at the sf0.1 corpus size on every SF above
+#: it; auto_dedup's banded operator / setsim_pairs are the scale paths.
+_ML_MH_CAP = 5000
 
 _ML_MH_ORACLE = f"""
 WITH sh AS ({{shingle_cte}}),
@@ -610,7 +618,11 @@ WHERE 1.0 - CAST(p.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - p.n_common) < {_ML
 def _ml_mh_oracle() -> str:
     from ..operators import dedup as DD
 
-    return _ML_MH_ORACLE.format(shingle_cte=DD.word_shingles_sql("documents"))
+    return _ML_MH_ORACLE.format(
+        shingle_cte=DD.word_shingles_sql(
+            f"(SELECT doc_id, text FROM documents WHERE doc_id < {_ML_MH_CAP})"
+        )
+    )
 
 
 @register(
@@ -639,12 +651,20 @@ def q_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus LSH bucket (measured 284 s unigram vs ~2 s shingled at
     sf0.1). Documents shorter than 3 words have no shingle set and drop
     out of both sides.
+
+    Input is SF-capped at doc_id < _ML_MH_CAP on both sides (see the
+    constant's rationale): a parity check needs a fixed size, not a
+    corpus-quadratic background at every scale-up.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from ..operators import dedup as DD
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ML_MH_CAP)
+        .select("doc_id", "text")
+    )
     # feeds both the LSH side and the exact truth side; release-tracked
     # so long-lived harnesses (bench_full) can reclaim it between queries
     sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)

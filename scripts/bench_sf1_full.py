@@ -55,7 +55,6 @@ EXPECTED_SUPERLINEAR = {
     "q_corpus_filter": "embeds q_dedup_clusters + decontaminate over the dup-dense corpus (cause a)",
     "q_minhash_estimate": "output IS the any-seed candidate set it evaluates (cause b)",
     "q_lsh_tuning_curve": "S-curve eval over n_shared_bands needs the any-seed census (cause b)",
-    "q_ml_minhash_join": "MLlib approxSimilarityJoin's internal OR-amplified bucket join is the any-seed scheme; kept for MLlib parity — auto_dedup's banded operator is the scale path",
     "q_simhash_eval": "truth side = the DF-capped co-shingle pair universe being measured; postings-pair growth within the cap (cause b)",
     "q_bm25": "physical-plan flip: term-df side broadcastable at sf0.1 (near-zero shuffle) but SMJ at sf1 — shuffle is linear in postings either way",
     "q_shingle_containment": "output is the co-shingle pair set: true dup-family pairs grow ~k^2 per reworded family (cause a); DF cap bounds the background term",
