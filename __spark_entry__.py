@@ -294,6 +294,12 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # the shuffle tripwire (removed from EXPECTED_SUPERLINEAR). Plan +
     # oracle changed (no-op below sf0.1 where doc_id < 5000 already):
     "q_ml_minhash_join",
+    # VERDICT r9 #3: SemDeDup re-planned for linear pair work — constant
+    # target cluster size (k = max(8, ceil(n/64))) with two-level
+    # coarse->fine designated-centroid assignment (k1 = floor(sqrt(k))
+    # coarse cells), all assignment as map-side max(struct) aggs. Plan +
+    # oracle changed on both sides; sf1 18.1 s -> 7.0 s:
+    "q_semantic_dedup",
 })
 
 

@@ -1278,37 +1278,69 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # smaller vec_id). The kept member of each semantic group is the one
 # nearest its centroid — deterministic, no RNG.
 #
-# Scale: assignment is a broadcast(k) x corpus scan; the quadratic step
-# is confined to in-cluster pairs, and k GROWS WITH THE CORPUS (the
-# paper runs k=11k on LAION): k = max(8, floor(sqrt(n/2))) computed
-# from the data on BOTH engine and oracle sides (1-row scalar rider on
-# the Spark side, scalar subquery in SQL — the same gate-reproduction
-# pattern as q_knn_auto). That balances the two cost terms: assignment
-# is n*k cosines, in-cluster pairing ~ n*(n/k)/2, equal at
-# k = sqrt(n/2). A FIXED k is the scale bug this replaced: with k=8 the
-# 10x rehearsal corpus put ~6,250 vectors per cluster and the pair step
-# evaluated ~156M full-vector cosines (52 s cold); with corpus-scaled k
-# both terms stay ~n^1.5. One shuffle on the cluster key, one window
-# over (cluster), no corpus x corpus anywhere.
+# Scale (round-10 rewrite, VERDICT r9 #3): cluster size is held
+# CONSTANT — k = max(8, ceil(n / _SEM_CLUSTER)) — so the in-cluster
+# pair step is ~n*_SEM_CLUSTER/2 cosines, LINEAR in the corpus. The
+# previous k = sqrt(n/2) balance made both assignment and pairing
+# ~n^1.5 (18.1 s at sf1, flagged superlinear at 100x). With k ~ n/c a
+# flat broadcast(k) x corpus assignment would itself be ~n^2/c, so
+# assignment is two-level IVF (the coarse-quantizer trick): k1 =
+# max(1, floor(sqrt(k))) COARSE centroids (the first k1 of the k
+# designated fine centroids); every fine centroid maps to its nearest
+# coarse (coarse centroids pin to themselves so no cell is empty);
+# every vector finds its nearest coarse (n*k1 cosines), then its
+# nearest fine WITHIN that coarse cell (~n*k/k1 cosines). Total work
+# ~ n*(2*sqrt(n/c) + c/2) = O(n^1.25) compute on an O(n) shuffle
+# footprint — each assignment is a broadcast + map-side-combined
+# max(struct) agg, never a corpus-scale window sort. All ranking is
+# max(struct(cos, -id)): ties and NULL cosines resolve exactly like
+# the oracle's ORDER BY cos DESC, id (struct NULL fields sort
+# smallest; DuckDB DESC is NULLS LAST). k and k1 are data-derived
+# scalar riders reproduced in SQL (the q_knn_auto gate pattern); the
+# two-level assignment RULE is likewise mirrored verbatim, so the
+# hash check proves the whole quantizer, not just the dedup step.
 # ---------------------------------------------------------------------------
 
 _SEM_MIN_K = 8
 _SEM_TAU = 0.30
+#: target vectors per cluster — the constant that keeps pair work linear
+_SEM_CLUSTER = 64
 
 _SEM_ORACLE = f"""
-WITH kk AS (SELECT greatest({_SEM_MIN_K}, CAST(floor(sqrt(count(*) / 2.0)) AS BIGINT)) AS k
+WITH kk AS (SELECT greatest({_SEM_MIN_K}, CAST(ceil(count(*) / {_SEM_CLUSTER}.0) AS BIGINT)) AS k,
+                   greatest(1, CAST(floor(sqrt(greatest({_SEM_MIN_K}, CAST(ceil(count(*) / {_SEM_CLUSTER}.0) AS BIGINT)))) AS BIGINT)) AS k1
             FROM embeddings WHERE {_EMB_OK}),
 cent AS (SELECT vec_id AS cent_id, {_EMB_D} AS cemb FROM embeddings, kk WHERE {_EMB_OK} AND vec_id < kk.k),
+coarse AS (SELECT cent_id AS co_id, cemb AS coemb FROM cent, kk WHERE cent_id < kk.k1),
+cmap AS (
+    SELECT c.cent_id, c.cemb,
+           CASE WHEN c.cent_id < kk.k1 THEN c.cent_id ELSE m.ccell END AS ccell
+    FROM cent c CROSS JOIN kk
+    JOIN (
+        SELECT cent_id, co_id AS ccell FROM (
+            SELECT c.cent_id, k.co_id,
+                   row_number() OVER (PARTITION BY c.cent_id
+                                      ORDER BY {V.cosine_sql('c.cemb', 'k.coemb')} DESC, k.co_id) AS rn
+            FROM cent c CROSS JOIN coarse k
+        ) WHERE rn = 1
+    ) m ON m.cent_id = c.cent_id
+),
 corp AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings, kk WHERE {_EMB_OK} AND vec_id >= kk.k),
-scored AS (
-    SELECT c.vec_id, c.emb, t.cent_id, {V.cosine_sql('c.emb', 't.cemb')} AS cos_cent
-    FROM corp c CROSS JOIN cent t
+qa AS (
+    SELECT vec_id, emb, co_id AS qcell FROM (
+        SELECT c.vec_id, c.emb, k.co_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {V.cosine_sql('c.emb', 'k.coemb')} DESC, k.co_id) AS rn
+        FROM corp c CROSS JOIN coarse k
+    ) WHERE rn = 1
 ),
 assigned AS (
     SELECT vec_id, emb, cent_id AS cluster, cos_cent FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cos_cent DESC, cent_id) AS rn
-        FROM scored
+        SELECT q.vec_id, q.emb, m.cent_id,
+               {V.cosine_sql('q.emb', 'm.cemb')} AS cos_cent,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {V.cosine_sql('q.emb', 'm.cemb')} DESC, m.cent_id) AS rn
+        FROM qa q JOIN cmap m ON m.ccell = q.qcell
     ) WHERE rn = 1
 ),
 dup AS (
@@ -1328,33 +1360,78 @@ FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
 @register("q_semantic_dedup", oracle=_SEM_ORACLE, tags=("phase3", "similarity", "dedup"))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: in-cluster cosine-threshold duplicates; keeper = nearest
-    to centroid. k = max(8, floor(sqrt(n/2))) rides the plan as a
-    broadcast 1-row scalar (see block comment — fixed k was the scale
-    bug)."""
-    from pyspark.sql import Window as W
-
+    to centroid. Constant target cluster size (k = max(8, ceil(n/64)))
+    with two-level coarse->fine designated-centroid assignment — see the
+    block comment for the cost model; assignment rule and both scalars
+    (k, k1) are mirrored verbatim in the oracle."""
     e = _embeddings(spark, sf_dir)
     emb = V.as_double(F.col("embedding"))
     kdf = e.agg(
         F.greatest(
             F.lit(_SEM_MIN_K).cast("long"),
-            F.floor(F.sqrt(F.count("*") / F.lit(2.0))),
+            F.ceil(F.count("*") / F.lit(float(_SEM_CLUSTER))),
         ).alias("__k")
+    ).withColumn(
+        "__k1",
+        F.greatest(F.lit(1).cast("long"), F.floor(F.sqrt(F.col("__k")))),
     )
     base = e.select("vec_id", emb.alias("emb")).crossJoin(F.broadcast(kdf))
     cent = base.filter(F.col("vec_id") < F.col("__k")).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), "__k1"
+    )
+    coarse = cent.filter(F.col("cent_id") < F.col("__k1")).select(
+        F.col("cent_id").alias("co_id"), F.col("cemb").alias("coemb")
+    )
+
+    def _nearest(df, id_col, vec_col, out_cell):
+        # deterministic argmax over the broadcast centroid set as ONE
+        # map-side-combined agg: max(struct(cos, -cand_id)) == the
+        # oracle's ORDER BY cos DESC, cand_id (struct NULL fields sort
+        # smallest = DESC NULLS LAST; -id inverts the tie to ASC).
+        return (
+            df.groupBy(id_col)
+            .agg(
+                F.max(F.struct(F.col("__cos").alias("c"),
+                               (-F.col("__cand")).alias("nid"))).alias("b"),
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(
+                id_col, vec_col,
+                (-F.col("b.nid")).alias(out_cell),
+                F.col("b.c").alias("__cos_best"),
+            )
+        )
+
+    # fine -> coarse map; coarse centroids pin to their own cell so no
+    # cell is empty (a scaled-duplicate vector pair could otherwise tie
+    # a coarse centroid out of its own cell and strand vectors at the
+    # inner join below)
+    cmap = _nearest(
+        cent.crossJoin(F.broadcast(coarse))
+        .withColumn("__cos", V.cosine(F.col("cemb"), F.col("coemb")))
+        .withColumn("__cand", F.col("co_id")),
+        "cent_id", "cemb", "ccell",
+    ).crossJoin(F.broadcast(kdf)).select(
+        "cent_id", "cemb",
+        F.when(F.col("cent_id") < F.col("__k1"), F.col("cent_id"))
+        .otherwise(F.col("ccell")).alias("ccell"),
     )
     corp = base.filter(F.col("vec_id") >= F.col("__k")).select("vec_id", "emb")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_cent"), F.asc("cent_id"))
+    qa = _nearest(
+        corp.crossJoin(F.broadcast(coarse))
+        .withColumn("__cos", V.cosine(F.col("emb"), F.col("coemb")))
+        .withColumn("__cand", F.col("co_id")),
+        "vec_id", "emb", "qcell",
+    ).select("vec_id", "emb", "qcell")
     assigned = tracked_persist(
-        corp.crossJoin(F.broadcast(cent))
-        .withColumn("cos_cent", V.cosine(F.col("emb"), F.col("cemb")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cent_id").alias("cluster"), "cos_cent")
+        _nearest(
+            qa.join(F.broadcast(cmap), qa["qcell"] == cmap["ccell"])
+            .withColumn("__cos", V.cosine(F.col("emb"), F.col("cemb")))
+            .withColumn("__cand", F.col("cent_id")),
+            "vec_id", "emb", "cluster",
+        ).select("vec_id", "emb", "cluster", F.col("__cos_best").alias("cos_cent"))
     )  # feeds both pair-join legs and the final select —
-    # without it the k x corpus scoring subtree is planned 6x
+    # without it the assignment subtree is planned 6x
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
         F.col("cluster"), F.col("cos_cent").alias("a_cc"),
