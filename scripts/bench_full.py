@@ -5,9 +5,11 @@ BENCH_FULL_r{N}.json next to the repo's other bench artifacts.
 The headline bench (bench.py) audits the expensive families each round;
 this sweep exists to make sure no pathological plan hides in the
 untimed tail (VERDICT r5, next #6). Single timed pass after a JVM
-warmup run at sf0.001 — the goal is spotting order-of-magnitude
-outliers, not steady-state precision; re-run offenders individually
-before drawing conclusions.
+warmup run at sf0.001; queries that moved > RETIME_AT x vs the most
+recent prior BENCH_FULL artifact are re-timed and scored min-of-2
+(VERDICT r9 next #5: the r9 single-run tail turned a GC/noisy-neighbor
+straggler into a phantom 4x "regression" — q_dup_triangles 9.01 s tail
+vs 4.68 s min-of-2 headline under loadavg 6-17).
 
 Usage: python scripts/bench_full.py [round_no]
 """
@@ -29,14 +31,33 @@ from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
+#: re-time (min-of-2) any query > this ratio vs the prior BENCH_FULL
+RETIME_AT = 2.0
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _prior_full(repo: str, round_no: str) -> dict:
+    """Per-query timings from the most recent BENCH_FULL before this round."""
+    files = sorted(
+        f
+        for f in os.listdir(repo)
+        if f.startswith("BENCH_FULL_r")
+        and f.endswith(".json")
+        and f != f"BENCH_FULL_r{round_no}.json"
+    )
+    if not files:
+        return {}
+    with open(os.path.join(repo, files[-1])) as f:
+        return json.load(f).get("queries", {})
+
+
 def main() -> None:
     round_no = sys.argv[1] if len(sys.argv) > 1 else "06"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    prior = _prior_full(repo, round_no)
     spark = build_session("data-etl-spark-bench-full")
     names = sorted(REGISTRY)
 
@@ -68,6 +89,24 @@ def main() -> None:
         # accumulate across a ~200-query JVM
         release_tracked()
 
+    # movers vs the prior artifact: re-time min-of-2 before recording —
+    # a single pass on a shared box conflates stragglers with plans
+    retimed = []
+    for name, t in sorted(timings.items()):
+        b = prior.get(name)
+        if not (b and t / b > RETIME_AT):
+            continue
+        t0 = time.perf_counter()
+        try:
+            materialize(REGISTRY[name].fn(spark, SF_DIR))
+        except Exception:
+            continue
+        t2 = round(time.perf_counter() - t0, 3)
+        release_tracked()
+        timings[name] = min(t, t2)
+        retimed.append(name)
+        print(f"re-timed {name}: {t:.2f} -> min {timings[name]:.2f}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -77,7 +116,8 @@ def main() -> None:
         "metric": "full_registry_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "timing": "single_run_after_warmup",
+        "timing": "single_run_after_warmup; movers >2x vs prior artifact re-timed min-of-2",
+        "retimed": retimed,
         "n_queries": len(timings),
         "queries": timings,
         "stage_metrics": metrics,

@@ -257,12 +257,15 @@ def test_staleness_report_written_and_bounded(monkeypatch, tmp_path):
 
     (A bound of 4 is arithmetically impossible: ~206 names / 50 slots
     needs >=5 rounds of pure rotation before fresh/touched/drift
-    displacement; 8 = the pure-rotation period plus a drift-wave round's
-    slack.)"""
+    displacement. 7 = the observed rotation bound with current
+    touched-set pressure — tightened from 8 per VERDICT r9 #4 once the
+    staleness-7 tail (q_sliding_window, q_streaming_tumbling) entered
+    the round-10 window; the committed r10 report's max outside the
+    window is 6.)"""
     import json
 
     repo_report = json.loads(open("WINDOW_STALENESS.json").read())
-    assert repo_report["max_green_staleness_outside_window"] <= 8
+    assert repo_report["max_green_staleness_outside_window"] <= 7
     assert set(repo_report["queries"]) == set(
         __import__("data_etl_spark.plans", fromlist=["REGISTRY"]).REGISTRY
     )
