@@ -257,35 +257,45 @@ def shared_seed_pairs(
     """Pairs whose signatures agree on >= ``min_shared`` seeds, computed
     WITHOUT enumerating the 1-row-band candidate set.
 
-    ``lsh_candidate_pairs(sig).filter(n_shared_bands >= 2)`` gives the
+    ``lsh_candidate_pairs(sig).filter(n_shared_bands >= m)`` gives the
     same pair set, but its self-join materializes every single-seed
     collision first — the quadratic-background volume the filter then
     throws away (at 10x the rehearsal corpus that intermediate is 31x
     the pairs for 17x the docs, and it only gets worse). This operator
     instead enumerates, per doc, the C(k, m) seed COMBINATIONS (m =
-    ``min_shared``; 28 per doc at k=8, m=2) and self-joins on the
-    combination bucket (seed ids + their minhashes): a pair lands in a
-    combo bucket exactly when it agrees on that whole m-subset, so the
-    join's enumeration volume is the J^m background scale — the SAME
-    scale as the result — plus C(s, m) duplicate hits per truly-similar
-    pair (s = seeds agreed), removed by the distinct.
+    ``min_shared``; 28 per doc at k=8, m=2) via an (m-1)-fold
+    ascending-seed self-join, and self-joins on the combination bucket
+    (seed ids + their minhashes): a pair lands in a combo bucket
+    exactly when it agrees on that whole m-subset, so the join's
+    enumeration volume is the J^m background scale — the SAME scale as
+    the result — plus C(s, m) duplicate hits per truly-similar pair
+    (s = seeds agreed), removed by the distinct. The C(k, m) per-doc
+    blowup is the cost knob: m near k/2 maximizes it (70 at k=8, m=4),
+    so raising m buys precision with a bounded constant, not a new
+    asymptotic term.
 
     Output: (doc1, doc2) distinct, doc1 < doc2 — the precision-filtered
-    dup-graph edge list used by the graph-analytic queries.
+    dup-graph edge list used by the graph-analytic queries
+    (min_shared = _GRAPH_MIN_SHARED there; the parameter is a real knob,
+    property-pinned at m=3 in tests/test_planner.py).
     """
-    if min_shared != 2:
-        raise ValueError("only min_shared=2 is implemented (C(k,2) combo buckets)")
-    s1 = signatures.select(key, F.col("seed").alias("s1"), F.col("minhash").alias("m1"))
-    s2 = signatures.select(key, F.col("seed").alias("s2"), F.col("minhash").alias("m2"))
-    combos = s1.join(s2, key).filter(F.col("s1") < F.col("s2"))
-    a = combos.select(
-        F.col(key).alias("doc1"), "s1", "s2", "m1", "m2"
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    combos = signatures.select(
+        key, F.col("seed").alias("s0"), F.col("minhash").alias("m0")
     )
-    b = combos.select(
-        F.col(key).alias("doc2"), "s1", "s2", "m1", "m2"
-    )
+    for i in range(1, min_shared):
+        nxt = signatures.select(
+            key, F.col("seed").alias(f"s{i}"), F.col("minhash").alias(f"m{i}")
+        )
+        combos = combos.join(nxt, key).filter(
+            F.col(f"s{i - 1}") < F.col(f"s{i}")
+        )
+    bucket = [c for i in range(min_shared) for c in (f"s{i}", f"m{i}")]
+    a = combos.select(F.col(key).alias("doc1"), *bucket)
+    b = combos.select(F.col(key).alias("doc2"), *bucket)
     return (
-        a.join(b, ["s1", "s2", "m1", "m2"])
+        a.join(b, bucket)
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()

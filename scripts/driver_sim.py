@@ -8,6 +8,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,6 +17,11 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
+
+# simulation, not the driver: build the window without persisting the
+# fingerprint manifest (see _record_fp_manifest — a local run must not
+# consume the drift signal the real driver's build relies on)
+os.environ.setdefault("SPARK_GRAFT_WINDOW_READONLY", "1")
 
 import __spark_entry__ as E  # noqa: E402
 

@@ -157,6 +157,30 @@ def test_shared_seed_pairs_matches_filtered_any_seed(spark):
     }
     assert combo == anyseed
     assert (0, 1) in combo  # identical docs agree on every seed
+    # the generalized C(k, m) enumeration (VERDICT r9 #8): m = 1 and
+    # m = 3 against the same brute-force shared-seed census
+    agree = {}
+    for r in sig.collect():
+        agree.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    docs = sorted(agree)
+    for m in (1, 3):
+        got = {
+            (r.doc1, r.doc2)
+            for r in DD.shared_seed_pairs(sig, min_shared=m).collect()
+        }
+        want = {
+            (d1, d2)
+            for i, d1 in enumerate(docs)
+            for d2 in docs[i + 1:]
+            if sum(
+                agree[d1].get(s) == agree[d2][s] for s in agree[d2]
+            ) >= m
+        }
+        assert got == want, f"min_shared={m}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        DD.shared_seed_pairs(sig, min_shared=0)
 
 
 def test_auto_dedup_single_driver_action(spark):
