@@ -12,6 +12,7 @@ Usage:
   python scripts/fuzz_probe.py --nulls             # ~10% NULLs everywhere
   python scripts/fuzz_probe.py --smallgroups       # near-singleton groups
   python scripts/fuzz_probe.py --chaos             # all dimensions at once
+  python scripts/fuzz_probe.py --chaos-time        # extreme timestamps
   python scripts/fuzz_probe.py --seed 7 q_exact_dedup q_knn_exact
 
 The suite (tests/test_fuzz_differential.py) pins seeds 7/23/0 for
@@ -71,6 +72,10 @@ def _write_corpus(d: str, rng: random.Random, mode: str) -> None:
         docs = T._chaos_documents(rng)
         ev = T._chaos_events(rng)
         emb = T._chaos_embeddings(rng)
+    elif mode == "chaos-time":
+        docs = T._gen_documents(rng)
+        ev = T._chaostime_events(rng)
+        emb = T._smallgroups_embeddings(rng)
     else:
         docs = T._gen_documents(rng)
         ev = T._gen_events(rng)
@@ -150,6 +155,14 @@ def main() -> int:
         help="interaction corpus: unicode x NULLs x skew at once",
     )
     ap.add_argument(
+        "--chaos-time",
+        action="store_true",
+        help=(
+            "extreme timestamps: epoch boundaries, pre-1970, pandas-ns "
+            "edges, tumbling/session boundary ties, zero/inverted intervals"
+        ),
+    )
+    ap.add_argument(
         "--chaos-keys",
         action="store_true",
         help=(
@@ -182,6 +195,8 @@ def main() -> int:
         mode = "smallgroups"
     elif args.chaos:
         mode = "chaos"
+    elif args.chaos_time:
+        mode = "chaos-time"
     else:
         mode = "random"
     rng = random.Random(args.seed)
@@ -220,9 +235,12 @@ def main() -> int:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
                 )
-            odf = con.execute(q.oracle).df()
-            orows = odf.to_dict("records")
-            ok = sorted(sdf.columns) == sorted(odf.columns.tolist()) and (
+            # fetchall, not .df(): pandas maps NULL-bearing BIGINT to
+            # float64 (lossy above 2^53 — the chaos-time epoch edges)
+            cur = con.execute(q.oracle)
+            ocols = [c[0] for c in cur.description]
+            orows = [dict(zip(ocols, row)) for row in cur.fetchall()]
+            ok = sorted(sdf.columns) == sorted(ocols) and (
                 T._canon(srows, sdf.columns) == T._canon(orows, sdf.columns)
             )
             if not ok:

@@ -810,6 +810,7 @@ _QUERIES = _eligible()
 
 def _canon(rows, cols):
     import datetime as _dt
+    import decimal as _decimal
 
     import pandas as _pd
 
@@ -823,6 +824,10 @@ def _canon(rows, cols):
                 # whose isoformat() is the string 'NaT'); Spark's
                 # collect() gives None — same NULL, one repr
                 v = None
+            elif isinstance(v, _decimal.Decimal):
+                # raw fetchall returns Decimal where .df() gave float;
+                # keep the historical float-compare semantics
+                v = round(float(v), 6)
             elif isinstance(v, float):
                 v = None if math.isnan(v) else round(v, 6)
             elif isinstance(v, _dt.datetime):
@@ -894,9 +899,14 @@ def _assert_matches(spark, d: str, name: str) -> None:
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
-    odf = con.execute(q.oracle).df()
-    oracle_rows = odf.to_dict("records")
-    assert sorted(sdf.columns) == sorted(odf.columns.tolist()), name
+    # fetchall, NOT .df(): pandas maps a NULL-bearing BIGINT column to
+    # float64, which is lossy above 2^53 — the chaos-time corpus's
+    # pandas-ns-edge epoch values (9.2e15 us) came back off-by-one from
+    # the float round-trip while the raw engine results were identical
+    cur = con.execute(q.oracle)
+    ocols = [c[0] for c in cur.description]
+    oracle_rows = [dict(zip(ocols, row)) for row in cur.fetchall()]
+    assert sorted(sdf.columns) == sorted(ocols), name
     assert _canon(spark_rows, sdf.columns) == _canon(oracle_rows, sdf.columns), name
 
 
@@ -1156,3 +1166,131 @@ _CHAOSKEYS_PINNED = [
 @pytest.mark.parametrize("name", _CHAOSKEYS_PINNED)
 def test_chaoskeys_matches_oracle(spark, chaoskeys_dir, name):
     _assert_matches(spark, chaoskeys_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# chaos-time (VERDICT r9 next #7): extreme timestamps through the
+# events/streaming star. The corpora above all draw ts from a benign
+# 2024 window, so epoch alignment, negative-time floor division,
+# calendar truncation before 1970, and pandas-ns-edge values had never
+# reached the time-bucketing kernels. Values stay one day inside the
+# datetime64[ns] range (both compare harnesses round-trip pandas).
+# ---------------------------------------------------------------------------
+
+#: one day inside pandas datetime64[ns] min/max, in microseconds
+_NS_SAFE_LO_US = -9_223_286_400_000_000  # ~1677-09-22
+_NS_SAFE_HI_US = 9_223_286_400_000_000  # ~2262-04-10
+_TUMBLE_US = 600_000_000  # q_tumbling_window's 10-minute bucket
+_SESSION_GAP_US = 1_800_000_000  # q_session_window's 30-minute gap
+
+
+def _chaostime_events(rng: random.Random, n: int = 500):
+    rows = []
+    eid = 0
+
+    def emit(ts, uid=None, et=None, value=None):
+        nonlocal eid
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.randint(0, 12) if uid is None else uid,
+                rng.choice(_EVENT_TYPES) if et is None else et,
+                round(rng.uniform(0.01, 500.0), 2) if value is None else value,
+                json.dumps({"k": rng.randint(0, 99)}),
+            )
+        )
+        eid += 1
+
+    # epoch-zero cluster: 1970-01-01 +/- single microseconds/seconds
+    for d in (0, 1, -1, 999_999, -999_999, 1_000_000, -1_000_000):
+        emit(d, uid=1)
+    # pre-1970: scattered 1960s timestamps with sub-second parts
+    for _ in range(40):
+        emit(
+            -rng.randrange(1, 10 * 365) * 86_400_000_000
+            + rng.randrange(0, 86_400_000_000),
+            uid=2,
+        )
+    # pandas-ns range edges (one day inside, then small offsets)
+    for off in (0, 1, 123_456, 86_399_999_999):
+        emit(_NS_SAFE_LO_US + off, uid=3)
+        emit(_NS_SAFE_HI_US - off, uid=3)
+    # tumbling-bucket boundary ties: exact multiples of the 10-minute
+    # width and +/- 1 us, on both sides of the epoch (negative
+    # multiples are where truncating division diverges from floor)
+    for m in (-5000, -3, -1, 0, 1, 7, 4200):
+        for d in (-1, 0, 1):
+            emit(m * _TUMBLE_US + d, uid=4)
+    # session-gap boundary pairs: exactly the 30-minute gap apart, and
+    # one microsecond either side (merge vs split decides session count)
+    base = 1704067200_000_000
+    for i, d in enumerate((-1, 0, 1)):
+        t0 = base + i * 10 * _SESSION_GAP_US
+        emit(t0, uid=5 + i)
+        emit(t0 + _SESSION_GAP_US + d, uid=5 + i)
+        emit(t0 + 2 * (_SESSION_GAP_US + d), uid=5 + i)
+    # zero-length SCD2 intervals: same (user, ts), different event_type
+    # consecutive by event_id -> valid_from == valid_to
+    for _ in range(10):
+        t = base + rng.randrange(0, 86_400_000_000)
+        emit(t, uid=8, et="signup")
+        emit(t, uid=8, et="purchase")
+    # degenerate/inverted intervals for the sweep line: zero, negative
+    # and NULL durations (value is the interval length in minutes)
+    for v in (0.0, -1.0, -500.0, None, 0.001):
+        emit(base + rng.randrange(0, 86_400_000_000), uid=9, value=v)
+    # NULL timestamps through every time kernel
+    for _ in range(8):
+        emit(None, uid=10)
+    # benign 2024 background so sessions/cohorts/funnels have signal
+    while len(rows) < n:
+        emit(base + rng.randrange(0, 30 * 86_400) * 1_000_000
+             + rng.choice((0, 1, 500_000, 999_999)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def chaostime_dir(tmp_path_factory):
+    rng = random.Random(4242)
+    d = str(tmp_path_factory.mktemp("fuzz_chaostime"))
+    _write_corpus_tables(
+        d,
+        _gen_documents(rng),
+        _chaostime_events(rng),
+        _smallgroups_embeddings(rng),
+    )
+    _write_relational(d, rng)
+    return d
+
+
+# time-kernel victims: epoch-aligned bucketing (tumbling/sliding/
+# hourly/rollup), gap-based sessions at exact boundaries, ordered-
+# window change detection with zero-length validity, the sweep line
+# under inverted intervals, the sequence() spine across a 585-year
+# span, and LOCF/as-of ordering at identical timestamps
+_CHAOSTIME_PINNED = [
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_session_dynamic",
+    "q_scd2_intervals",
+    "q_interval_sweep",
+    "q_gap_fill",
+    "q_locf_backfill",
+    "q_hourly_profile",
+    "q_rollup_hierarchy",
+    "q_markov_transitions",
+    "q_cusum_drift",
+    "q_asof_join",
+    "q_retention_cohort",
+    "q_funnel_windowed",
+    "q_attribution_decay",
+    "q_survival_curve",
+    "q_path_analysis",
+]
+
+
+@pytest.mark.parametrize("name", _CHAOSTIME_PINNED)
+def test_chaostime_matches_oracle(spark, chaostime_dir, name):
+    _assert_matches(spark, chaostime_dir, name)
