@@ -187,7 +187,14 @@ GROUP BY o.o_orderpriority
 
 
 def _sf_key(sf_dir: str) -> str:
-    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    """Catalog-safe identifier suffix derived from the source dir: any
+    character outside [A-Za-z0-9_] becomes '_' (real ingest paths carry
+    hyphens/dots; an unquoted Spark SQL identifier accepts neither —
+    found by the chaos-time fuzz sweep's hyphenated tmpdir)."""
+    import re
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return re.sub(r"[^A-Za-z0-9_]", "_", base)
 
 
 # Columns each bucketed table selects (part of the layout definition —
