@@ -305,6 +305,16 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # m=2 output proven identical in tests/test_planner.py) — re-verify
     # its two direct plan consumers:
     "q_pagerank_dupgraph", "q_dup_triangles",
+    # chaos-time sweep fix: _sf_key now sanitizes non-identifier chars
+    # in the bucketed-table name (result-neutral on driver paths, but
+    # the helper moved — r9 minhash-revert precedent):
+    "q_bucketed_join",
+    # r10 rehearsal FAIL fix: q_cosine_pairs SF-capped at vec_id < 2000
+    # on both sides — fixed-cardinality labels make same-label pair work
+    # ~n^2/10, intrinsically quadratic (19x wall at 10x data); the exact
+    # brute-force baseline now runs at the sf0.1 corpus size, the
+    # bucketed twins are the scale path. Plan + oracle changed:
+    "q_cosine_pairs",
 })
 
 

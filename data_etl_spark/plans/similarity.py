@@ -79,10 +79,24 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_cosine_pairs — embedding-cosine near-dup: top-100 same-label pairs.
 # Label partition bounds the pair blow-up (the 100 TB version buckets by
 # LSH/IVF cell instead of a trusted label column).
+#
+# SF-capped at vec_id < _PAIRS_CAP (the q_dedup_auto_dense /
+# q_ml_minhash_join precedent, round 10): labels are fixed-cardinality,
+# so same-label pair work is ~n^2/10 — intrinsically quadratic however
+# fast the kernel (the r8 Arrow rewrite took it 50.9 s -> 7.5 s at sf1,
+# but 10x data is still ~100x cosines, 19x wall in the r10 rehearsal,
+# permanently astride the 12x gate). This query's job is the EXACT
+# brute-force baseline for the near-dup family; its scale paths are the
+# bucketed twins (q_semantic_dedup's IVF cells, q_embed_dedup_clusters,
+# the LSH/kNN family), so the exact check runs at a fixed corpus size.
 # ---------------------------------------------------------------------------
 
+#: cap = the sf0.1 embeddings corpus (driver SFs sit fully below it)
+_PAIRS_CAP = 2000
+
 _PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings WHERE {_EMB_OK})
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings
+           WHERE {_EMB_OK} AND vec_id < {_PAIRS_CAP})
 SELECT a.label, a.vec_id AS vec1, b.vec_id AS vec2,
        {V.cosine_sql('a.emb', 'b.emb')} AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -103,13 +117,20 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix dimension-by-dimension — the exact left-fold addition order
     of F.aggregate and DuckDB's list_dot_product, so values stay
     bit-identical to this unchanged oracle — and only O(k) rows per
-    label reach the global TakeOrdered."""
+    label reach the global TakeOrdered. Input SF-capped at vec_id <
+    _PAIRS_CAP on both sides — see the block comment: the exact
+    all-pairs baseline runs at a fixed size; the bucketed twins are the
+    scale path."""
     from ..operators.pairs import top_cosine_pairs_per_group
 
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        V.as_double(F.col("embedding")).alias("emb"),
+    e = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < _PAIRS_CAP)
+        .select(
+            "vec_id",
+            "label",
+            V.as_double(F.col("embedding")).alias("emb"),
+        )
     )
     top = top_cosine_pairs_per_group(e, k=100)
     return top.orderBy(F.desc("cos_sim"), "vec1", "vec2").limit(100)
