@@ -143,6 +143,27 @@ def main() -> None:
     superlinear = {
         n: r for n, r in shuffle_ratios.items() if r > SHUFFLE_GATE
     }
+    # Re-measure gate hits before judging: shuffle volume is
+    # plan-deterministic, but the stage-id watermark attribution is
+    # one-sided additive under load (a neighbor's late-completing stage
+    # lands in the wrong window — the r10 q_ngram_jaccard phantom read
+    # 504 MB in-harness vs 40 MB standalone/mini-harness). Min of two
+    # measurements kills the phantom; a REAL superlinear shuffle
+    # reproduces exactly.
+    for n in sorted(superlinear):
+        try:
+            _, m2 = timed(spark, n, tracker)
+        except Exception:
+            continue
+        s2 = (m2 or {}).get("shuffle_write_bytes", 0)
+        b = (base_m.get(n) or {}).get("shuffle_write_bytes", 0)
+        s_min = min(metrics[n].get("shuffle_write_bytes", 0), s2)
+        if b:
+            shuffle_ratios[n] = round(s_min / b, 2)
+        metrics[n]["shuffle_write_bytes"] = s_min
+        if not (b and s_min >= SHUFFLE_MIN_BYTES and s_min / b > SHUFFLE_GATE):
+            del superlinear[n]
+            print(f"shuffle re-measure cleared {n}: min {s_min >> 20} MiB", flush=True)
     expected_superlinear = {
         n: (shuffle_ratios.get(n), EXPECTED_SUPERLINEAR[n])
         for n in superlinear
