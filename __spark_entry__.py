@@ -315,6 +315,11 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # brute-force baseline now runs at the sf0.1 corpus size, the
     # bucketed twins are the scale path. Plan + oracle changed:
     "q_cosine_pairs",
+    # r10 rehearsal max-ratio fix: q_skyline gained a NULL-safe
+    # two-corner pre-filter (complete by domination transitivity; sf1
+    # anti-join input 200k -> 3,740 rows). Oracle unchanged (brute-force
+    # NOT EXISTS) so the hash check proves prune completeness:
+    "q_skyline",
 })
 
 
