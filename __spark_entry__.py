@@ -320,6 +320,13 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # anti-join input 200k -> 3,740 rows). Oracle unchanged (brute-force
     # NOT EXISTS) so the hash check proves prune completeness:
     "q_skyline",
+    # r10 continuation: CMS sketch now built from the vocabulary-scale
+    # exact-counts table (cell = sum of member-word counts — bit-
+    # identical to hashing every occurrence), killing the 4x-per-
+    # occurrence md5 + corpus-scale DISK_ONLY persist (5.6x wall at 10x
+    # data -> linear; sf0.1 1.89 s -> 0.76 s). Oracle unchanged, so the
+    # hash check proves the algebraic identity:
+    "q_cms_heavy_hitters",
 })
 
 

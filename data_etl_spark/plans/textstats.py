@@ -1375,29 +1375,35 @@ WHERE e.n_exact >= {_CMS_MIN}
 
 @register("q_cms_heavy_hitters", oracle=_CMS_ORACLE, tags=("phase3", "sketch", "textstats"))
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch estimates vs exact counts for heavy-hitter words."""
-    from pyspark import StorageLevel
+    """Count-Min sketch estimates vs exact counts for heavy-hitter words.
 
-    d = load_table(spark, sf_dir, "documents")
-    # one tokenize pass feeds both the sketch build and the exact counts.
-    # DISK_ONLY: the exploded token stream is corpus-scale (~|tokens|
-    # rows) — caching it in executor memory would evict hotter blocks at
-    # 100 TB, the same reasoning as q_dup_spans' 8-gram intermediate.
+    The sketch is built from the exact (word, count) table, not the raw
+    token stream: a CMS cell is sum(count) over the words hashing into
+    it, so hashing each DISTINCT word once and summing its count is
+    bit-identical to hashing every occurrence — while cutting the md5
+    work from D x |tokens| to D x |distinct words| and removing the
+    corpus-scale token persist the previous plan carried (measured 5.6x
+    wall at 10x data; the superlinear term was the 4x-per-occurrence
+    md5 + DISK_ONLY round-trip, not the sketch itself).
+    """
     from ..cache import tracked_persist
 
-    tok = tracked_persist(
-        d.select(F.explode(TX.words(F.col("text"))).alias("word")),
-        StorageLevel.DISK_ONLY,
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+    # exact counts: the one corpus-keyed shuffle; distinct-words-sized
+    # output feeds both the sketch build and the heavy-hitter probe, so
+    # persist THIS (vocabulary-scale), not the token stream.
+    exact = tracked_persist(
+        tok.groupBy("word").agg(F.count("*").alias("n_exact"))
     )
     seeds = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
     bucket = F.expr(_CMS_BUCKET)
-    cells = tok.select("word", F.explode(seeds).alias("s")).withColumn(
+    cells = exact.select("word", "n_exact", F.explode(seeds).alias("s")).withColumn(
         "bucket", bucket
     )
     # the sketch: _CMS_D x _CMS_W rows total — partial-aggregated map-side,
     # broadcastable forever
-    sketch = cells.groupBy("s", "bucket").agg(F.count("*").alias("c"))
-    exact = tok.groupBy("word").agg(F.count("*").alias("n_exact"))
+    sketch = cells.groupBy("s", "bucket").agg(F.sum("n_exact").alias("c"))
     heavy = exact.filter(F.col("n_exact") >= _CMS_MIN)
     q = heavy.select("word", "n_exact", F.explode(seeds).alias("s")).withColumn(
         "bucket", bucket

@@ -270,12 +270,15 @@ def test_lm_perplexity_vocab_rides_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize("name", ["q_dup_spans", "q_cms_heavy_hitters"])
+@pytest.mark.parametrize("name", ["q_dup_spans"])
 def test_corpus_scale_persist_is_disk_only(spark, sf_dir, name):
     """Queries that persist a corpus-scale intermediate (q_dup_spans'
-    8-gram table, q_cms_heavy_hitters' exploded token stream) must use
-    DISK_ONLY at 100 TB (sequential re-read, no executor-memory eviction
-    storm), not MEMORY_AND_DISK."""
+    8-gram table) must use DISK_ONLY at 100 TB (sequential re-read, no
+    executor-memory eviction storm), not MEMORY_AND_DISK.
+    (q_cms_heavy_hitters left this list in round 10: its sketch now
+    builds from the vocabulary-scale exact-counts table, so it no
+    longer persists anything corpus-scale — see test_cms_persist_is_
+    vocabulary_scale below.)"""
     from data_etl_spark.plans import REGISTRY
 
     # Evict EVERYTHING cached first: clearCache() misses localCheckpoint
@@ -339,6 +342,44 @@ def test_cms_sketch_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_persist_is_vocabulary_scale(spark, sf_dir):
+    """The r10 CMS re-plan builds the sketch from the exact (word, count)
+    table — a CMS cell is sum(count) over the words hashing into it, so
+    hashing each DISTINCT word once is bit-identical to hashing every
+    occurrence. The plan must therefore persist only the vocabulary-scale
+    counts table (rows == distinct words), never the corpus-scale token
+    stream the pre-r10 plan round-tripped through DISK_ONLY (measured
+    5.6x wall at 10x data from the 4x-per-occurrence md5 + spill)."""
+    from data_etl_spark.plans import REGISTRY
+
+    import pyspark.sql.functions as F
+
+    spark.catalog.clearCache()
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist()
+    df = REGISTRY["q_cms_heavy_hitters"].fn(spark, sf_dir)
+    try:
+        df.count()
+        corpus_bytes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .agg(F.sum(F.length("text")))
+            .first()[0]
+        )
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert infos, "CMS no longer persists its shared counts table"
+        cached = sum(i.memSize() + i.diskSize() for i in infos)
+        # the old token-stream persist was >= corpus text bytes; the
+        # (word, count) table is vocabulary-scale — orders below it
+        assert cached < corpus_bytes / 2, (
+            f"persisted {cached}B vs corpus {corpus_bytes}B — "
+            "corpus-scale persist is back"
+        )
+    finally:
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist()
 
 
 def test_semantic_dedup_confines_quadratic_step(spark, sf_dir):
