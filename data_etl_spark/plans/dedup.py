@@ -930,10 +930,12 @@ def _triangle_census(e: DataFrame) -> DataFrame:
     )
     close = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = w.join(close, ["b", "c"])
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # one explode, not a 3-way unionAll of tri projections: Spark does
+    # not dedupe the common subplan across union branches, so the union
+    # form executed the wedge+close joins THREE times (measured 3x the
+    # census wall at sf0.1 — round-10 fix, values identical)
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
@@ -1192,9 +1194,20 @@ def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LSH-candidate lineage textually, but at runtime every replica
     # hits the cached edge blocks (measured: same wall time as a
     # checkpoint, without running jobs at plan-construction time).
+    # Symmetrize via ONE explode, not cand.union(cand.select(v, u)):
+    # only `edges` is persisted, so the union form recomputed the whole
+    # combo-bucket candidate subtree twice when these blocks first
+    # materialize. And no distinct: shared_seed_pairs is already
+    # distinct with u < v, so the mirrored rows cannot collide (r10).
     edges = tracked_persist(
-        cand.union(cand.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+        cand.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
     )
     # deg feeds every iteration's contribution join plus the final select —
     # persist the one-shuffle aggregate instead of re-shuffling edges 5x
