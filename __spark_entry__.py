@@ -327,6 +327,13 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # data -> linear; sf0.1 1.89 s -> 0.76 s). Oracle unchanged, so the
     # hash check proves the algebraic identity:
     "q_cms_heavy_hitters",
+    # r10 continuation: PQ codeword assignment re-planned from a
+    # row_number window (per-partition sort of corpus x subspace x
+    # codeword) to a min(struct(d, cent_id, cw)) hash-agg — identical
+    # (d ASC, cent_id ASC) argmin semantics, but the 16 codeword
+    # candidates collapse map-side (SemDeDup assignment shape). Oracle
+    # unchanged:
+    "q_pq_knn",
 })
 
 

@@ -1246,13 +1246,25 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_vec_id"), "s", "sv"
     )
     d = F.sqrt(V.seq_l2sq(F.col("sv"), F.col("cw")))
-    w = W.partitionBy("c_vec_id", "s").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    # argmin as a min(struct) hash-agg, not a row_number window: the
+    # window form sorts the full (corpus x subspace x codeword) join
+    # output per partition, while min(struct(__d, cent_id, cw)) —
+    # lexicographic, so identical (d ASC, cent_id ASC) semantics —
+    # collapses the 16 codeword candidates map-side before any shuffle,
+    # leaving n x m rows on the wire (the SemDeDup assignment shape,
+    # VERDICT r9 #3).
     assign = (
         csub.join(F.broadcast(cb), "s")
-        .withColumn("__d", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_vec_id", "s", "cw")
+        .select(
+            "c_vec_id",
+            "s",
+            F.struct(
+                d.alias("__d"), F.col("cent_id"), F.col("cw").alias("cw")
+            ).alias("t"),
+        )
+        .groupBy("c_vec_id", "s")
+        .agg(F.min("t").alias("t"))
+        .select("c_vec_id", "s", F.col("t.cw").alias("cw"))
     )
     deq = assign.groupBy("c_vec_id").agg(
         F.flatten(
