@@ -334,6 +334,12 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # candidates collapse map-side (SemDeDup assignment shape). Oracle
     # unchanged:
     "q_pq_knn",
+    # r10 continuation, NEW query: BPE merge learning (Sennrich 2016) —
+    # first 3 merge rules by weighted pair count; after one corpus scan
+    # everything is vocabulary-scale (sf1/sf0.1 wall ratio 1.15x). The
+    # greedy-replace encoding contract is property-pinned in
+    # tests/test_properties.py on both engines:
+    "q_bpe_merges",
 })
 
 

@@ -1482,6 +1482,148 @@ def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_bpe_merges — byte-pair-encoding merge LEARNING (Sennrich et al. 2016,
+# ACL — the tokenizer-training step itself, not just token counting):
+# the first _BPE_ROUNDS merge rules learned from the corpus, each round
+# picking the adjacent symbol pair with the highest word-frequency-
+# weighted count (tie: pair ascending) and fusing it everywhere.
+#
+# Scale: this is THE textbook reason BPE trains on 100 TB — after ONE
+# corpus scan builds the (word, freq) table, every round's pair count,
+# argmax, and merge rewrite runs on the VOCABULARY (distinct words), so
+# adding corpus only grows the first scan. Each round is: explode
+# adjacent pairs per word type (weighted by freq, summed map-side), a
+# 1-row top-1 (TakeOrderedAndProject — never a global sort), broadcast
+# it back, and a literal string replace per word type.
+#
+# Merge rewrite correctness (both engines run the identical literal
+# replace, so this is a contract, not a hope): symbol sequences are
+# encoded with DOUBLE-space separators plus single-space anchors —
+# seq = '  a  b  c  ' — and the pattern ' p1  p2 ' -> ' p1p2 '.
+# The anchor spaces make a symbol-BOUNDARY part of the pattern (the
+# pair (l, l) cannot match inside '…al  l…'), while the double
+# separator leaves one space on each side after a match is consumed,
+# so left-to-right non-overlapping replace() implements exactly BPE's
+# greedy merge scan: 'l l l' -> '(ll) l', and adjacent disjoint
+# occurrences 'a b a b' both fuse. Symbols are seeded from [a-z0-9]
+# characters only, so no symbol ever contains a space.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    outs = []
+    prev = "s0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+sp{r} AS (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS u
+    FROM (SELECT freq, string_split(trim({prev}.seq), '  ') AS syms FROM {prev})
+    WHERE len(syms) >= 2
+),
+c{r} AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM sp{r} GROUP BY 1, 2),
+t{r} AS (SELECT a, b, pair_count FROM c{r} ORDER BY pair_count DESC, a, b LIMIT 1),
+s{r} AS (SELECT word, freq,
+                replace(seq, ' ' || t{r}.a || '  ' || t{r}.b || ' ',
+                             ' ' || t{r}.a || t{r}.b || ' ') AS seq
+         FROM {prev}, t{r})""")
+        outs.append(
+            f"SELECT CAST({r} AS INT) AS merge_round, a AS p1, b AS p2, "
+            f"a || b AS merged, pair_count FROM t{r}"
+        )
+        prev = f"s{r}"
+    return f"""
+WITH tok AS (SELECT unnest({TX.words_sql('text')}) AS word FROM documents),
+wf AS (
+    SELECT word, count(*) AS freq FROM tok
+    WHERE regexp_full_match(word, '[a-z0-9]+')
+    GROUP BY word
+),
+s0 AS (
+    SELECT word, freq,
+           '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq
+    FROM wf
+),{",".join(rounds)}
+{" UNION ALL ".join(outs)}
+"""
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle(), tags=("phase3", "textstats", "tokenizer"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First _BPE_ROUNDS BPE merge rules (pair, weighted count) learned
+    from the corpus — see the block comment for the encoding contract
+    and the vocabulary-scale cost argument."""
+    from ..cache import tracked_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+    # the ONE corpus-keyed shuffle; everything below is vocabulary-scale
+    wf = tok.filter(F.col("word").rlike("^[a-z0-9]+$")).groupBy("word").agg(
+        F.count("*").alias("freq")
+    )
+    seq0 = F.concat(
+        F.lit("  "),
+        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "  "),
+        F.lit("  "),
+    )
+    cur = tracked_persist(wf.select("word", "freq", seq0.alias("seq")))
+
+    def top_pair(wf_seq: DataFrame) -> DataFrame:
+        syms_tbl = wf_seq.select(
+            "freq", F.split(F.trim(F.col("seq")), "  ").alias("syms")
+        ).filter(F.size("syms") >= 2)
+        pairs = syms_tbl.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        counts = pairs.groupBy("a", "b").agg(
+            F.sum("freq").cast("bigint").alias("pair_count")
+        )
+        # 1-row top-k: per-partition heap + driver merge, never a global sort
+        return counts.orderBy(F.desc("pair_count"), "a", "b").limit(1)
+
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        # two consumers (the output row and the merge rewrite) — persist
+        # the 1-row winner so the pair-count agg runs once per round
+        t = tracked_persist(top_pair(cur))
+        row = t.select(
+            F.lit(r).cast("int").alias("merge_round"),
+            F.col("a").alias("p1"),
+            F.col("b").alias("p2"),
+            F.concat("a", "b").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < _BPE_ROUNDS:
+            cur = tracked_persist(
+                cur.crossJoin(
+                    F.broadcast(
+                        t.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
+                    )
+                ).select(
+                    "word",
+                    "freq",
+                    F.expr(
+                        "replace(seq, concat(' ', __a, '  ', __b, ' '),"
+                        " concat(' ', __a, __b, ' '))"
+                    ).alias("seq"),
+                )
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # q_span_corruption — T5-style span-corruption prep (Raffel et al. 2020):
 # select non-overlapping token spans to mask, deterministically. Candidate
 # starts sit on a stride-4 grid (so 3-token spans can never overlap) and

@@ -552,3 +552,35 @@ def test_triangle_census_degree_oriented_equals_brute(spark):
     # sanity on the fixture itself: hub participates in all 10 cycle
     # triangles, each clique member in 3
     assert expected["h"] == 10 and expected["k0"] == 3
+
+
+def test_bpe_merge_encoding_contract(spark):
+    """The q_bpe_merges seq encoding (double-space separators + single-
+    space anchors) makes literal replace() implement BPE's greedy
+    left-to-right merge scan, and Spark + DuckDB agree byte-for-byte:
+
+    - 'l l l' + merge (l,l) -> '(ll) l', never '(ll)(ll?)': the second
+      overlapping occurrence must NOT fuse;
+    - 'a b a b' -> '(ab) (ab)': adjacent DISJOINT occurrences both fuse
+      (a shared single-space delimiter would eat the second);
+    - 'al l' + merge (l,l) stays untouched: the anchor space makes the
+      symbol boundary part of the pattern, so no match inside 'al'.
+    """
+    import duckdb
+
+    cases = [
+        ("  l  l  l  ", "l", "l", "  ll  l  "),
+        ("  a  b  a  b  ", "a", "b", "  ab  ab  "),
+        ("  al  l  ", "l", "l", "  al  l  "),
+    ]
+    for seq, p1, p2, want in cases:
+        got_spark = spark.sql(
+            "SELECT replace(:seq, concat(' ', :p1, '  ', :p2, ' '),"
+            " concat(' ', :p1, :p2, ' ')) AS s",
+            args={"seq": seq, "p1": p1, "p2": p2},
+        ).first()["s"]
+        got_duck = duckdb.sql(
+            f"SELECT replace('{seq}', ' {p1}  {p2} ', ' {p1}{p2} ')"
+        ).fetchone()[0]
+        assert got_spark == want, (seq, p1, p2, got_spark)
+        assert got_duck == want, (seq, p1, p2, got_duck)
