@@ -340,6 +340,10 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # greedy-replace encoding contract is property-pinned in
     # tests/test_properties.py on both engines:
     "q_bpe_merges",
+    # r10 continuation, NEW query: the learned merges APPLIED — per-doc
+    # post-merge token counts + compression; the (word -> symbols)
+    # vocab table joins the occurrence stream (sf1/sf0.1 ratio 1.45x):
+    "q_bpe_encode",
 })
 
 

@@ -1553,19 +1553,18 @@ s0 AS (
 """
 
 
-@register("q_bpe_merges", oracle=_bpe_oracle(), tags=("phase3", "textstats", "tokenizer"))
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First _BPE_ROUNDS BPE merge rules (pair, weighted count) learned
-    from the corpus — see the block comment for the encoding contract
-    and the vocabulary-scale cost argument."""
+def _bpe_learn(d: DataFrame):
+    """(merge rows, final vocab symbol table, per-occurrence tokens) —
+    the shared kernel behind q_bpe_merges (the rules) and q_bpe_encode
+    (the rules APPLIED). All merge work is vocabulary-scale; `final`
+    is lazy, so q_bpe_merges never pays for the last rewrite."""
     from ..cache import tracked_persist
 
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word"))
-    # the ONE corpus-keyed shuffle; everything below is vocabulary-scale
-    wf = tok.filter(F.col("word").rlike("^[a-z0-9]+$")).groupBy("word").agg(
-        F.count("*").alias("freq")
+    tok = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word")).filter(
+        F.col("word").rlike("^[a-z0-9]+$")
     )
+    # the ONE corpus-keyed shuffle; everything below is vocabulary-scale
+    wf = tok.groupBy("word").agg(F.count("*").alias("freq"))
     seq0 = F.concat(
         F.lit("  "),
         F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "  "),
@@ -1605,22 +1604,122 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
         out = row if out is None else out.unionAll(row)
-        if r < _BPE_ROUNDS:
-            cur = tracked_persist(
-                cur.crossJoin(
-                    F.broadcast(
-                        t.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
-                    )
-                ).select(
-                    "word",
-                    "freq",
-                    F.expr(
-                        "replace(seq, concat(' ', __a, '  ', __b, ' '),"
-                        " concat(' ', __a, __b, ' '))"
-                    ).alias("seq"),
+        cur = tracked_persist(
+            cur.crossJoin(
+                F.broadcast(
+                    t.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
                 )
+            ).select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(seq, concat(' ', __a, '  ', __b, ' '),"
+                    " concat(' ', __a, __b, ' '))"
+                ).alias("seq"),
             )
+        )
+    return out, cur, tok
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle(), tags=("phase3", "textstats", "tokenizer"))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First _BPE_ROUNDS BPE merge rules (pair, weighted count) learned
+    from the corpus — see the block comment for the encoding contract
+    and the vocabulary-scale cost argument."""
+    out, _final, _tok = _bpe_learn(load_table(spark, sf_dir, "documents"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_encode — the learned merges APPLIED: encode every document with
+# the post-merge vocabulary and report per-doc token counts and the
+# compression the merges bought. At scale this is the tokenizer's
+# serving path: the (word -> symbol sequence) table is the model — a
+# vocabulary-scale artifact joined onto the corpus occurrence stream
+# (AQE broadcasts it when it fits) — so encoding costs one corpus scan
+# plus one vocab join, and re-learning never touches the corpus again.
+# Words outside [a-z0-9]+ are excluded from encoding, matching what the
+# merges were learned on.
+# ---------------------------------------------------------------------------
+
+_BPE_ENCODE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({TX.words_sql('text')}) AS word FROM documents),
+wtok AS (SELECT doc_id, word FROM tok WHERE regexp_full_match(word, '[a-z0-9]+')),
+wf AS (SELECT word, count(*) AS freq FROM wtok GROUP BY word),
+s0 AS (
+    SELECT word, freq,
+           '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS seq
+    FROM wf
+),{{rounds}},
+enc AS (
+    SELECT word,
+           len(string_split(trim(s{_BPE_ROUNDS}.seq), '  ')) AS n_tok,
+           length(word) AS n_chars
+    FROM s{_BPE_ROUNDS}
+)
+SELECT d.doc_id,
+       CAST(count(w.word) AS BIGINT) AS n_words_enc,
+       CAST(coalesce(sum(e.n_chars), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(sum(e.n_tok), 0) AS BIGINT) AS n_tokens,
+       CAST(sum(e.n_chars) AS DOUBLE) / sum(e.n_tok) AS compression
+FROM documents d
+LEFT JOIN wtok w ON d.doc_id = w.doc_id
+LEFT JOIN enc e ON w.word = e.word
+GROUP BY d.doc_id
+"""
+
+
+def _bpe_encode_oracle() -> str:
+    # same unrolled merge chain as _bpe_oracle, ending at s{_BPE_ROUNDS}
+    rounds = []
+    prev = "s0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+sp{r} AS (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS u
+    FROM (SELECT freq, string_split(trim({prev}.seq), '  ') AS syms FROM {prev})
+    WHERE len(syms) >= 2
+),
+c{r} AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM sp{r} GROUP BY 1, 2),
+t{r} AS (SELECT a, b, pair_count FROM c{r} ORDER BY pair_count DESC, a, b LIMIT 1),
+s{r} AS (SELECT word, freq,
+                replace(seq, ' ' || t{r}.a || '  ' || t{r}.b || ' ',
+                             ' ' || t{r}.a || t{r}.b || ' ') AS seq
+         FROM {prev}, t{r})""")
+        prev = f"s{r}"
+    return _BPE_ENCODE_ORACLE.format(rounds=",".join(rounds))
+
+
+@register("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("phase3", "textstats", "tokenizer"))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE token counts after _BPE_ROUNDS learned merges."""
+    d = load_table(spark, sf_dir, "documents")
+    _rules, final, tok = _bpe_learn(d)
+    enc = final.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_tok"),
+        F.length("word").alias("n_chars"),
+    )
+    # vocab-scale lookup onto the occurrence stream; no broadcast hint —
+    # the vocabulary is corpus-unbounded at 100 TB, AQE picks broadcast
+    # while it fits
+    per_occ = tok.join(enc, "word", "left")
+    return (
+        d.select("doc_id")
+        .join(per_occ, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("word").cast("bigint").alias("n_words_enc"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.try_divide(
+                F.sum("n_chars").cast("double"), F.sum("n_tok")
+            ).alias("compression"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

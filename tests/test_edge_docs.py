@@ -57,6 +57,11 @@ _QUERIES = [
     "q_shingle_containment",
     "q_lsh_tuning_curve",
     "q_source_cap",
+    # round-10 tokenizer-training pair: doc 0 (empty) must encode to
+    # zero words, doc 3 (pure repetition) dominates the merge counts,
+    # doc 7's non-[a-z0-9] words are excluded from learning AND encode
+    "q_bpe_merges",
+    "q_bpe_encode",
 ]
 
 
