@@ -666,6 +666,9 @@ def test_registry_queries_drain_to_baseline(spark, sf_dir):
         # r9: auto_dedup's banded branch added a second tracked persist
         # (the candidate pair set) next to the shingle one
         "q_dedup_auto", "q_dedup_clusters", "q_keep_best",
+        # r10: BPE learning persists the per-round vocab seq tables and
+        # 1-row winners; encode adds the final-vocab consumer
+        "q_bpe_merges", "q_bpe_encode",
     ]
     for name in names:
         if name not in REGISTRY:
