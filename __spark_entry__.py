@@ -344,6 +344,12 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # post-merge token counts + compression; the (word -> symbols)
     # vocab table joins the occurrence stream (sf1/sf0.1 ratio 1.45x):
     "q_bpe_encode",
+    # r10 continuation, NEW query: contrastive triple mining — positives
+    # from the banded LSH candidates, hard negative = the most
+    # lexically-overlapping NON-candidate (DF-capped co-shingle pairs
+    # anti-joined against candidates; per-anchor argmax as a
+    # min(struct) hash-agg):
+    "q_hard_negatives",
 })
 
 

@@ -1327,6 +1327,127 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_hard_negatives — contrastive-training triple mining: for every
+# anchor document that has a near-dup (an LSH-banded candidate — the
+# POSITIVE for embedding-model training), find the HARD NEGATIVE: the
+# most lexically-overlapping document that the banded LSH did NOT flag.
+# Pairs that share many shingles yet fall below the candidate threshold
+# are exactly the confusable non-duplicates a contrastive objective
+# needs — random negatives are trivially separable (Robinson et al.
+# 2021, "Contrastive Learning with Hard Negative Samples", public).
+#
+# Scale: positives come from the J^2-background banded candidate set;
+# the negative pool is the DF-capped co-shingle pair set anti-joined
+# against the candidates (both corpus-linear under the cap); the
+# per-anchor argmax is a min(struct(-n_common, partner)) hash-agg —
+# map-side combined, no window sorts anywhere. Ties: smaller partner id.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+cand AS (SELECT doc1, doc2 FROM ({_BANDED_ORACLE})),
+pairs AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+negp AS (
+    SELECT p.doc1, p.doc2, p.n_common FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM cand c
+                      WHERE c.doc1 = p.doc1 AND c.doc2 = p.doc2)
+),
+possym AS (
+    SELECT doc1 AS anchor, doc2 AS partner FROM cand
+    UNION ALL SELECT doc2, doc1 FROM cand
+),
+pos AS (SELECT anchor, min(partner) AS positive FROM possym GROUP BY anchor),
+negsym AS (
+    SELECT doc1 AS anchor, doc2 AS partner, n_common FROM negp
+    UNION ALL SELECT doc2, doc1, n_common FROM negp
+),
+hard AS (
+    SELECT anchor, partner AS hard_negative, n_common AS neg_common
+    FROM (SELECT anchor, partner, n_common,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY n_common DESC, partner) AS rn
+          FROM negsym) WHERE rn = 1
+)
+SELECT p.anchor, p.positive,
+       h.hard_negative,
+       CAST(h.neg_common AS BIGINT) AS neg_common
+FROM pos p LEFT JOIN hard h ON p.anchor = h.anchor
+"""
+
+
+@register(
+    "q_hard_negatives", oracle=_HARDNEG_ORACLE, tags=("phase3", "dedup", "curation")
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard_negative, neg_common) contrastive triples
+    — see the block comment for semantics and the scale argument."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    # the shingle set feeds the signature path AND the co-shingle pair
+    # stats — one corpus-scale materialization (house DISK_ONLY policy)
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+    # two consumers: the anti-join probe and the positive-partner agg
+    cand = tracked_persist(
+        DD.banded_candidate_pairs(DD.minhash_signatures(sh)).select("doc1", "doc2")
+    )
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc1"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    negp = pairs.join(cand, ["doc1", "doc2"], "left_anti")
+
+    def _sym(df: DataFrame, *extra: str) -> DataFrame:
+        # one evaluation of the input plan (components.py explode rule)
+        both = F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc1").alias("anchor"),
+                    F.col("doc2").alias("partner"),
+                    *[F.col(c) for c in extra],
+                ),
+                F.struct(
+                    F.col("doc2").alias("anchor"),
+                    F.col("doc1").alias("partner"),
+                    *[F.col(c) for c in extra],
+                ),
+            )
+        )
+        return df.select(both.alias("e")).select("e.*")
+
+    pos = _sym(cand).groupBy("anchor").agg(F.min("partner").alias("positive"))
+    # argmax by (n_common DESC, partner ASC) as a lexicographic struct
+    # min — map-side combined, identical to the oracle's row_number
+    hard = (
+        _sym(negp, "n_common")
+        .groupBy("anchor")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_common")).alias("negn"),
+                    F.col("partner").alias("p"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "anchor",
+            F.col("t.p").alias("hard_negative"),
+            (-F.col("t.negn")).cast("bigint").alias("neg_common"),
+        )
+    )
+    return pos.join(hard, "anchor", "left").select(
+        "anchor", "positive", "hard_negative", "neg_common"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_incremental_dedup — dedup an arriving BATCH against the standing
 # corpus (the production ingest shape: nobody re-pairs 100 TB for a 1 TB
 # delta). Batch = doc_id % 10 == 7, corpus = the rest. Per batch doc:

@@ -1123,6 +1123,9 @@ _CHAOS_PINNED = [
     # and the duplicated-doc runs dominate the merge counts
     "q_bpe_merges",
     "q_bpe_encode",
+    # round 10: the chaos corpus' duplicate runs create banded positives
+    # while its unicode/NULL docs stress the co-shingle negative pool
+    "q_hard_negatives",
 ]
 
 

@@ -669,6 +669,8 @@ def test_registry_queries_drain_to_baseline(spark, sf_dir):
         # r10: BPE learning persists the per-round vocab seq tables and
         # 1-row winners; encode adds the final-vocab consumer
         "q_bpe_merges", "q_bpe_encode",
+        # r10: contrastive mining persists the shingle set + candidates
+        "q_hard_negatives",
     ]
     for name in names:
         if name not in REGISTRY:
