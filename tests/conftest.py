@@ -2,6 +2,15 @@ from __future__ import annotations
 
 import os
 
+# Tests exercise the driver-contract window build (queries()/
+# oracle_sql()) but must never PERSIST it: recording fingerprints
+# consumes the drift signal the real driver's build relies on, and a
+# pytest run would silently rewrite the committed manifest + staleness
+# report (the same tooling-consumes-drift class driver_sim already
+# guards against). Must be set before __spark_entry__ is imported by
+# any test module.
+os.environ.setdefault("SPARK_GRAFT_WINDOW_READONLY", "1")
+
 import duckdb
 import pytest
 

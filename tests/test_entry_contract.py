@@ -189,6 +189,9 @@ def test_refill_prioritizes_helper_drift(monkeypatch, tmp_path):
     monkeypatch.setattr(
         entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
     )
+    # this test asserts PERSISTENCE (into tmp_path): lift conftest's
+    # suite-wide readonly default for the redirected build only
+    monkeypatch.delenv("SPARK_GRAFT_WINDOW_READONLY", raising=False)
     window = entry_mod._driver_window()
     assert drifted in window, "helper-drifted green must re-enter the window"
     # and the manifest was re-recorded for the new window at round 2
@@ -240,6 +243,9 @@ def test_fp_manifest_covers_entire_registry(monkeypatch, tmp_path):
     monkeypatch.setattr(
         entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
     )
+    # persistence-asserting test: lift the suite-wide readonly default
+    # (the build is redirected to tmp_path, so no repo writes)
+    monkeypatch.delenv("SPARK_GRAFT_WINDOW_READONLY", raising=False)
     entry_mod._driver_window()
     manifest = json.loads((tmp_path / ".driver_fingerprints.json").read_text())
     assert set(manifest) >= set(REGISTRY)
