@@ -351,6 +351,19 @@ _TOUCHED_BY_ROUND[10] = frozenset({
     # min(struct) hash-agg):
     "q_hard_negatives",
 })
+_TOUCHED_BY_ROUND[11] = frozenset({
+    # VERDICT r10 #1 + ADVICE: the co-shingle pairs block factored into
+    # operators/dedup.co_shingle_pairs (one implementation behind
+    # shingle_pair_stats AND q_hard_negatives' negative pool). The
+    # asked-for anchor-restricted directed join was A/B'd and LOST
+    # (53% of sf1 docs are dup-family anchors; 42.9M directed vs 34.7M
+    # symmetric grouped pairs, 14.8 s vs 13.9 s) — rationale committed
+    # in the q_hard_negatives block comment. Expression trees identical
+    # to r10 for the stats consumers; re-verify out of caution
+    # (r5 ivf-assign precedent):
+    "q_hard_negatives", "q_ngram_jaccard", "q_shingle_containment",
+    "q_minhash_estimate", "q_lsh_tuning_curve",
+})
 
 
 def _current_touched() -> frozenset:

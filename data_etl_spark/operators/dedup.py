@@ -302,21 +302,54 @@ def shared_seed_pairs(
     )
 
 
-def shingle_pair_stats(shingles: DataFrame, key: str = "doc_id") -> DataFrame:
-    """(doc1, doc2, n_common, n_sh1, n_sh2) for every co-shingled pair
-    via the inverted index — the ONE implementation of the
-    pairs+sizes block behind Jaccard, containment and the LSH
-    estimate/tuning evals (tie-break doc1 < doc2; pair volume bounded
-    per shingle by the DF cap upstream, never corpus²)."""
-    sizes = shingles.groupBy(key).agg(F.count("*").alias("n_sh"))
-    a = shingles.select(F.col(key).alias("doc1"), "shingle")
+def co_shingle_pairs(
+    shingles: DataFrame,
+    left: DataFrame | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """(doc1, doc2, n_common) via the inverted-index join — the ONE
+    implementation of the co-shingle pairs block (behind Jaccard,
+    containment, the LSH estimate/tuning evals, and hard-negative
+    mining). Pair volume is bounded per shingle by the DF cap
+    upstream, never corpus².
+
+    ``left=None`` (default): symmetric self-join, tie-break
+    doc1 < doc2 — one row per unordered pair.
+
+    ``left=<subset of shingles>``: DIRECTED pairs (doc1 drawn from
+    ``left``, doc2 from the full table, doc1 != doc2). This is the
+    anchor-restricted form: when only a known SMALL subset of docs can
+    ever emit an output row (e.g. an incremental batch probed against
+    the standing corpus), semi-joining the probe side down FIRST cuts
+    the join's pair volume from sum(df²) to sum(df·df_left) — the
+    corpus-scale side is scanned once and never self-joined. Caveat
+    (measured, plans/dedup.q_hard_negatives A/B): the directed form
+    keeps both orientations of left×left pairs, so when ``left``
+    exceeds ~half the corpus it builds MORE grouped pairs than the
+    symmetric form (sf1: 42.9M vs 34.7M, 14.8 s vs 13.9 s) — pick by
+    |left|/|corpus|, not by reflex."""
     b = shingles.select(F.col(key).alias("doc2"), "shingle")
-    pairs = (
+    if left is None:
+        a = shingles.select(F.col(key).alias("doc1"), "shingle")
+        cond = F.col("doc1") < F.col("doc2")
+    else:
+        a = left.select(F.col(key).alias("doc1"), "shingle")
+        cond = F.col("doc1") != F.col("doc2")
+    return (
         a.join(b, "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(cond)
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("n_common"))
     )
+
+
+def shingle_pair_stats(shingles: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc1, doc2, n_common, n_sh1, n_sh2) for every co-shingled pair:
+    ``co_shingle_pairs`` (the one pairs implementation) + per-doc set
+    sizes, the shared block behind Jaccard, containment and the LSH
+    estimate/tuning evals."""
+    sizes = shingles.groupBy(key).agg(F.count("*").alias("n_sh"))
+    pairs = co_shingle_pairs(shingles, key=key)
     s1 = sizes.select(F.col(key).alias("doc1"), F.col("n_sh").alias("n_sh1"))
     s2 = sizes.select(F.col(key).alias("doc2"), F.col("n_sh").alias("n_sh2"))
     # per-doc sizes are corpus-unbounded: no broadcast hint (planner picks)

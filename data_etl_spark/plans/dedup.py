@@ -1341,6 +1341,25 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the candidates (both corpus-linear under the cap); the
 # per-anchor argmax is a min(struct(-n_common, partner)) hash-agg —
 # map-side combined, no window sorts anywhere. Ties: smaller partner id.
+#
+# A/B (sf1, quiet loadavg<2, min-of-2) — why the pair join stays the
+# SYMMETRIC self-join rather than an anchor-restricted directed join:
+# only docs in the candidate set can emit a row, so restricting the
+# probe side to them (co_shingle_pairs(sh, left=sh ⋉ anchors)) looks
+# like a free cut — but at sf1 the dup-family set is 26,415 of 50,000
+# docs (53%), and the directed join must keep BOTH orientations for
+# anchor pairs, so it builds 42.9M grouped pairs vs the unordered
+# self-join's 34.7M: measured 14.8 s vs 13.9 s END-TO-END — the
+# "optimization" loses whenever anchors exceed ~half the corpus, which
+# near-dup-heavy training corpora do. Decomposition of the 13.9 s:
+# shingle materialization 6.2 s + banded candidates 5.7 s (both shared
+# infra, each already A/B-tuned — see word_shingles/minhash docstrings)
+# + pair join 4.1 s + anti-join/argmax/pos-join ~1 s. A second A/B:
+# dropping the outer DISK_ONLY persist of the CAPPED shingle set (the
+# raw set is persisted inside word_shingles) re-runs the cheap
+# broadcast cap anti-join per consumer but re-reads the raw set three
+# times: 16.3 s vs 13.6 s — the persist stays. The pair join is the
+# irreducible ~30% of a wall dominated by shared build cost.
 # ---------------------------------------------------------------------------
 
 _HARDNEG_ORACLE = f"""
@@ -1384,7 +1403,9 @@ FROM pos p LEFT JOIN hard h ON p.anchor = h.anchor
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, positive, hard_negative, neg_common) contrastive triples
-    — see the block comment for semantics and the scale argument."""
+    — see the block comment for semantics, the scale argument, and the
+    two committed losing A/Bs (anchor-restricted directed pair join;
+    dropping the capped-shingle persist)."""
     from pyspark.storagelevel import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
@@ -1395,14 +1416,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = tracked_persist(
         DD.banded_candidate_pairs(DD.minhash_signatures(sh)).select("doc1", "doc2")
     )
-    pairs = (
-        sh.select(F.col("doc_id").alias("doc1"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), "shingle")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    negp = pairs.join(cand, ["doc1", "doc2"], "left_anti")
+    # the ONE pairs implementation (operators/dedup.co_shingle_pairs)
+    negp = DD.co_shingle_pairs(sh).join(cand, ["doc1", "doc2"], "left_anti")
 
     def _sym(df: DataFrame, *extra: str) -> DataFrame:
         # one evaluation of the input plan (components.py explode rule)
