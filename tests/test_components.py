@@ -60,3 +60,42 @@ def test_dedup_clusters_sizes(spark):
     )
     got = {r.doc_id: (r.canonical_id, r.cluster_size) for r in dedup_clusters(pairs).collect()}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """The cluster-scale recovery path: ``checkpoint_interval=K`` must
+    (a) produce the same labels as the default path and (b) actually
+    write reliable-checkpoint RDD files under the configured dir every
+    K rounds — otherwise the documented executor-loss recovery story is
+    dead code (VERDICT r10 #2)."""
+    import os
+
+    sc = spark.sparkContext
+    prev_dir = sc.getCheckpointDir()
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        # chain of 64: pointer doubling needs >= 4 rounds, so
+        # interval=2 takes the reliable branch at least twice
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "src long, dst long"
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                edges, checkpoint_interval=2
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(65)}
+        # reliable checkpoints are materialized as rdd-* dirs with
+        # part-files under <dir>/<app-uuid>/
+        rdd_dirs = [
+            d
+            for root, dirs, _ in os.walk(ckpt_dir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) >= 2, f"expected >=2 reliable checkpoints, saw {rdd_dirs}"
+    finally:
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
