@@ -263,15 +263,15 @@ def test_staleness_report_written_and_bounded(monkeypatch, tmp_path):
 
     (A bound of 4 is arithmetically impossible: ~206 names / 50 slots
     needs >=5 rounds of pure rotation before fresh/touched/drift
-    displacement. 7 = the observed rotation bound with current
-    touched-set pressure — tightened from 8 per VERDICT r9 #4 once the
-    staleness-7 tail (q_sliding_window, q_streaming_tumbling) entered
-    the round-10 window; the committed r10 report's max outside the
-    window is 6.)"""
+    displacement. Ratchet history: 8 -> 7 (VERDICT r9 #4, once the
+    staleness-7 tail entered the round-10 window) -> 6 (VERDICT r10 #6;
+    the committed r10 report's max outside the window is 5). Next
+    ratchet step once a post-r11 report holds it: <= 5 — the
+    arithmetic floor given the touched-set pressure.)"""
     import json
 
     repo_report = json.loads(open("WINDOW_STALENESS.json").read())
-    assert repo_report["max_green_staleness_outside_window"] <= 7
+    assert repo_report["max_green_staleness_outside_window"] <= 6
     assert set(repo_report["queries"]) == set(
         __import__("data_etl_spark.plans", fromlist=["REGISTRY"]).REGISTRY
     )
