@@ -1,0 +1,222 @@
+"""Parameterized stage-level profiler — the one home for plan A/B
+measurement recipes (VERDICT r10 #5: consolidates the four
+profile_setsim*.py scratch scripts; their committed sf1 numbers live in
+the operator docstrings they informed, `operators/dedup.setsim_pairs`
+and `plans/dedup.q_setsim_join`).
+
+Usage: python scripts/profile_plan.py EXPERIMENT [sf_dir]
+
+Experiments (each prints per-stage wall + row counts):
+  setsim-stages     shingle build / prefix build / candidate join /
+                    exact verification of the PPJoin pipeline
+  setsim-verify-ab  verification shapes: per-doc arrays+array_intersect
+                    (A, shipped) vs candidate-restricted token join (B)
+                    — r10 measured A 4.5 s vs B 11.1 s at sf1
+  setsim-prefix-ab  token-DF shapes: groupBy+join (A) vs window count
+                    over partitionBy(shingle) (B, shipped) — r10
+                    measured B one agg+join cheaper, same exchanges
+  hardneg-pairs-ab  co-shingle pair shapes for q_hard_negatives:
+                    symmetric self-join (A, shipped) vs anchor-
+                    restricted directed join (B) — r11 measured A 34.7M
+                    grouped pairs vs B 42.9M (53% of sf1 docs are
+                    dup-family anchors; B loses, see the
+                    q_hard_negatives block comment)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ".")
+
+from pyspark import StorageLevel  # noqa: E402
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_etl_spark.cache import release_tracked, tracked_persist  # noqa: E402
+from data_etl_spark.operators import dedup as DD  # noqa: E402
+from data_etl_spark.sources import load_table  # noqa: E402
+from data_etl_spark.session import build_session  # noqa: E402
+
+TAU = 0.5
+KEY = "doc_id"
+
+
+def _stage(label: str, fn):
+    t0 = time.perf_counter()
+    n = fn()
+    print(f"{label}: {time.perf_counter() - t0:.2f}s  ({n})", flush=True)
+
+
+def _shingles(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+    _stage("shingles build+persist", sh.count)
+    return sh
+
+
+def _prefix(sh):
+    """PPJoin prefix via the shipped window-count DF shape."""
+    order = W.partitionBy(KEY).orderBy("__df", "shingle")
+    ranked = sh.select(
+        KEY, "shingle", F.count("*").over(W.partitionBy("shingle")).alias("__df")
+    ).select(
+        KEY, "shingle",
+        F.row_number().over(order).alias("__rk"),
+        F.count("*").over(W.partitionBy(KEY)).alias("n_sh"),
+    )
+    return ranked.filter(
+        F.col("__rk") <= F.col("n_sh") - F.floor(F.lit(TAU) * F.col("n_sh")) + 1
+    )
+
+
+def _cand(prefix):
+    a = prefix.select(F.col(KEY).alias("doc1"), "shingle",
+                      F.col("n_sh").alias("n_sh1"), F.col("__rk").alias("__rk1"))
+    b = prefix.select(F.col(KEY).alias("doc2"), "shingle",
+                      F.col("n_sh").alias("n_sh2"), F.col("__rk").alias("__rk2"))
+    size_ok = (F.least("n_sh1", "n_sh2").cast("double")
+               >= F.lit(TAU) * F.greatest("n_sh1", "n_sh2") - F.lit(1e-9))
+    pos_ok = (1 + F.least(F.col("n_sh1") - F.col("__rk1"),
+                          F.col("n_sh2") - F.col("__rk2"))).cast("double") \
+        >= F.lit(TAU / (1.0 + TAU)) * (F.col("n_sh1") + F.col("n_sh2")) - F.lit(1e-9)
+    return (
+        a.join(b, "shingle")
+        .filter((F.col("doc1") < F.col("doc2")) & size_ok & pos_ok)
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def _jac():
+    return F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    )
+
+
+def setsim_stages(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    prefix = tracked_persist(_prefix(sh), StorageLevel.DISK_ONLY)
+    _stage("prefix build (window df + rank)", prefix.count)
+    cand = tracked_persist(_cand(prefix))
+    _stage("candidate join (size+positional prunes)", cand.count)
+    members = cand.select(F.explode(F.array("doc1", "doc2")).alias(KEY)).distinct()
+    arrs = (
+        sh.join(members, KEY, "left_semi")
+        .groupBy(KEY)
+        .agg(F.collect_list("shingle").alias("__arr"), F.count("*").alias("n_sh"))
+    )
+    verified = (
+        cand.join(arrs.select(F.col(KEY).alias("doc1"), F.col("__arr").alias("__a1"),
+                              F.col("n_sh").alias("n_sh1")), "doc1")
+        .join(arrs.select(F.col(KEY).alias("doc2"), F.col("__arr").alias("__a2"),
+                          F.col("n_sh").alias("n_sh2")), "doc2")
+        .select("doc1", "doc2",
+                F.size(F.array_intersect("__a1", "__a2")).alias("n_common"),
+                "n_sh1", "n_sh2")
+    )
+    _stage("verification (arrays)", verified.filter(_jac() >= F.lit(TAU)).count)
+
+
+def setsim_verify_ab(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    prefix = tracked_persist(_prefix(sh), StorageLevel.DISK_ONLY)
+    cand = tracked_persist(_cand(prefix))
+    _stage("shared prefix+cand", cand.count)
+    members = cand.select(F.explode(F.array("doc1", "doc2")).alias(KEY)).distinct()
+    shm = sh.join(members, KEY, "left_semi")
+
+    arrs = tracked_persist(
+        shm.groupBy(KEY).agg(F.collect_list("shingle").alias("__arr"),
+                             F.count("*").alias("n_sh")),
+        StorageLevel.DISK_ONLY,
+    )
+    vA = (
+        cand.join(arrs.select(F.col(KEY).alias("doc1"), F.col("__arr").alias("__a1"),
+                              F.col("n_sh").alias("n_sh1")), "doc1")
+        .join(arrs.select(F.col(KEY).alias("doc2"), F.col("__arr").alias("__a2"),
+                          F.col("n_sh").alias("n_sh2")), "doc2")
+        .select("doc1", "doc2",
+                F.size(F.array_intersect("__a1", "__a2")).alias("n_common"),
+                "n_sh1", "n_sh2")
+    )
+    _stage("verify A (arrays, shipped)", vA.filter(_jac() >= F.lit(TAU)).count)
+
+    sizes = shm.groupBy(KEY).agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.join(shm.select(F.col(KEY).alias("doc1"), "shingle"), "doc1")
+        .join(shm.select(F.col(KEY).alias("doc2"), "shingle"), ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    vB = (
+        common
+        .join(sizes.select(F.col(KEY).alias("doc1"),
+                           F.col("n_sh").alias("n_sh1")), "doc1")
+        .join(sizes.select(F.col(KEY).alias("doc2"),
+                           F.col("n_sh").alias("n_sh2")), "doc2")
+    )
+    _stage("verify B (token join)", vB.filter(_jac() >= F.lit(TAU)).count)
+
+
+def setsim_prefix_ab(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    order = W.partitionBy(KEY).orderBy("__df", "shingle")
+
+    def pred(c):
+        return c.filter(
+            F.col("__rk") <= F.col("n_sh") - F.floor(F.lit(TAU) * F.col("n_sh")) + 1
+        )
+
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    rankedA = sh.join(df_counts, "shingle").select(
+        KEY, "shingle",
+        F.row_number().over(order).alias("__rk"),
+        F.count("*").over(W.partitionBy(KEY)).alias("n_sh"),
+    )
+    _stage("prefix A (groupBy+join)", pred(rankedA).count)
+    _stage("prefix B (window df, shipped)", pred(_prefix(sh)).count)
+
+
+def hardneg_pairs_ab(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    cand = tracked_persist(
+        DD.banded_candidate_pairs(DD.minhash_signatures(sh)).select("doc1", "doc2")
+    )
+    _stage("banded candidates", cand.count)
+    anchors = cand.select(
+        F.explode(F.array("doc1", "doc2")).alias(KEY)
+    ).distinct()
+    _stage("anchors (dup-family members)", anchors.count)
+    _stage("pairs A (symmetric self-join, shipped)",
+           DD.co_shingle_pairs(sh).count)
+    sh_a = sh.join(anchors, KEY, "semi")
+    _stage("pairs B (anchor-restricted directed)",
+           DD.co_shingle_pairs(sh, left=sh_a).count)
+
+
+EXPERIMENTS = {
+    "setsim-stages": setsim_stages,
+    "setsim-verify-ab": setsim_verify_ab,
+    "setsim-prefix-ab": setsim_prefix_ab,
+    "hardneg-pairs-ab": hardneg_pairs_ab,
+}
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in EXPERIMENTS:
+        print(__doc__)
+        raise SystemExit(f"pick an experiment: {', '.join(EXPERIMENTS)}")
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    spark = build_session(f"profile-{sys.argv[1]}")
+    try:
+        EXPERIMENTS[sys.argv[1]](spark, sf_dir)
+    finally:
+        release_tracked()
+
+
+if __name__ == "__main__":
+    main()
