@@ -363,6 +363,11 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     # (r5 ivf-assign precedent):
     "q_hard_negatives", "q_ngram_jaccard", "q_shingle_containment",
     "q_minhash_estimate", "q_lsh_tuning_curve",
+    # ADVICE r10 + VERDICT r10 #8: _bpe_learn rounds 1..R-1 now rotate
+    # through eager localCheckpoints (lineage cut + release_ckpt of the
+    # prior round) — plans changed on both queries, oracles shared via
+    # the new _bpe_round_ctes helper (values must be unchanged):
+    "q_bpe_merges", "q_bpe_encode",
 })
 
 

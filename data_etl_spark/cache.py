@@ -46,7 +46,9 @@ def tracked_persist(
     return df
 
 
-def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True, handle_out: list | None = None
+) -> DataFrame:
     """``df.localCheckpoint(eager)`` whose blocks release_tracked can drop.
 
     localCheckpoint persists its RDD at the RDD layer (not the
@@ -65,8 +67,45 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     new_ids = sorted(after - before)
     if new_ids:
-        _TRACKED_CKPT.append((sc, new_ids))
+        entry = (sc, new_ids)
+        _TRACKED_CKPT.append(entry)
+        # rotation support (see release_ckpt): the caller gets the
+        # bookkeeping entry so it can drop THIS checkpoint's blocks as
+        # soon as its successor is materialized
+        if handle_out is not None:
+            handle_out.append(entry)
     return out
+
+
+def release_ckpt(entry: tuple) -> None:
+    """Drop one tracked_local_checkpoint's blocks EARLY (the
+    iterative-rotation counterpart of release_one): ``entry`` is what
+    tracked_local_checkpoint appended to the caller's ``handle_out``
+    list. Removes the bookkeeping entry so release_tracked doesn't
+    double-drop."""
+    try:
+        _TRACKED_CKPT.remove(entry)
+    except ValueError:
+        pass
+    sc, ids = entry
+    registry = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = registry.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def release_one(df: DataFrame) -> None:
+    """Unpersist a single tracked handle EARLY — for iterative
+    algorithms that rotate per-round tables (e.g. _bpe_learn): the
+    caller materializes round r's table, then drops round r-1's now
+    instead of leaking every round until release_tracked. Removes the
+    bookkeeping entry so the final drain doesn't double-unpersist."""
+    try:
+        _TRACKED.remove(df)
+    except ValueError:
+        pass
+    df.unpersist()
 
 
 def release_tracked() -> int:

@@ -1512,9 +1512,14 @@ def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_round_ctes() -> tuple[list[str], str]:
+    """The unrolled per-round merge-CTE chain (sp{r}: adjacent pairs,
+    c{r}: weighted counts, t{r}: 1-row winner, s{r}: literal-replace
+    rewrite) — ONE generator shared by _bpe_oracle and
+    _bpe_encode_oracle, so an edit to the tie-break or the separator
+    encoding cannot silently desync the two oracles (ADVICE r10).
+    Returns (round_cte_texts, final_table_name)."""
     rounds = []
-    outs = []
     prev = "s0"
     for r in range(1, _BPE_ROUNDS + 1):
         rounds.append(f"""
@@ -1532,11 +1537,17 @@ s{r} AS (SELECT word, freq,
                 replace(seq, ' ' || t{r}.a || '  ' || t{r}.b || ' ',
                              ' ' || t{r}.a || t{r}.b || ' ') AS seq
          FROM {prev}, t{r})""")
-        outs.append(
-            f"SELECT CAST({r} AS INT) AS merge_round, a AS p1, b AS p2, "
-            f"a || b AS merged, pair_count FROM t{r}"
-        )
         prev = f"s{r}"
+    return rounds, prev
+
+
+def _bpe_oracle() -> str:
+    rounds, _final = _bpe_round_ctes()
+    outs = [
+        f"SELECT CAST({r} AS INT) AS merge_round, a AS p1, b AS p2, "
+        f"a || b AS merged, pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
     return f"""
 WITH tok AS (SELECT unnest({TX.words_sql('text')}) AS word FROM documents),
 wf AS (
@@ -1553,12 +1564,33 @@ s0 AS (
 """
 
 
-def _bpe_learn(d: DataFrame):
+def _bpe_learn(d: DataFrame, rounds: int = _BPE_ROUNDS):
     """(merge rows, final vocab symbol table, per-occurrence tokens) —
     the shared kernel behind q_bpe_merges (the rules) and q_bpe_encode
     (the rules APPLIED). All merge work is vocabulary-scale; `final`
-    is lazy, so q_bpe_merges never pays for the last rewrite."""
-    from ..cache import tracked_persist
+    is lazy, so q_bpe_merges never pays for the last rewrite.
+
+    Cache rotation + lineage truncation (ADVICE r10 / VERDICT r10 #8):
+    each round's rewrite references the previous round's table TWICE
+    (through the winner subplan and the rewrite itself), so a
+    persist-only chain doubles Catalyst's analysis work per round —
+    measured super-exponential past ~6 rounds (R=6 21 s, R=7 99 s on a
+    10-word fixture). Rounds 1..R-1 therefore go through
+    tracked_local_checkpoint (eager, lineage cut — the components.py
+    iterative pattern), and the PREVIOUS round's blocks are dropped via
+    release_ckpt once the new round is materialized: at most two
+    vocabulary-scale tables are ever resident, instead of R+1 leaking
+    until release_tracked. Round R stays lazy (q_bpe_merges never
+    materializes the final rewrite). ``rounds`` is parameterized for
+    the depth-8 property test (tests/test_properties.py); the driver
+    pair runs at the fixed _BPE_ROUNDS. Measured cost of the eager
+    rotation at the driver depth (sf1, min-of-2): q_bpe_merges
+    1.94 s -> 2.32 s, q_bpe_encode 3.58 s -> 5.12 s — the rounds-1..R-1
+    materializations are no longer fused into one lazy job. Accepted:
+    bounded resident state (2 tables, not R+1) and a learn loop that
+    stays linear in R are the 100 TB-relevant properties; the depth-3
+    regression is noise against both queries' gates."""
+    from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
 
     tok = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word")).filter(
         F.col("word").rlike("^[a-z0-9]+$")
@@ -1592,7 +1624,8 @@ def _bpe_learn(d: DataFrame):
         return counts.orderBy(F.desc("pair_count"), "a", "b").limit(1)
 
     out = None
-    for r in range(1, _BPE_ROUNDS + 1):
+    prev_handle: list = []
+    for r in range(1, rounds + 1):
         # two consumers (the output row and the merge rewrite) — persist
         # the 1-row winner so the pair-count agg runs once per round
         t = tracked_persist(top_pair(cur))
@@ -1604,20 +1637,30 @@ def _bpe_learn(d: DataFrame):
             "pair_count",
         )
         out = row if out is None else out.unionAll(row)
-        cur = tracked_persist(
-            cur.crossJoin(
-                F.broadcast(
-                    t.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
-                )
-            ).select(
-                "word",
-                "freq",
-                F.expr(
-                    "replace(seq, concat(' ', __a, '  ', __b, ' '),"
-                    " concat(' ', __a, __b, ' '))"
-                ).alias("seq"),
+        rewritten = cur.crossJoin(
+            F.broadcast(
+                t.select(F.col("a").alias("__a"), F.col("b").alias("__b"))
             )
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                "replace(seq, concat(' ', __a, '  ', __b, ' '),"
+                " concat(' ', __a, __b, ' '))"
+            ).alias("seq"),
         )
+        if r < rounds:
+            # eager checkpoint cuts the doubling lineage, then rotate:
+            # drop round r-1's blocks now that round r is materialized
+            handle: list = []
+            cur = tracked_local_checkpoint(rewritten, handle_out=handle)
+            if prev_handle:
+                release_ckpt(prev_handle[0])
+            prev_handle = handle
+        else:
+            # the final rewrite stays lazy: q_bpe_merges returns only
+            # the winners and must never pay for it
+            cur = tracked_persist(rewritten)
     return out, cur, tok
 
 
@@ -1670,26 +1713,8 @@ GROUP BY d.doc_id
 
 
 def _bpe_encode_oracle() -> str:
-    # same unrolled merge chain as _bpe_oracle, ending at s{_BPE_ROUNDS}
-    rounds = []
-    prev = "s0"
-    for r in range(1, _BPE_ROUNDS + 1):
-        rounds.append(f"""
-sp{r} AS (
-    SELECT freq,
-           unnest(list_transform(generate_series(1, len(syms) - 1),
-                                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS u
-    FROM (SELECT freq, string_split(trim({prev}.seq), '  ') AS syms FROM {prev})
-    WHERE len(syms) >= 2
-),
-c{r} AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
-         FROM sp{r} GROUP BY 1, 2),
-t{r} AS (SELECT a, b, pair_count FROM c{r} ORDER BY pair_count DESC, a, b LIMIT 1),
-s{r} AS (SELECT word, freq,
-                replace(seq, ' ' || t{r}.a || '  ' || t{r}.b || ' ',
-                             ' ' || t{r}.a || t{r}.b || ' ') AS seq
-         FROM {prev}, t{r})""")
-        prev = f"s{r}"
+    # the same _bpe_round_ctes chain as _bpe_oracle, ending at s{_BPE_ROUNDS}
+    rounds, _final = _bpe_round_ctes()
     return _BPE_ENCODE_ORACLE.format(rounds=",".join(rounds))
 
 

@@ -584,3 +584,70 @@ def test_bpe_merge_encoding_contract(spark):
         ).fetchone()[0]
         assert got_spark == want, (seq, p1, p2, got_spark)
         assert got_duck == want, (seq, p1, p2, got_duck)
+
+
+def test_bpe_learn_depth8_matches_python_reference(spark):
+    """The vocabulary-scale claim is only driver-exercised at depth 3
+    (_BPE_ROUNDS); this property test runs the SAME learn loop at
+    depth 8 on a fixture built so merged symbols themselves merge
+    again ('aaaaaaaa' -> aa -> aaaa; 'abab...' -> ab -> abab), against
+    a pure-Python BPE reference (Sennrich 2016 semantics: weighted
+    pair counts over word TYPES, argmax with (count DESC, pair ASC)
+    tie-break, greedy left-to-right non-overlapping rewrite). Both the
+    learned rules AND every word's final symbol sequence must agree —
+    the merge-rewrite contract at depths where multi-char symbols
+    dominate (VERDICT r10 #8)."""
+    from data_etl_spark.plans.textstats import _bpe_learn
+
+    ROUNDS = 8
+    word_freqs = {
+        "aaaaaaaa": 6, "abababab": 5, "banana": 4, "bananas": 3,
+        "abcabcabc": 3, "mississippi": 2, "aabbaabb": 2, "deeded": 2,
+        "lolll": 1, "xyzzy": 1,
+    }
+
+    def reference(wf, rounds):
+        seqs = {w: list(w) for w in wf}
+        merges = []
+        for r in range(1, rounds + 1):
+            counts = {}
+            for w, f in wf.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, a, b, a + b, c))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges, seqs
+
+    want_merges, want_seqs = reference(word_freqs, ROUNDS)
+    # encode each word's frequency as occurrence count in the doc text
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(word_freqs.items())],
+        "doc_id long, text string",
+    )
+    out, final, _tok = _bpe_learn(docs, rounds=ROUNDS)
+    got_merges = [
+        (r.merge_round, r.p1, r.p2, r.merged, r.pair_count)
+        for r in sorted(out.collect())
+    ]
+    assert got_merges == want_merges
+    got_seqs = {
+        r.word: r.seq.strip().split("  ") for r in final.collect()
+    }
+    assert got_seqs == want_seqs
+
+    from data_etl_spark.cache import release_tracked
+
+    release_tracked()
