@@ -1,6 +1,12 @@
 """Query-plan registry: importing this package registers every query."""
 
-from .registry import REGISTRY, Query, register  # noqa: F401
+from .registry import (  # noqa: F401
+    CAPPED_QUERIES,
+    REGISTRY,
+    Query,
+    register,
+    register_cap,
+)
 
 # Import for registration side effects (order = SURVEY.md §7 build phases).
 from . import relational  # noqa: E402,F401
@@ -14,4 +20,4 @@ from . import streaming_plans  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "Query", "register"]
+__all__ = ["CAPPED_QUERIES", "REGISTRY", "Query", "register", "register_cap"]

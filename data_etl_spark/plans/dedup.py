@@ -32,7 +32,7 @@ from ..cache import tracked_persist
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..sources import load_table
-from .registry import register
+from .registry import register, register_cap
 
 # ---------------------------------------------------------------------------
 # q_exact_dedup — hash-groupBy canonical assignment (every doc -> canonical
@@ -1851,6 +1851,15 @@ SELECT s.doc1, s.doc2, s.n_common, s.jaccard, 'banded' AS strategy
 FROM scored s JOIN cand USING (doc1, doc2)
 WHERE s.jaccard >= {_DEDUP_AUTO_TAU} AND (SELECT c FROM nn) > {_DEDUP_AUTO_N}
 """
+
+
+register_cap(
+    "q_dedup_auto_dense", "doc_id", _DENSE_CAP, "_DENSE_CAP",
+    "gate-BRANCH correctness on a density-tripled corpus: uncapped, the "
+    "tripled corpus costs 170 s at sf1 for no extra branch coverage — "
+    "the banded machinery's scale behavior is benched by the "
+    "minhash/LSH family at full SF",
+)
 
 
 @register(

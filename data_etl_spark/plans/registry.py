@@ -37,6 +37,31 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: SF-cap inventory (VERDICT r10 #7): the queries that intentionally run
+#: on a CAPPED input slice because their job is branch/parity
+#: correctness, not scale measurement — each cap must appear as the
+#: same literal bound in BOTH the engine filter and the oracle SQL, and
+#: tests/test_entry_contract.py asserts completeness in both
+#: directions (every *_CAP constant in a plan function is declared
+#: here; every declaration matches the code), so a future cap cannot
+#: slip in as a silent bench dodge.
+CAPPED_QUERIES: dict[str, dict] = {}
+
+
+def register_cap(
+    name: str, column: str, bound: int, constant: str, rationale: str
+) -> None:
+    """Declare that query ``name`` runs on ``column < bound`` (carried
+    by module constant ``constant``) — see CAPPED_QUERIES."""
+    if name in CAPPED_QUERIES:
+        raise ValueError(f"duplicate cap declaration for {name!r}")
+    CAPPED_QUERIES[name] = {
+        "column": column,
+        "bound": bound,
+        "constant": constant,
+        "rationale": rationale,
+    }
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""

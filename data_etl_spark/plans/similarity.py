@@ -22,7 +22,7 @@ from ..cache import tracked_persist
 from ..functions import vectors as V
 from ..operators.knn import exact_knn
 from ..sources import load_table
-from .registry import register
+from .registry import register, register_cap
 
 _EMB_D = V.as_double_sql("embedding")
 
@@ -103,6 +103,15 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec1, vec2
 LIMIT 100
 """
+
+
+register_cap(
+    "q_cosine_pairs", "vec_id", _PAIRS_CAP, "_PAIRS_CAP",
+    "exact all-pairs cosine baseline: same-label pair work is ~n²/10 "
+    "(fixed-cardinality labels), intrinsically quadratic — the bucketed "
+    "twins are the scale path; this runs at a fixed size (r10 rehearsal "
+    "FAIL fix)",
+)
 
 
 @register("q_cosine_pairs", oracle=_PAIRS_ORACLE, tags=("phase3", "similarity"))
@@ -644,6 +653,14 @@ def _ml_mh_oracle() -> str:
             f"(SELECT doc_id, text FROM documents WHERE doc_id < {_ML_MH_CAP})"
         )
     )
+
+
+register_cap(
+    "q_ml_minhash_join", "doc_id", _ML_MH_CAP, "_ML_MH_CAP",
+    "MLlib MinHashLSH recall-parity check: needs a fixed input size, "
+    "not a corpus-quadratic truth-pair background at every scale-up "
+    "(VERDICT r9 #2; removed from EXPECTED_SUPERLINEAR)",
+)
 
 
 @register(

@@ -307,3 +307,65 @@ def test_lrv_floor_survives_drift_wave(monkeypatch, tmp_path):
     stale_tail = set(names[60:]) - {entry_mod.FLAGSHIP}
     got_lrv = len(window & stale_tail)
     assert got_lrv >= entry_mod._LRV_FLOOR
+
+
+def test_capped_queries_inventory_complete_both_ways():
+    """CAPPED_QUERIES (VERDICT r10 #7) is the single SF-cap inventory:
+    (a) every declared cap's literal bound appears in BOTH the engine
+    plan source (via its module constant) and the oracle SQL, and
+    (b) every plan function that references a *_CAP constant — and
+    every oracle with a literal id-bound filter — is declared. A future
+    cap cannot slip in as a silent bench dodge."""
+    import inspect
+    import re
+
+    from data_etl_spark.plans import CAPPED_QUERIES, REGISTRY
+
+    # (a) declarations match the code
+    for name, cap in CAPPED_QUERIES.items():
+        q = REGISTRY[name]
+        oracle = re.sub(r"\s+", " ", q.oracle or "")
+        assert f"{cap['column']} < {cap['bound']}" in oracle, (
+            f"{name}: cap bound {cap['bound']} not in oracle"
+        )
+        src = inspect.getsource(q.fn.__wrapped__)
+        assert cap["constant"] in src, (
+            f"{name}: engine source does not reference {cap['constant']}"
+        )
+        mod = inspect.getmodule(q.fn.__wrapped__)
+        assert getattr(mod, cap["constant"]) == cap["bound"]
+        assert cap["rationale"].strip()
+
+    # (b) the inventory is exhaustive: any *_CAP constant in a plan
+    # function, or a literal "<id> < <number>" slice in an oracle, must
+    # be declared. (column < column pair-ordering ties don't match; the
+    # DF cap (max_df) is a shingle-frequency parameter, not an SF cap.)
+    # kNN/ANN-family QUERY-side selectors are not SF caps: they pick
+    # the probe workload / deterministic centroid seeds (vec_id < 10
+    # probes, vec_id < _IVF_CENT_MAX centroids) while the CORPUS side
+    # stays unbounded — the thing a cap would dodge. Any NEW name
+    # showing up here must be either a declared cap or a consciously
+    # added selector.
+    probe_selectors = {
+        "q_knn_exact", "q_knn_auto", "q_hybrid_rrf",
+        "q_ivf_knn", "q_ivf_multiprobe", "q_ivf_recall",
+        "q_pq_knn", "q_sq_knn",
+    }
+    id_bound = re.compile(
+        r"\b(doc_id|vec_id|o_orderkey|l_orderkey|event_id|c_custkey)\s*<\s*\d"
+    )
+    cap_const = re.compile(r"\b_[A-Z0-9_]*_CAP\b")
+    for name, q in REGISTRY.items():
+        src = inspect.getsource(q.fn.__wrapped__)
+        hits = set(cap_const.findall(src))
+        if hits and name not in CAPPED_QUERIES:
+            raise AssertionError(
+                f"{name} references cap constant(s) {hits} but is not in "
+                "CAPPED_QUERIES"
+            )
+        if id_bound.search(re.sub(r"\s+", " ", q.oracle or "")):
+            assert name in CAPPED_QUERIES or name in probe_selectors, (
+                f"{name}: oracle has a literal id-bound slice that is "
+                "neither a declared CAPPED_QUERIES entry nor a known "
+                "query-side probe selector"
+            )
