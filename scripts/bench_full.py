@@ -27,6 +27,7 @@ sys.path.insert(0, ".")
 from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
+from _loadgate import wait_quiet  # noqa: E402
 from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +59,7 @@ def main() -> None:
     round_no = sys.argv[1] if len(sys.argv) > 1 else "06"
     repo = os.path.join(os.path.dirname(__file__), "..")
     prior = _prior_full(repo, round_no)
+    loadavg_go, load_waiver = wait_quiet()
     spark = build_session("data-etl-spark-bench-full")
     names = sorted(REGISTRY)
 
@@ -122,10 +124,12 @@ def main() -> None:
         "queries": timings,
         "stage_metrics": metrics,
         "sf": sf_val,
-        # host contention context: this box is shared, and external load
-        # inflates wall times 1.1-2x (stragglers on tiny queries can hit
-        # 10x) — record it so round-over-round comparisons can tell a
-        # plan regression from a noisy-neighbor run
+        # host contention gate (VERDICT r10 #4, scripts/_loadgate.py):
+        # the run started at loadavg_go; load_waiver=true means the box
+        # never quieted within the bounded wait — external load inflates
+        # wall times 1.1-2x (stragglers on tiny queries can hit 10x)
+        "loadavg_go": round(loadavg_go, 2),
+        "load_waiver": load_waiver,
         "loadavg_end": list(os.getloadavg()),
     }
     if errors:
