@@ -368,6 +368,11 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     # prior round) — plans changed on both queries, oracles shared via
     # the new _bpe_round_ctes helper (values must be unchanged):
     "q_bpe_merges", "q_bpe_encode",
+    # r11 NEW operator families (auto-exposed as unchecked; listed for
+    # the slot-accounting contract): greedy k-center coreset selection
+    # (Gonzalez/Sener-Savarese), k-anonymity/l-diversity privacy audit,
+    # Heaps-law vocabulary-growth diagnostics:
+    "q_kcenter_coreset", "q_k_anonymity", "q_heaps_law",
 })
 
 

@@ -3716,3 +3716,63 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).bitwiseAND(F.lit(1)).cast("bigint").alias("bit3"),
         F.bit_count(k).cast("bigint").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_k_anonymity — privacy audit before a dataset release (Sweeney 2002
+# k-anonymity; Machanavajjhala et al. 2007 l-diversity — both public):
+# group the table by its quasi-identifier combination, measure each
+# equivalence class's size (k) and the diversity of the sensitive
+# attribute within it (l = distinct sensitive values), and flag classes
+# that fail k>=5 or l>=3 — the rows a release would have to suppress or
+# generalize. A training-data pipeline runs exactly this before
+# publishing user-derived corpora.
+#
+# Scale: ONE hash aggregation on the quasi-identifier key (map-side
+# partial counts; the distinct-l agg is a two-level partial like any
+# count(distinct)) — no joins, no windows; the output is bounded by the
+# QI domain, not the table. Sensitive attribute = acctbal bucketed to
+# $1000 bands (the release granularity).
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 3
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT) AS l_distinct,
+       CAST(count(*) >= {_KANON_K} AS INT) AS k_anonymous,
+       CAST(count(DISTINCT floor(c_acctbal / 1000)) >= {_KANON_L} AS INT) AS l_diverse,
+       round(1.0 / count(*), 6) AS reident_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register(
+    "q_k_anonymity",
+    oracle=_KANON_ORACLE,
+    tags=("phase3", "privacy", "aggregation"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equivalence-class k-anonymity / l-diversity audit over the
+    (nationkey, mktsegment) quasi-identifier — see the block comment."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000)
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct(bucket).cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            (F.col("class_size") >= _KANON_K).cast("int").alias("k_anonymous"),
+            (F.col("l_distinct") >= _KANON_L).cast("int").alias("l_diverse"),
+            F.round(F.lit(1.0) / F.col("class_size"), 6).alias("reident_risk"),
+        )
+    )

@@ -1677,3 +1677,127 @@ def q_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec1", "vec2", cos.alias("cos_sim"), "band_bits")
         .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcenter_coreset — greedy k-center CORESET selection (Gonzalez 1985
+# farthest-point traversal; Sener & Savarese ICLR'18 use exactly this
+# greedy as the coreset/active-learning selector): pick _KC_K maximally
+# spread embeddings — the representative subset a curation pipeline
+# labels, inspects, or seeds diversity-aware sampling from. Round 1 =
+# min vec_id (deterministic anchor); each later round selects the point
+# with the LARGEST distance to its nearest already-chosen center
+# (cosine distance 1 - cos; ties -> smaller vec_id), which carries the
+# classic 2-approximation guarantee for the k-center objective.
+#
+# Scale: the textbook cluster shape — each round is ONE corpus scan
+# (update running min-dist against the 1-row broadcast new center) plus
+# a 1-row top-1 (TakeOrderedAndProject, never a global sort); k rounds
+# = k linear passes, the known lower bound for exact greedy k-center.
+# Per-round tables rotate through eager localCheckpoints exactly like
+# _bpe_learn (each round's plan references the previous one's twice —
+# the argmax subplan and the rewrite — so a lazy persist chain doubles
+# Catalyst analysis per round).
+#
+# Zero-norm embeddings carry no direction (cosine NULL) and are
+# excluded on both sides; a degenerate corpus where every remaining
+# point sits at distance 0 stops selecting early (mind > 0 candidate
+# filter), identically in both engines — the output then has < k rows.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    cos = V.cosine_sql("s.emb", "t.cemb")
+    parts = [f"""
+pts AS (SELECT vec_id, {_EMB_D} AS emb FROM embeddings
+        WHERE {_EMB_OK} AND list_dot_product({_EMB_D}, {_EMB_D}) > 0),
+c1 AS (SELECT vec_id AS cid, emb AS cemb FROM pts ORDER BY vec_id LIMIT 1),
+s1 AS (SELECT p.vec_id, p.emb,
+              1 - {V.cosine_sql('p.emb', 'c.cemb')} AS mind
+       FROM pts p, c1 c)"""]
+    outs = [
+        "SELECT CAST(1 AS INT) AS sel_round, cid AS center_id, "
+        "CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(f"""
+t{r} AS (SELECT vec_id, emb AS cemb, mind FROM s{r - 1}
+         WHERE mind > 0 ORDER BY mind DESC, vec_id LIMIT 1),
+s{r} AS (SELECT s.vec_id, s.emb, least(s.mind, 1 - {cos}) AS mind
+         FROM s{r - 1} s, t{r} t)""")
+        outs.append(
+            f"SELECT CAST({r} AS INT) AS sel_round, vec_id AS center_id, "
+            f"mind AS radius FROM t{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL ".join(outs)
+
+
+@register(
+    "q_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("phase3", "similarity", "curation"),
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_round, center_id, radius) greedy k-center coreset — see the
+    block comment for the algorithm, scale shape, and degenerate-corpus
+    contract."""
+    from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
+
+    pts = (
+        _embeddings(spark, sf_dir)
+        .select("vec_id", V.as_double(F.col("embedding")).alias("emb"))
+        .filter(V.dot(F.col("emb"), F.col("emb")) > 0)
+    )
+    c1 = tracked_persist(
+        pts.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+    out = c1.select(
+        F.lit(1).cast("int").alias("sel_round"),
+        F.col("cid").alias("center_id"),
+        F.lit(None).cast("double").alias("radius"),
+    )
+    cur = pts.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "emb",
+        (F.lit(1.0) - V.cosine(F.col("emb"), F.col("cemb"))).alias("mind"),
+    )
+    prev_handle: list = []
+    for r in range(2, _KC_K + 1):
+        # lineage cut + rotation: the _bpe_learn pattern
+        handle: list = []
+        cur = tracked_local_checkpoint(cur, handle_out=handle)
+        if prev_handle:
+            release_ckpt(prev_handle[0])
+        prev_handle = handle
+        t = tracked_persist(
+            cur.filter(F.col("mind") > 0)
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+        )
+        # populate the winner's cache NOW, while the checkpoint it
+        # reads is still alive — the broadcast-evaluation path is not
+        # guaranteed to fill the InMemoryRelation, and after rotation
+        # drops that checkpoint a cache miss cannot recompute
+        t.count()
+        out = out.unionAll(
+            t.select(
+                F.lit(r).cast("int").alias("sel_round"),
+                F.col("vec_id").alias("center_id"),
+                F.col("mind").alias("radius"),
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(t.select(F.col("emb").alias("cemb")))
+        ).select(
+            "vec_id",
+            "emb",
+            F.least(
+                F.col("mind"),
+                F.lit(1.0) - V.cosine(F.col("emb"), F.col("cemb")),
+            ).alias("mind"),
+        )
+    return out

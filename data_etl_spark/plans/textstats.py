@@ -1627,8 +1627,14 @@ def _bpe_learn(d: DataFrame, rounds: int = _BPE_ROUNDS):
     prev_handle: list = []
     for r in range(1, rounds + 1):
         # two consumers (the output row and the merge rewrite) — persist
-        # the 1-row winner so the pair-count agg runs once per round
+        # the 1-row winner so the pair-count agg runs once per round,
+        # and populate its cache NOW, while the checkpoint it reads is
+        # still alive: the broadcast-evaluation path is not guaranteed
+        # to fill the InMemoryRelation, and after rotation drops that
+        # checkpoint a cache miss cannot recompute (the kcenter loop
+        # hit exactly this as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
         t = tracked_persist(top_pair(cur))
+        t.count()
         row = t.select(
             F.lit(r).cast("int").alias("merge_round"),
             F.col("a").alias("p1"),
@@ -1922,4 +1928,137 @@ def q_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_tok"),
         _idiv(start, seq_len).alias("seq_idx"),
         F.pmod(start, seq_len).cast("bigint").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_heaps_law — vocabulary-growth diagnostics (Heaps/Herdan law: V(T) ~
+# K*T^beta, the corpus-health curve every tokenizer-training and
+# data-mixing pipeline monitors: a beta collapsing toward 0 means the
+# new data stopped contributing vocabulary — a duplication/mode-collapse
+# signal; beta near 1 means unbounded vocab (noise/IDs leaking in).
+#
+# Checkpoints are nested corpus prefixes in arrival (doc_id) order at
+# 1/8, 1/4, 1/2, 1 of max(doc_id). Scale: ONE vocabulary-scale
+# aggregation (word -> min(doc_id), the first-occurrence histogram)
+# and one per-doc token count — the checkpoint columns are conditional
+# sums over those two tables (map-side combined, 1-row each), so adding
+# checkpoints costs expressions, not scans. No sort anywhere: the
+# prefix rule is a doc_id comparison against max(doc_id) fractions.
+# Beta between consecutive checkpoints = ln(V2/V1)/ln(T2/T1) with both
+# ln() legs quantized to 6 decimals first (the house bm25/pmi rule —
+# libm last-ulp behavior differs across engines).
+# ---------------------------------------------------------------------------
+
+_HEAPS_FRACS = (0.125, 0.25, 0.5, 1.0)
+
+
+def _heaps_oracle() -> str:
+    toks = []
+    vocs = []
+    for i, f in enumerate(_HEAPS_FRACS):
+        thr = f"floor({f} * mx.m)"
+        toks.append(
+            f"sum(CASE WHEN dt.doc_id <= {thr} THEN dt.n_tok END) AS t{i}"
+        )
+        vocs.append(
+            f"count(CASE WHEN wf.first_seen <= {thr} THEN 1 END) AS v{i}"
+        )
+    rows = ", ".join(
+        f"{{'frac': {f}, 't': tt.t{i}, 'v': vv.v{i}}}"
+        for i, f in enumerate(_HEAPS_FRACS)
+    )
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+dt AS (SELECT doc_id, len({TX.words_sql('text')}) AS n_tok FROM documents),
+wf AS (
+    SELECT word, min(doc_id) AS first_seen
+    FROM (SELECT doc_id, unnest({TX.words_sql('text')}) AS word FROM documents)
+    GROUP BY word
+),
+tt AS (SELECT {', '.join(toks)} FROM dt, mx),
+vv AS (SELECT {', '.join(vocs)} FROM wf, mx),
+cp AS (
+    SELECT unnest([{rows}], recursive := true)
+    FROM tt, vv
+),
+curve AS (
+    SELECT frac,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_vocab,
+           round(ln(CAST(v AS DOUBLE) / lag(v) OVER w), 6) AS ln_v_q6,
+           round(ln(CAST(t AS DOUBLE) / lag(t) OVER w), 6) AS ln_t_q6
+    FROM cp
+    WINDOW w AS (ORDER BY frac)
+)
+SELECT frac, n_tokens, n_vocab,
+       round(ln_v_q6 / ln_t_q6, 6) AS heaps_beta
+FROM curve
+"""
+
+
+@register(
+    "q_heaps_law",
+    oracle=_heaps_oracle(),
+    tags=("phase3", "textstats", "diagnostics"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(frac, n_tokens, n_vocab, heaps_beta) vocabulary-growth curve
+    over nested corpus prefixes — see the block comment for the scale
+    argument (one first-occurrence histogram, conditional checkpoint
+    sums, no sorts)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    dt = d.select("doc_id", F.size(TX.words(F.col("text"))).alias("n_tok"))
+    wf = (
+        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_seen"))
+    )
+
+    def thr(f: float) -> F.Column:
+        return F.floor(F.lit(f) * F.col("m"))
+
+    tt = dt.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= thr(f), F.col("n_tok"))).alias(f"t{i}")
+            for i, f in enumerate(_HEAPS_FRACS)
+        ]
+    )
+    vv = wf.crossJoin(F.broadcast(mx)).agg(
+        *[
+            F.count(F.when(F.col("first_seen") <= thr(f), F.lit(1))).alias(f"v{i}")
+            for i, f in enumerate(_HEAPS_FRACS)
+        ]
+    )
+    # beta between consecutive checkpoints computed COLUMN-wise on the
+    # joined 1-row aggregates (t0..t3, v0..v3 are all columns here) —
+    # no window node at all, not even the 4-row one the oracle's SQL
+    # uses for readability
+    def beta(i: int) -> F.Column:
+        if i == 0:
+            return F.lit(None).cast("double")
+        ln_v = F.round(
+            F.log(F.col(f"v{i}").cast("double") / F.col(f"v{i - 1}")), 6
+        )
+        ln_t = F.round(
+            F.log(F.col(f"t{i}").cast("double") / F.col(f"t{i - 1}")), 6
+        )
+        return F.round(ln_v / ln_t, 6)
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("frac"),
+                    F.col(f"t{i}").cast("bigint").alias("n_tokens"),
+                    F.col(f"v{i}").cast("bigint").alias("n_vocab"),
+                    beta(i).alias("heaps_beta"),
+                )
+                for i, f in enumerate(_HEAPS_FRACS)
+            ]
+        )
+    )
+    return (
+        tt.crossJoin(F.broadcast(vv)).select(rows.alias("e")).select("e.*")
     )

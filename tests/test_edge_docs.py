@@ -62,6 +62,10 @@ _QUERIES = [
     # doc 7's non-[a-z0-9] words are excluded from learning AND encode
     "q_bpe_merges",
     "q_bpe_encode",
+    # round 11: Heaps-law growth curve — doc 0 (empty) contributes no
+    # tokens, dup docs 5/6 add tokens but no vocabulary, and the tiny
+    # corpus exercises the beta-undefined (NULL) first row
+    "q_heaps_law",
 ]
 
 

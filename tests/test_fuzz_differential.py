@@ -1025,6 +1025,9 @@ _NULLS_PINNED = [
     "q_udtf_word_windows",
     "q_figure_placement",
     "q_chunks",
+    # round 11: k-center over the NULL/zero-vector corpus — the
+    # validity + zero-norm guards and the degenerate early-stop
+    "q_kcenter_coreset",
 ]
 
 
@@ -1126,6 +1129,16 @@ _CHAOS_PINNED = [
     # round 10: the chaos corpus' duplicate runs create banded positives
     # while its unicode/NULL docs stress the co-shingle negative pool
     "q_hard_negatives",
+    # round 11: vocabulary-growth diagnostics (NULL texts must vanish
+    # identically through the first-occurrence histogram and the
+    # conditional checkpoint sums), greedy k-center (the chaos corpus'
+    # hot identical direction creates distance-0 ties -> the vec_id
+    # tie-break and the mind>0 early-stop), and the privacy audit over
+    # the NULL-ridden relational star (NULL group keys, NULL acctbal
+    # buckets through count(DISTINCT))
+    "q_heaps_law",
+    "q_kcenter_coreset",
+    "q_k_anonymity",
 ]
 
 
