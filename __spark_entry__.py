@@ -373,6 +373,8 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     # (Gonzalez/Sener-Savarese), k-anonymity/l-diversity privacy audit,
     # Heaps-law vocabulary-growth diagnostics:
     "q_kcenter_coreset", "q_k_anonymity", "q_heaps_law",
+    # r11 NEW: cross-source duplication matrix over the banded dup graph
+    "q_source_overlap",
 })
 
 

@@ -1885,3 +1885,78 @@ def q_dedup_auto_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auto_dedup(dense, threshold=_DEDUP_AUTO_N, tau=_DEDUP_AUTO_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q_source_overlap — cross-source duplication matrix: for every source
+# pair, how many near-dup (banded LSH candidate) pairs span it. The
+# curation view behind "which feeds duplicate each other" decisions —
+# drop-order, licensing exposure, and per-source dedup budgets all read
+# this matrix; within-source rows (source_a = source_b) measure
+# internal redundancy. Pairs are normalized to source_a <= source_b so
+# the matrix is upper-triangular; share = the pair count's fraction of
+# all candidate pairs (1-row scalar joined in, never a window over the
+# corpus).
+#
+# Scale: the candidate set comes from the banded signature buckets
+# (J^2-background, never all-pairs); the two source lookups are keyed
+# joins against the narrow (doc_id, source) projection; the final agg
+# is bounded by the source-domain square, not the corpus.
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH cand AS (SELECT doc1, doc2 FROM ({_BANDED_ORACLE})),
+src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+    SELECT least(s1.source, s2.source) AS source_a,
+           greatest(s1.source, s2.source) AS source_b
+    FROM cand c
+    JOIN src s1 ON c.doc1 = s1.doc_id
+    JOIN src s2 ON c.doc2 = s2.doc_id
+),
+tot AS (SELECT count(*) AS n FROM tagged)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(source_a = source_b AS INT) AS within_source,
+       round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share
+FROM tagged, tot
+GROUP BY source_a, source_b, tot.n
+"""
+
+
+@register(
+    "q_source_overlap",
+    oracle=_SRC_OVERLAP_ORACLE,
+    tags=("phase3", "dedup", "curation"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_dup_pairs, within_source, share)
+    cross-source duplication matrix — see the block comment."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = DD.banded_candidate_pairs(
+        DD.minhash_signatures(DD.word_shingles(d))
+    ).select("doc1", "doc2")
+    src = d.select("doc_id", "source")
+    tagged = (
+        cand.join(src.select(F.col("doc_id").alias("doc1"),
+                             F.col("source").alias("__s1")), "doc1")
+        .join(src.select(F.col("doc_id").alias("doc2"),
+                         F.col("source").alias("__s2")), "doc2")
+        .select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+    )
+    counts = tracked_persist(
+        tagged.groupBy("source_a", "source_b").agg(
+            F.count("*").cast("bigint").alias("n_dup_pairs")
+        )
+    )
+    tot = counts.agg(F.sum("n_dup_pairs").alias("__n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source_a",
+        "source_b",
+        "n_dup_pairs",
+        (F.col("source_a") == F.col("source_b")).cast("int").alias("within_source"),
+        F.round(F.col("n_dup_pairs").cast("double") / F.col("__n"), 6).alias("share"),
+    )

@@ -1139,6 +1139,9 @@ _CHAOS_PINNED = [
     "q_heaps_law",
     "q_kcenter_coreset",
     "q_k_anonymity",
+    # round 11: cross-source dup matrix — NULL sources through
+    # least/greatest and the NULL-key group rows
+    "q_source_overlap",
 ]
 
 
