@@ -198,11 +198,48 @@ def hardneg_pairs_ab(spark, sf_dir):
            DD.co_shingle_pairs(sh, left=sh_a).count)
 
 
+def shingles_distinct_ab(spark, sf_dir):
+    """A/B the (doc, shingle) set-dedup shape in word_shingles: the
+    shipped post-explode DataFrame .distinct() (a full corpus-scale
+    exchange) vs array_distinct BEFORE the explode (per-row, no
+    shuffle). Semantics identical: DISTINCT per (doc, shingle) == the
+    per-doc shingle-array dedup, because doc_id rides every row."""
+    from pyspark.sql import functions as F
+    from data_etl_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def shingled(dd):
+        ws_df = dd.select("doc_id", F.col("text")).repartition(
+            F.col("doc_id")
+        ).select("doc_id", TX.words(F.col("text")).alias("__ws"))
+        n = 3
+        cnt = F.greatest(F.size(F.col("__ws")) - (n - 1), F.lit(0))
+        slices = [F.slice(F.col("__ws"), j + 1, cnt) for j in range(n)]
+        z = slices[0]
+        for sl in slices[1:]:
+            z = F.zip_with(z, sl, lambda a, b: F.concat_ws(" ", a, b))
+        return ws_df.select("doc_id", z.alias("__z"))
+
+    shA = shingled(d).select(
+        "doc_id", F.explode("__z").alias("shingle")
+    ).distinct()
+    _stage("A: explode + .distinct() (shipped)", shA.count)
+    shB = shingled(d).select(
+        "doc_id", F.explode(F.array_distinct(F.col("__z"))).alias("shingle")
+    )
+    _stage("B: array_distinct + explode", shB.count)
+    # and through the DF-cap consumer shape (groupBy shingle count):
+    _stage("A->df_counts", shA.groupBy("shingle").count().count)
+    _stage("B->df_counts", shB.groupBy("shingle").count().count)
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
     "setsim-verify-ab": setsim_verify_ab,
     "setsim-prefix-ab": setsim_prefix_ab,
     "hardneg-pairs-ab": hardneg_pairs_ab,
+    "shingles-distinct-ab": shingles_distinct_ab,
 }
 
 
