@@ -375,6 +375,8 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     "q_kcenter_coreset", "q_k_anonymity", "q_heaps_law",
     # r11 NEW: cross-source duplication matrix over the banded dup graph
     "q_source_overlap",
+    # r11 NEW: bounded k-core peel of the dup graph (superstep contract)
+    "q_kcore_peel",
 })
 
 

@@ -1960,3 +1960,126 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source_a") == F.col("source_b")).cast("int").alias("within_source"),
         F.round(F.col("n_dup_pairs").cast("double") / F.col("__n"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcore_peel — bounded k-core peeling of the near-dup graph (Seidman
+# 1983 "Network structure and minimum degree"; Batagelj-Zaversnik is
+# the sequential peel this parallelizes round-wise): repeatedly remove
+# nodes with fewer than K live neighbors. Survivors form the dense
+# redundancy CORE of the corpus (template farms, boilerplate families —
+# the stuff doc-pair dedup underestimates because every member has many
+# partners); removed_round is each node's peel depth, a redundancy-
+# severity score curation can threshold on.
+#
+# BOUNDED-PEEL CONTRACT: both engines run EXACTLY _KCORE_ROUNDS
+# synchronized peel rounds (the Pregel/superstep formulation — each
+# round one degree agg + two anti-joins), so the pair is deterministic
+# and hash-checkable regardless of whether the graph has converged;
+# cascades deeper than _KCORE_ROUNDS (a >R-link chain of hanging
+# pendants — not observed on any driver corpus, where round 3 already
+# removes nothing) would leave some sub-K nodes unpeeled IDENTICALLY
+# on both sides. Scale: per round the degree agg is map-side combined
+# and the removal set is the only thing broadcast; live-edge tables
+# rotate through eager localCheckpoints (the _bpe_learn pattern — each
+# round references the previous edge table twice, so a lazy chain
+# doubles Catalyst analysis per round).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    # every e{r} is referenced three times by round r+1 (degree agg +
+    # the two NOT INs via r{r+1}); DuckDB INLINES plain CTEs, so an
+    # unhinted chain re-expands the banded-candidate subtree 3^R times
+    # (measured 82 s at sf0.01) — MATERIALIZED pins each round to one
+    # evaluation (0.9 s)
+    parts = [f"""
+cand AS MATERIALIZED (SELECT doc1, doc2 FROM ({_BANDED_ORACLE})),
+e0 AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM cand
+       UNION ALL SELECT doc2, doc1 FROM cand),
+n0 AS (SELECT DISTINCT src AS node FROM e0)"""]
+    removed_out = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(f"""
+d{r} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY src),
+r{r} AS MATERIALIZED (SELECT src AS node FROM d{r} WHERE deg < {_KCORE_K}),
+e{r} AS MATERIALIZED (SELECT src, dst FROM {prev}
+         WHERE src NOT IN (SELECT node FROM r{r})
+           AND dst NOT IN (SELECT node FROM r{r}))""")
+        removed_out.append(
+            f"SELECT node, {r} AS rr FROM r{r}"
+        )
+    return f"""
+WITH {",".join(parts)},
+removed AS ({" UNION ALL ".join(removed_out)}),
+core AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e{_KCORE_ROUNDS} GROUP BY src)
+SELECT n0.node AS doc_id,
+       CAST(removed.rr AS INT) AS removed_round,
+       core.deg AS core_deg
+FROM n0
+LEFT JOIN removed ON n0.node = removed.node
+LEFT JOIN core ON n0.node = core.node
+"""
+
+
+@register(
+    "q_kcore_peel", oracle=_kcore_oracle(), tags=("phase3", "dedup", "graph")
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, removed_round, core_deg) bounded k-core peel of the
+    banded dup graph — see the block comment for the superstep contract
+    and scale shape."""
+    from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(DD.word_shingles(d), StorageLevel.DISK_ONLY)
+    cand = DD.banded_candidate_pairs(DD.minhash_signatures(sh)).select(
+        "doc1", "doc2"
+    )
+    e = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+                F.struct(F.col("doc2").alias("src"), F.col("doc1").alias("dst")),
+            )
+        ).alias("x")
+    ).select("x.src", "x.dst")
+    e = tracked_local_checkpoint(e, eager=True)
+    nodes = e.select(F.col("src").alias("doc_id")).distinct()
+
+    removed = None
+    prev_handle: list = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        rem = tracked_persist(
+            deg.filter(F.col("deg") < _KCORE_K).select(F.col("src").alias("node"))
+        )
+        rem.count()  # populate before the parent checkpoint rotates away
+        rem_out = rem.select(
+            "node", F.lit(r).cast("int").alias("removed_round")
+        )
+        removed = rem_out if removed is None else removed.unionAll(rem_out)
+        live = (
+            e.join(rem.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(rem.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+        )
+        handle: list = []
+        e = tracked_local_checkpoint(live, handle_out=handle)
+        if prev_handle:
+            release_ckpt(prev_handle[0])
+        prev_handle = handle
+
+    core = e.groupBy("src").agg(F.count("*").cast("bigint").alias("core_deg"))
+    return (
+        nodes.join(removed, nodes["doc_id"] == removed["node"], "left")
+        .drop("node")
+        .join(core, nodes["doc_id"] == core["src"], "left")
+        .drop("src")
+        .select("doc_id", "removed_round", "core_deg")
+    )

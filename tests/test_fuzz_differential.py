@@ -1142,6 +1142,9 @@ _CHAOS_PINNED = [
     # round 11: cross-source dup matrix — NULL sources through
     # least/greatest and the NULL-key group rows
     "q_source_overlap",
+    # round 11: bounded k-core peel — the chaos corpus' duplicate runs
+    # build a dense family whose pendants must peel identically
+    "q_kcore_peel",
 ]
 
 
