@@ -1353,8 +1353,10 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "optimization" loses whenever anchors exceed ~half the corpus, which
 # near-dup-heavy training corpora do. Decomposition of the 13.9 s:
 # shingle materialization 6.2 s + banded candidates 5.7 s (both shared
-# infra, each already A/B-tuned — see word_shingles/minhash docstrings)
-# + pair join 4.1 s + anti-join/argmax/pos-join ~1 s. A second A/B:
+# infra — the same round's word_shingles array_distinct change later
+# cut the set build to ~1.5 s, see its docstring; post-change wall
+# 13.2 s min-of-2) + pair join 4.1 s + anti-join/argmax/pos-join ~1 s.
+# A second A/B:
 # dropping the outer DISK_ONLY persist of the CAPPED shingle set (the
 # raw set is persisted inside word_shingles) re-runs the cheap
 # broadcast cap anti-join per consumer but re-reads the raw set three
