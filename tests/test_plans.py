@@ -252,15 +252,26 @@ def test_lm_perplexity_vocab_rides_plan(spark, sf_dir):
     from data_etl_spark.sources import load_table
 
     tracker = spark.sparkContext.statusTracker()
+
+    # Count NEW jobs by id-watermark, not list length: the status
+    # tracker retains a bounded job list (spark.ui.retainedJobs), so
+    # late in a long suite session old ids evict and len() is not
+    # monotonic (seen live: a -99 "baseline" after ~2000 session jobs).
+    def _jobs_since(prev_max: int) -> tuple[int, int]:
+        ids = tracker.getJobIdsForGroup(None) or []
+        return (
+            sum(1 for i in ids if i > prev_max),
+            max(ids, default=prev_max),
+        )
+
     # control: reading the parquet schema itself may launch a listing job —
     # only jobs BEYOND that baseline indicate a driver-side action.
-    b0 = len(tracker.getJobIdsForGroup(None) or [])
+    _, m0 = _jobs_since(-1)
     load_table(spark, sf_dir, "documents")
-    baseline_jobs = len(tracker.getJobIdsForGroup(None) or []) - b0
-    before = len(tracker.getJobIdsForGroup(None) or [])
+    baseline_jobs, m1 = _jobs_since(m0)
     df = REGISTRY["q_lm_perplexity"].fn(spark, sf_dir)
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after - before <= baseline_jobs, (
+    new_jobs, _ = _jobs_since(m1)
+    assert new_jobs <= baseline_jobs, (
         "plan construction ran a Spark job beyond the table-load baseline "
         "(driver-side count regression)"
     )
