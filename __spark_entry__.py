@@ -377,6 +377,8 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     "q_source_overlap",
     # r11 NEW: bounded k-core peel of the dup graph (superstep contract)
     "q_kcore_peel",
+    # r11 NEW: per-source Zipf/power-law MLE (corpus-health diagnostics)
+    "q_zipf_fit",
 })
 
 

@@ -2062,3 +2062,64 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tt.crossJoin(F.broadcast(vv)).select(rows.alias("e")).select("e.*")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — per-source Zipf/power-law exponent of the word-frequency
+# distribution via the Clauset-Shalizi-Newman discrete MLE
+# (alpha = 1 + n / sum ln(f_i / (x_min - 0.5)), x_min = 1 — "Power-law
+# distributions in empirical data", SIAM Rev. 2009): the companion
+# corpus-health diagnostic to q_heaps_law. Natural text sits near
+# alpha ~ 2; a source drifting low signals templated/boilerplate text,
+# drifting high signals vocabulary collapse — both mixing-weight
+# red flags.
+#
+# Scale: one vocabulary-scale aggregation per source (map-side
+# combined); the MLE term is quantized to 9 decimals and summed as
+# DECIMAL(28,9) — exact, order-independent addition, so the fit is
+# hash-stable regardless of partitioning (stronger than the
+# lm_perplexity double-sum rule: per-source vocabularies are unbounded
+# where per-doc term counts are not). Final alpha rounded to 6 (the
+# bm25 ln() rule).
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest({TX.words_sql('text')}) AS word FROM documents
+),
+wf AS (
+    SELECT source, word, count(*) AS f FROM tok GROUP BY source, word
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(1.0 + count(*) / CAST(sum(
+           CAST(round(ln(f / 0.5), 9) AS DECIMAL(28, 9))) AS DOUBLE), 6
+       ) AS alpha_q6
+FROM wf
+GROUP BY source
+"""
+
+
+@register(
+    "q_zipf_fit", oracle=_ZIPF_ORACLE, tags=("phase3", "textstats", "diagnostics")
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_vocab, n_tokens, max_freq, alpha_q6) per-source
+    power-law MLE — see the block comment."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select("source", F.explode(TX.words(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("f"))
+    )
+    term = F.round(F.log(F.col("f") / 0.5), 9).cast("decimal(28,9)")
+    return wf.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.round(
+            F.lit(1.0) + F.count("*") / F.sum(term).cast("double"), 6
+        ).alias("alpha_q6"),
+    )

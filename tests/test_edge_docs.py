@@ -66,6 +66,9 @@ _QUERIES = [
     # tokens, dup docs 5/6 add tokens but no vocabulary, and the tiny
     # corpus exercises the beta-undefined (NULL) first row
     "q_heaps_law",
+    # round 11: Zipf MLE on the degenerate 8-doc corpus (singleton
+    # frequencies dominate; empty doc contributes nothing)
+    "q_zipf_fit",
 ]
 
 

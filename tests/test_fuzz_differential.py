@@ -1145,6 +1145,9 @@ _CHAOS_PINNED = [
     # round 11: bounded k-core peel — the chaos corpus' duplicate runs
     # build a dense family whose pendants must peel identically
     "q_kcore_peel",
+    # round 11: Zipf MLE — NULL texts/sources through the per-source
+    # vocab agg, DECIMAL-exact ln-term sum under chaotic partitioning
+    "q_zipf_fit",
 ]
 
 
