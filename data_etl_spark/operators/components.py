@@ -41,6 +41,37 @@ from pyspark.sql import functions as F
 from ..cache import tracked_local_checkpoint
 
 
+def symmetrize_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    out_src: str = "src",
+    out_dst: str = "dst",
+    *extra: str,
+) -> DataFrame:
+    """Both orientations of an edge list with ONE evaluation of the
+    (possibly expensive) input plan: each row explodes into a 2-struct
+    array — a union of two selects would evaluate the candidate-pair
+    subtree twice. The single implementation of the rule previously
+    inlined in connected_components / q_hard_negatives / q_kcore_peel;
+    ``extra`` columns ride along unchanged."""
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col(src).alias(out_src),
+                F.col(dst).alias(out_dst),
+                *[F.col(c) for c in extra],
+            ),
+            F.struct(
+                F.col(dst).alias(out_src),
+                F.col(src).alias(out_dst),
+                *[F.col(c) for c in extra],
+            ),
+        )
+    )
+    return edges.select(both.alias("e")).select("e.*")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -68,15 +99,8 @@ def connected_components(
     wrong, never returned.
     """
     # Symmetrize with a single evaluation of the (possibly expensive)
-    # edges plan: each input row explodes into both orientations.
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
-                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # edges plan (see symmetrize_edges).
+    sym = symmetrize_edges(edges, src, dst)
     if not assume_distinct:
         sym = sym.distinct()
     sym = tracked_local_checkpoint(sym, eager=True)

@@ -1422,22 +1422,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negp = DD.co_shingle_pairs(sh).join(cand, ["doc1", "doc2"], "left_anti")
 
     def _sym(df: DataFrame, *extra: str) -> DataFrame:
-        # one evaluation of the input plan (components.py explode rule)
-        both = F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc1").alias("anchor"),
-                    F.col("doc2").alias("partner"),
-                    *[F.col(c) for c in extra],
-                ),
-                F.struct(
-                    F.col("doc2").alias("anchor"),
-                    F.col("doc1").alias("partner"),
-                    *[F.col(c) for c in extra],
-                ),
-            )
-        )
-        return df.select(both.alias("e")).select("e.*")
+        from ..operators.components import symmetrize_edges
+
+        return symmetrize_edges(df, "doc1", "doc2", "anchor", "partner", *extra)
 
     pos = _sym(cand).groupBy("anchor").agg(F.min("partner").alias("positive"))
     # argmax by (n_common DESC, partner ASC) as a lexicographic struct
@@ -2043,15 +2030,11 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.banded_candidate_pairs(DD.minhash_signatures(sh)).select(
         "doc1", "doc2"
     )
-    e = cand.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
-                F.struct(F.col("doc2").alias("src"), F.col("doc1").alias("dst")),
-            )
-        ).alias("x")
-    ).select("x.src", "x.dst")
-    e = tracked_local_checkpoint(e, eager=True)
+    from ..operators.components import symmetrize_edges
+
+    e = tracked_local_checkpoint(
+        symmetrize_edges(cand, "doc1", "doc2"), eager=True
+    )
     nodes = e.select(F.col("src").alias("doc_id")).distinct()
 
     removed = None
