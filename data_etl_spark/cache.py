@@ -96,11 +96,14 @@ def release_ckpt(entry: tuple) -> None:
 
 
 def release_one(df: DataFrame) -> None:
-    """Unpersist a single tracked handle EARLY — for iterative
-    algorithms that rotate per-round tables (e.g. _bpe_learn): the
-    caller materializes round r's table, then drops round r-1's now
-    instead of leaking every round until release_tracked. Removes the
-    bookkeeping entry so the final drain doesn't double-unpersist."""
+    """Unpersist a single tracked handle EARLY, removing its
+    bookkeeping entry so the final drain doesn't double-unpersist.
+
+    This is the tracked_persist-layer counterpart of release_ckpt.
+    The in-repo iterative loops (_bpe_learn, k-center, k-core) rotate
+    via localCheckpoint and therefore use release_ckpt; release_one is
+    the public API for callers that rotate plain persists instead
+    (covered by tests/test_cache_rotation.py)."""
     try:
         _TRACKED.remove(df)
     except ValueError:

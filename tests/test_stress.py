@@ -95,6 +95,39 @@ def test_shingle_df_cap_bounds_hot_buckets(spark):
     assert n_pairs0 >= 40 * 39 / 2  # quadratic blow-up the cap prevents
 
 
+def test_co_shingle_pairs_directed_semantics(spark):
+    """Pin the directed ``left=`` branch of co_shingle_pairs: doc1 is
+    drawn from ``left`` only, doc2 from the full table, doc1 != doc2,
+    and BOTH orientations of a left-left pair are kept (the documented
+    caveat that makes the directed form lose when |left| is large)."""
+    from data_etl_spark.operators.dedup import co_shingle_pairs
+
+    sh = spark.createDataFrame(
+        [
+            ("a", "s1"), ("a", "s2"),
+            ("b", "s1"), ("b", "s2"), ("b", "s3"),
+            ("c", "s3"),
+        ],
+        "doc_id string, shingle string",
+    )
+    left = sh.filter(F.col("doc_id").isin("a", "b"))
+    got = {
+        (r.doc1, r.doc2, r.n_common)
+        for r in co_shingle_pairs(sh, left=left).collect()
+    }
+    # doc1 only from left; both orientations of the (a,b) left-left
+    # pair survive; (b,c) appears directed b->c only (c not in left);
+    # no self pairs.
+    assert got == {("a", "b", 2), ("b", "a", 2), ("b", "c", 1)}
+
+    # symmetric default: one row per unordered pair, doc1 < doc2
+    sym = {
+        (r.doc1, r.doc2, r.n_common)
+        for r in co_shingle_pairs(sh).collect()
+    }
+    assert sym == {("a", "b", 2), ("b", "c", 1)}
+
+
 def test_dup_spans_on_boilerplate_corpus(spark, tmp_path):
     """A corpus where every doc shares one boilerplate paragraph: the
     shared 8-grams are exactly what q_dup_spans must surface, and the
