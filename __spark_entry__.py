@@ -380,6 +380,12 @@ _TOUCHED_BY_ROUND[11] = frozenset({
     # r11 NEW: per-source Zipf/power-law MLE (corpus-health diagnostics)
     "q_zipf_fit",
 })
+_TOUCHED_BY_ROUND[12] = frozenset({
+    # VERDICT r11 #7: q_kcore_peel now reports a `converged` column
+    # (true iff the final round's removal set is empty) mirrored in the
+    # oracle's conv CTE — schema change on both engines:
+    "q_kcore_peel",
+})
 
 
 def _current_touched() -> frozenset:

@@ -15,8 +15,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "scripts"))
 
+from _loadgate import wait_quiet  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
 
@@ -95,6 +98,14 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # Host-contention gate (VERDICT r11 #3): the headline artifact was
+    # the one committed bench class without loadavg_go/load_waiver, and
+    # r11's official run recorded a phantom 1.04x regression at
+    # loadavg 11. Same contract as scripts/bench_full.py: wait
+    # (bounded) for a quiet window BEFORE the warmup saturates the
+    # cores; if it never comes, stamp load_waiver so loaded runs are
+    # machine-distinguishable.
+    loadavg_go, load_waiver = wait_quiet()
     spark = build_session("data-etl-spark-bench")
     # Warm the JVM (JIT, codegen cache, shuffle machinery) with one pass of
     # the headline set at the smallest SF, so timed runs measure steady-state
@@ -149,7 +160,12 @@ def main() -> None:
         "timing": "min_of_2",
         "queries": timings,
         "sf": sf_val,
-        # shared-host contention context (see scripts/bench_full.py)
+        # shared-host contention context (see scripts/bench_full.py):
+        # loadavg_go is the 1-min load when the gate released the run;
+        # load_waiver=true means the box never quieted within the
+        # bounded wait and the numbers carry ambient contention
+        "loadavg_go": round(loadavg_go, 2),
+        "load_waiver": load_waiver,
         "loadavg_end": list(os.getloadavg()),
     }
     if errors:

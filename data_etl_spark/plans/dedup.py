@@ -2006,13 +2006,16 @@ e{r} AS MATERIALIZED (SELECT src, dst FROM {prev}
 WITH {",".join(parts)},
 removed AS ({" UNION ALL ".join(removed_out)}),
 core AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-         FROM e{_KCORE_ROUNDS} GROUP BY src)
+         FROM e{_KCORE_ROUNDS} GROUP BY src),
+conv AS (SELECT count(*) = 0 AS converged FROM r{_KCORE_ROUNDS})
 SELECT n0.node AS doc_id,
        CAST(removed.rr AS INT) AS removed_round,
-       core.deg AS core_deg
+       core.deg AS core_deg,
+       conv.converged AS converged
 FROM n0
 LEFT JOIN removed ON n0.node = removed.node
 LEFT JOIN core ON n0.node = core.node
+CROSS JOIN conv
 """
 
 
@@ -2020,9 +2023,14 @@ LEFT JOIN core ON n0.node = core.node
     "q_kcore_peel", oracle=_kcore_oracle(), tags=("phase3", "dedup", "graph")
 )
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, removed_round, core_deg) bounded k-core peel of the
-    banded dup graph — see the block comment for the superstep contract
-    and scale shape."""
+    """(doc_id, removed_round, core_deg, converged) bounded k-core peel
+    of the banded dup graph — see the block comment for the superstep
+    contract and scale shape. ``converged`` (constant per run, VERDICT
+    r11 #7) is true iff the FINAL round's removal set is empty — an
+    empty round is a fixpoint, so every deeper round would also remove
+    nothing; false means the bounded peel truncated a deeper cascade
+    and the result is the round-R partial peel (still deterministic and
+    identical on both engines)."""
     from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
 
     d = load_table(spark, sf_dir, "documents")
@@ -2039,12 +2047,16 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     removed = None
     prev_handle: list = []
+    last_rem_n = -1
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         rem = tracked_persist(
             deg.filter(F.col("deg") < _KCORE_K).select(F.col("src").alias("node"))
         )
-        rem.count()  # populate before the parent checkpoint rotates away
+        # populate before the parent checkpoint rotates away; the final
+        # round's count doubles as the convergence signal (an empty
+        # removal round is a fixpoint)
+        last_rem_n = rem.count()
         rem_out = rem.select(
             "node", F.lit(r).cast("int").alias("removed_round")
         )
@@ -2066,5 +2078,14 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("node")
         .join(core, nodes["doc_id"] == core["src"], "left")
         .drop("src")
-        .select("doc_id", "removed_round", "core_deg")
+        .select(
+            "doc_id",
+            "removed_round",
+            "core_deg",
+            # the final removal count is already materialized above
+            # (each round counts eagerly before rotating the parent
+            # checkpoint), so convergence is a plan-time constant —
+            # no extra job, no driver pull beyond the existing scalar
+            F.lit(last_rem_n == 0).alias("converged"),
+        )
     )
