@@ -32,6 +32,19 @@ _WINDOW_CAP = 50
 #: a wide helper edit drifts much of the registry (see _driver_window)
 _LRV_FLOOR = 10
 
+# Per-round rotation budgets (VERDICT r11 #2): with ~220 names cycling
+# through a 50-slot window, staleness feasibility is arithmetic, not
+# luck. The simulator in tests/test_entry_contract.py seeds from the
+# real evidence and projects forward under these budgets (touched
+# greens modeled adversarially young, refill otherwise age-ordered);
+# at (15 touched, 6 new) the <=6 bound holds indefinitely, at
+# (20, 6) or (15, 8) it breaks within the horizon, and a <=5 ratchet
+# is NOT sustainable while new queries keep landing — so the bound
+# stays 6 and these budgets are ENFORCED per round: exceeding either
+# fails the feasibility test before the driver ever builds the window.
+_TOUCHED_GREENS_BUDGET = 15
+_NEW_QUERIES_BUDGET = 6
+
 # Queries whose Spark plan or oracle changed, KEYED BY ROUND: the window
 # refill re-verifies the current round's entries before alphabetically-
 # fresh greens. The key is the round being built (max recorded round + 1),

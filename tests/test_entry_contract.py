@@ -265,15 +265,145 @@ def test_staleness_report_written_and_bounded(monkeypatch, tmp_path):
     needs >=5 rounds of pure rotation before fresh/touched/drift
     displacement. Ratchet history: 8 -> 7 (VERDICT r9 #4, once the
     staleness-7 tail entered the round-10 window) -> 6 (VERDICT r10 #6;
-    the committed r10 report's max outside the window is 5). Next
-    ratchet step once a post-r11 report holds it: <= 5 — the
-    arithmetic floor given the touched-set pressure.)"""
+    the committed r10 report's max outside the window is 5). The r12
+    feasibility simulation (test_rotation_feasibility below) shows <=5
+    is NOT sustainable while the registry keeps growing — at the
+    budgeted (15 touched, 6 new)/round the steady state is exactly 6 —
+    so 6 is the resting bound, enforced by arithmetic rather than
+    re-ratcheted.)"""
     import json
 
     repo_report = json.loads(open("WINDOW_STALENESS.json").read())
     assert repo_report["max_green_staleness_outside_window"] <= 6
     assert set(repo_report["queries"]) == set(
         __import__("data_etl_spark.plans", fromlist=["REGISTRY"]).REGISTRY
+    )
+
+
+_STALENESS_BOUND = 6
+_FEASIBILITY_HORIZON = 4
+
+
+def _simulate_rotation(
+    last_green: dict, start_round: int, horizon: int, touched: int, new: int
+) -> list:
+    """Deterministic model of _driver_window's refill, stepped forward
+    ``horizon`` rounds: per round ``new`` unchecked names take priority
+    slots, ``touched`` green slots go adversarially to the YOUNGEST
+    greens (a touched set contributes nothing to rotation in the worst
+    case), and every remaining slot refills in least-recently-verified
+    order (the no-adversarial-drift model: the drift tier is itself
+    age-sorted, so drift only hurts when an edit drifts precisely the
+    young cohort and none of the stale one — transient, and the LRV
+    floor bounds even that). Returns the projected
+    max_green_staleness_outside_window per simulated round."""
+    lg = dict(last_green)
+    names = set(lg)
+    maxes = []
+    for b in range(start_round, start_round + horizon):
+        fresh = [f"__new_{b}_{i}" for i in range(new)]
+        window = list(fresh) + [entry_mod.FLAGSHIP]
+        remaining = entry_mod._WINDOW_CAP - len(window)
+        pool = [n for n in names if n != entry_mod.FLAGSHIP]
+        youngest = sorted(pool, key=lambda n: (-lg[n], n))
+        tset = set(youngest[:touched])
+        rest = sorted(
+            (n for n in pool if n not in tset), key=lambda n: (lg[n], n)
+        )
+        window += (youngest[:touched] + rest)[:remaining]
+        wset = set(window)
+        maxes.append(max(b - lg[n] for n in names if n not in wset))
+        for n in wset & names:
+            lg[n] = b
+        for n in fresh:
+            lg[n] = b
+            names.add(n)
+    return maxes
+
+
+def test_rotation_feasibility():
+    """VERDICT r11 #2: rotation feasibility is COMPUTED, not discovered
+    by the staleness assertion failing after the driver has already
+    built an over-stale window. Three layers:
+
+    (1) THIS round's real window (the exact _driver_window build,
+        readonly) projects a staleness report within the bound — the
+        same check the driver's post-round report will record, run
+        before the round ships.
+    (2) The forward simulation seeded from real evidence stays within
+        the bound for _FEASIBILITY_HORIZON rounds at the declared
+        budgets — growth that makes the NEXT round infeasible fails
+        here first, pointing at the budget constants.
+    (3) The current round's actual touched/new load fits the budgets
+        the simulation assumed (the enforcement half: a 7th new query
+        or a 16th touched green shows up as a failure here, not as a
+        surprise staleness breach two rounds later).
+    """
+    import glob
+    import re
+
+    from data_etl_spark.plans import REGISTRY
+
+    recorded = [
+        int(m.group(1))
+        for p in glob.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    building = (max(recorded) + 1) if recorded else 1
+    evidence = entry_mod._driver_rows(".")
+    last_green = {
+        n: evidence[n][0]
+        for n in REGISTRY
+        if evidence.get(n, (0, False))[1]
+    }
+    if not last_green:  # fresh clone without driver evidence
+        return
+
+    # (1) exact projection of this round's report
+    window = set(entry_mod._driver_window())
+    outside = [
+        building - lg for n, lg in last_green.items() if n not in window
+    ]
+    assert max(outside) <= _STALENESS_BOUND, (
+        f"this round's window projects staleness {max(outside)} > "
+        f"{_STALENESS_BOUND}: too many new/touched names displaced the "
+        "LRV refill"
+    )
+
+    # (2) forward feasibility at the declared budgets
+    maxes = _simulate_rotation(
+        last_green,
+        building,
+        _FEASIBILITY_HORIZON,
+        entry_mod._TOUCHED_GREENS_BUDGET,
+        entry_mod._NEW_QUERIES_BUDGET,
+    )
+    assert all(m <= _STALENESS_BOUND for m in maxes), (
+        f"budgets ({entry_mod._TOUCHED_GREENS_BUDGET} touched, "
+        f"{entry_mod._NEW_QUERIES_BUDGET} new)/round project staleness "
+        f"{maxes} over the next {_FEASIBILITY_HORIZON} rounds — raise "
+        "_LRV_FLOOR or cut the budgets"
+    )
+
+    # (3) this round's actual load fits the simulated budgets
+    touched_greens = [
+        n for n in entry_mod._TOUCHED_THIS_ROUND if n in last_green
+    ]
+    assert len(touched_greens) <= entry_mod._TOUCHED_GREENS_BUDGET
+    new_names = [n for n in REGISTRY if n not in last_green]
+    assert len(new_names) <= entry_mod._NEW_QUERIES_BUDGET, (
+        f"{len(new_names)} new queries this round exceeds the "
+        f"feasibility budget {entry_mod._NEW_QUERIES_BUDGET}: "
+        f"{sorted(new_names)[:10]}"
+    )
+
+    # the LRV floor backstop survives a worst-case budget round
+    assert (
+        entry_mod._WINDOW_CAP
+        - 1
+        - entry_mod._NEW_QUERIES_BUDGET
+        - entry_mod._TOUCHED_GREENS_BUDGET
+        >= entry_mod._LRV_FLOOR
     )
 
 
