@@ -398,6 +398,11 @@ _TOUCHED_BY_ROUND[12] = frozenset({
     # (true iff the final round's removal set is empty) mirrored in the
     # oracle's conv CTE — schema change on both engines:
     "q_kcore_peel",
+    # r12 NEW (VERDICT r11 #6): unigram-LM tokenizer training (Kudo
+    # 2018 / SentencePiece) — bounded-Viterbi hard EM over the
+    # vocabulary with decimal-exact costs; depth-4 property pin vs a
+    # pure-Python reference in tests/test_properties.py:
+    "q_unigram_lm",
 })
 
 

@@ -2123,3 +2123,355 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) + F.count("*") / F.sum(term).cast("double"), 6
         ).alias("alpha_q6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_lm — unigram-LM tokenizer training (Kudo 2018, "Subword
+# Regularization", ACL; the SentencePiece unigram model — the other
+# major tokenizer-training family next to BPE). Seed a substring
+# vocabulary from the corpus, then run fixed-iteration hard EM: each
+# round Viterbi-segments every word type under the current piece
+# probabilities, re-estimates probabilities from the segmentation
+# counts, and prunes multi-char pieces that no best segmentation uses
+# (the hard-EM analog of Kudo's prune-by-loss-contribution; single-char
+# pieces are never pruned, mirroring SentencePiece's required-character
+# set, so every word stays segmentable).
+#
+# Scale (the q_bpe_merges argument transfers): ONE corpus scan builds
+# the (word, freq) table; seeding, every Viterbi round, and every
+# re-estimation run on the VOCABULARY. Per round the engine does one
+# broadcast join (piece costs onto exploded word substrings), a
+# zero-shuffle column-expression DP + backtrack (see below), and one
+# vocabulary-scale count aggregation. Adding corpus only grows the
+# first scan.
+#
+# BOUNDED-DP CONTRACT (both engines, the _KCORE_ROUNDS precedent):
+# training words are [a-z0-9]{1,_UNI_WMAX} — the Viterbi lattice over
+# word positions is then a FIXED 8-step unrolled DP (no recursion, no
+# UDF), identical on both engines; longer words are excluded from
+# training identically. Pieces are substrings of length <= _UNI_PLEN.
+#
+# DETERMINISM: piece costs are -ln((cnt+1)/(T+V)) quantized to 9
+# decimals and carried as DECIMAL (the q_zipf_fit mechanism), so DP
+# sums are EXACT decimal arithmetic and both engines take identical
+# argmin decisions; ties break to the smallest predecessor position
+# (= longest final piece). Laplace (+1) smoothing keeps never-used
+# single-char pieces finite.
+# ---------------------------------------------------------------------------
+
+_UNI_WMAX = 8    # max training-word length (fixed DP unroll depth)
+_UNI_PLEN = 4    # max piece length
+_UNI_SEED = 120  # multi-char seed pieces kept (plus ALL single chars)
+_UNI_ROUNDS = 2  # hard-EM iterations
+
+
+def _uni_subs_sql() -> str:
+    """Every (j, i, substring) occurrence of each training word:
+    substring spans DP positions j..i (0-based j = start, i = end),
+    lengths 1.._UNI_PLEN."""
+    return f"""
+SELECT word, freq, u.j AS j, u.i AS i, u.sub AS sub
+FROM (SELECT word, freq,
+             unnest(flatten(list_transform(generate_series(1, len(word)),
+               p -> list_transform(
+                 generate_series(1, least({_UNI_PLEN}, len(word) - p + 1)),
+                 l -> {{'j': p - 1, 'i': p - 1 + l,
+                        'sub': substr(word, p, l)}})))) AS u
+      FROM wfr)
+"""
+
+
+def _uni_cost_sql(src: str, out: str) -> str:
+    """Piece table (piece, cost) from a (piece, cnt) table ``src`` —
+    cost = -round(ln((cnt+1)/(T+V)), 9) as DECIMAL(28,9), Laplace-
+    smoothed over the CURRENT vocabulary."""
+    return f"""
+{out} AS MATERIALIZED (
+    SELECT piece,
+           CAST(-round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.T + t.V AS DOUBLE)), 9)
+                AS DECIMAL(28,9)) AS cost
+    FROM {src}, (SELECT sum(cnt) AS T, count(*) AS V FROM {src}) t
+)"""
+
+
+def _uni_round_ctes(r: int) -> str:
+    """One hard-EM round: Viterbi DP (unrolled b/bp position tables),
+    backtrack (t chain), count aggregation, prune + re-smooth. Consumes
+    piece table p{r}, defines vv{r} (the counted vocabulary) and
+    p{r+1}. Every multiply-referenced CTE is MATERIALIZED (DuckDB
+    inlines plain CTEs — the q_kcore_peel exponential-inlining
+    precedent)."""
+    parts = [f"""
+sc{r} AS MATERIALIZED (
+    SELECT s.word, s.freq, s.j, s.i, p.cost
+    FROM subs s JOIN p{r} p ON p.piece = s.sub),
+b{r}_0 AS (SELECT word, freq, CAST(0 AS DECIMAL(38,9)) AS cost FROM wfr)"""]
+    for i in range(1, _UNI_WMAX + 1):
+        cands = " UNION ALL ".join(
+            f"""SELECT s.word, s.freq,
+        CAST(b.cost + s.cost AS DECIMAL(38,9)) AS cost, {j} AS j
+ FROM sc{r} s JOIN b{r}_{j} b ON b.word = s.word
+ WHERE s.j = {j} AND s.i = {i}"""
+            for j in range(max(0, i - _UNI_PLEN), i)
+        )
+        parts.append(f"cand{r}_{i} AS MATERIALIZED ({cands})")
+        parts.append(
+            f"b{r}_{i} AS MATERIALIZED (SELECT word, min(freq) AS freq, "
+            f"min(cost) AS cost FROM cand{r}_{i} GROUP BY word)"
+        )
+        parts.append(
+            f"""bp{r}_{i} AS MATERIALIZED (
+    SELECT c.word, min(c.j) AS j
+    FROM cand{r}_{i} c JOIN b{r}_{i} b
+      ON b.word = c.word AND c.cost = b.cost
+    GROUP BY c.word)"""
+        )
+    bpu = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, j FROM bp{r}_{i}"
+        for i in range(1, _UNI_WMAX + 1)
+    )
+    parts.append(f"bpu{r} AS MATERIALIZED ({bpu})")
+    parts.append(
+        f"t{r}_0 AS (SELECT word, freq, CAST(len(word) AS INT) AS pos FROM wfr)"
+    )
+    for s in range(1, _UNI_WMAX + 1):
+        parts.append(f"""
+t{r}_{s} AS MATERIALIZED (
+    SELECT t.word, t.freq, CAST(bp.j AS INT) AS pos,
+           substr(t.word, bp.j + 1, t.pos - bp.j) AS piece
+    FROM t{r}_{s - 1} t JOIN bpu{r} bp
+      ON bp.word = t.word AND bp.i = t.pos)""")
+    segs = " UNION ALL ".join(
+        f"SELECT freq, piece FROM t{r}_{s}" for s in range(1, _UNI_WMAX + 1)
+    )
+    parts.append(f"""
+vc{r} AS MATERIALIZED (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM ({segs}) GROUP BY piece)""")
+    parts.append(f"""
+vv{r} AS MATERIALIZED (
+    SELECT s.piece, COALESCE(v.cnt, 0) AS cnt
+    FROM singles s LEFT JOIN vc{r} v ON v.piece = s.piece
+    UNION ALL
+    SELECT piece, cnt FROM vc{r} WHERE len(piece) > 1)""")
+    parts.append(_uni_cost_sql(f"vv{r}", f"p{r + 1}").strip())
+    return ",".join(parts)
+
+
+def _unigram_oracle() -> str:
+    rounds = ",".join(_uni_round_ctes(r) for r in range(1, _UNI_ROUNDS + 1))
+    final = f"vv{_UNI_ROUNDS}"
+    return f"""
+WITH tokw AS (SELECT unnest({TX.words_sql('text')}) AS word FROM documents),
+wfr AS MATERIALIZED (
+    SELECT word, count(*) AS freq FROM tokw
+    WHERE regexp_full_match(word, '[a-z0-9]{{1,{_UNI_WMAX}}}')
+    GROUP BY word),
+subs AS MATERIALIZED ({_uni_subs_sql()}),
+seedc AS MATERIALIZED (
+    SELECT sub AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM subs GROUP BY sub),
+singles AS MATERIALIZED (SELECT piece FROM seedc WHERE len(piece) = 1),
+multis AS (SELECT piece FROM seedc WHERE len(piece) > 1
+           ORDER BY cnt DESC, piece LIMIT {_UNI_SEED}),
+v0 AS MATERIALIZED (
+    SELECT c.piece, c.cnt FROM seedc c
+    JOIN (SELECT piece FROM singles UNION ALL SELECT piece FROM multis) s
+      ON s.piece = c.piece),
+{_uni_cost_sql("v0", "p1").strip()},
+{rounds}
+SELECT piece,
+       CAST(len(piece) AS INT) AS piece_len,
+       CAST(cnt AS BIGINT) AS viterbi_count,
+       CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.T + t.V AS DOUBLE))
+                  * 1000000000.0) AS BIGINT) AS logp_e9
+FROM {final}, (SELECT sum(cnt) AS T, count(*) AS V FROM {final}) t
+"""
+
+
+def _uni_sub_positions() -> F.Column:
+    """Array of struct(k, sub) for every substring occurrence of
+    ``word`` — k encodes the DP edge (j, i) as j * 10 + i (j, i <=
+    _UNI_WMAX = 8, so k is collision-free)."""
+    return F.expr(
+        f"""flatten(transform(sequence(1, length(word)),
+              p -> transform(
+                sequence(1, least({_UNI_PLEN}, length(word) - p + 1)),
+                l -> struct((p - 1) * 10 + (p - 1 + l) AS k,
+                            substring(word, p, l) AS sub))))"""
+    )
+
+
+def _uni_costs(counts: DataFrame) -> DataFrame:
+    """(piece, cost DECIMAL(28,9)) from (piece, cnt) — the engine twin
+    of _uni_cost_sql. The 1-row totals ride a broadcast crossJoin, not
+    a driver pull."""
+    tot = counts.agg(
+        F.sum("cnt").alias("T"), F.count("*").alias("V")
+    )
+    ratio = (F.col("cnt") + F.lit(1)).cast("double") / (
+        F.col("T") + F.col("V")
+    ).cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (-F.round(F.log(ratio), 9)).cast("decimal(28,9)").alias("cost"),
+    )
+
+
+def _uni_viterbi_counts(wfr: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(piece, cnt) — word-frequency-weighted piece usage over the best
+    segmentation of every training word under ``pieces`` costs.
+
+    Spark-first shape: ONE broadcast join attaches costs to the
+    exploded substring occurrences, ONE groupBy folds them back into a
+    per-word (k -> cost) map, and the entire 8-position Viterbi DP plus
+    backtrack is COLUMN EXPRESSIONS on that row — zero shuffles, whole-
+    stage-codegen all the way to the final vocabulary-scale count
+    aggregation. array_min over struct(cost, j) is the argmin with the
+    (cost ASC, j ASC) tie-break = prefer the longest final piece."""
+    subs = wfr.select(
+        "word", "freq", F.explode(_uni_sub_positions()).alias("s")
+    ).select("word", "freq", F.col("s.k").alias("k"), F.col("s.sub").alias("sub"))
+    m = (
+        subs.join(F.broadcast(pieces), subs["sub"] == pieces["piece"])
+        .groupBy("word", "freq")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "cost"))
+            ).alias("cm")
+        )
+    )
+    df = m
+    zero = F.lit(0).cast("decimal(38,9)")
+    for i in range(1, _UNI_WMAX + 1):
+        cands = [
+            F.struct(
+                (
+                    (zero if j == 0 else F.col(f"s{j}.cost"))
+                    + F.element_at("cm", F.lit(j * 10 + i))
+                )
+                .cast("decimal(38,9)")
+                .alias("cost"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(max(0, i - _UNI_PLEN), i)
+        ]
+        df = df.withColumn(
+            f"s{i}",
+            F.array_min(
+                F.filter(F.array(*cands), lambda x: x["cost"].isNotNull())
+            ),
+        )
+    bps = F.array(*[F.col(f"s{i}.j") for i in range(1, _UNI_WMAX + 1)])
+    df = df.withColumn("bps", bps).withColumn(
+        "pos0", F.length("word").cast("int")
+    )
+    for s in range(1, _UNI_WMAX + 1):
+        df = (
+            df.withColumn(
+                f"j{s}",
+                F.when(
+                    F.col(f"pos{s - 1}") > 0,
+                    F.element_at("bps", F.col(f"pos{s - 1}")),
+                ),
+            )
+            .withColumn(
+                f"pc{s}",
+                F.expr(f"substring(word, j{s} + 1, pos{s - 1} - j{s})"),
+            )
+            .withColumn(
+                f"pos{s}", F.coalesce(F.col(f"j{s}"), F.lit(0)).cast("int")
+            )
+        )
+    seg = df.select(
+        "freq",
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"pc{s}") for s in range(1, _UNI_WMAX + 1)]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("piece"),
+    )
+    return seg.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+
+
+def _unigram_learn(d: DataFrame, rounds: int = _UNI_ROUNDS):
+    """Final (piece, cnt) vocabulary table after ``rounds`` hard-EM
+    iterations, plus the singles table — the shared kernel behind
+    q_unigram_lm and the depth-bounded property pin
+    (tests/test_properties.py). Per-round cache rotation is the
+    _bpe_learn pattern: the piece table is tiny (<= _UNI_SEED + 36
+    rows) but its LINEAGE doubles per round (each round's costs plan
+    contains the previous round's full DP), so rounds checkpoint
+    eagerly and release the previous round's blocks."""
+    from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
+
+    tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).filter(
+        F.col("word").rlike(f"^[a-z0-9]{{1,{_UNI_WMAX}}}$")
+    )
+    # the ONE corpus-keyed shuffle; everything below is vocabulary-scale
+    wfr = tracked_persist(
+        tok.groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    subs = wfr.select(
+        "word", "freq", F.explode(_uni_sub_positions()).alias("s")
+    ).select("freq", F.col("s.sub").alias("piece"))
+    seedc = subs.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    singles = tracked_persist(
+        seedc.filter(F.length("piece") == 1).select("piece")
+    )
+    multis = (
+        seedc.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_UNI_SEED)
+        .select("piece")
+    )
+    v0 = singles.unionAll(multis).join(seedc, "piece")
+    pieces = tracked_local_checkpoint(_uni_costs(v0), eager=True)
+
+    counts = None
+    prev_handle: list = []
+    for r in range(1, rounds + 1):
+        vc = _uni_viterbi_counts(wfr, pieces)
+        counts = singles.join(vc, "piece", "left").select(
+            "piece", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
+        ).unionAll(
+            vc.filter(F.length("piece") > 1).select("piece", "cnt")
+        )
+        if r < rounds:
+            handle: list = []
+            pieces = tracked_local_checkpoint(
+                _uni_costs(counts), handle_out=handle
+            )
+            if prev_handle:
+                release_ckpt(prev_handle[0])
+            prev_handle = handle
+    return counts, singles
+
+
+@register(
+    "q_unigram_lm",
+    oracle=_unigram_oracle(),
+    tags=("phase3", "textstats", "tokenizer"),
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, piece_len, viterbi_count, logp_e9) — the unigram-LM
+    tokenizer vocabulary after _UNI_ROUNDS hard-EM rounds. See the
+    block comment for the bounded-DP contract and the decimal-exact
+    determinism story."""
+    counts, _singles = _unigram_learn(load_table(spark, sf_dir, "documents"))
+    tot = counts.agg(F.sum("cnt").alias("T"), F.count("*").alias("V"))
+    ratio = (F.col("cnt") + F.lit(1)).cast("double") / (
+        F.col("T") + F.col("V")
+    ).cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("cnt").alias("viterbi_count"),
+        # nano-nats as BIGINT: round-half-away-from-zero agrees between
+        # Spark (BigDecimal HALF_UP) and DuckDB, and an integer column
+        # cannot carry a float dtype skew into the driver hash
+        F.round(F.log(ratio) * F.lit(1e9)).cast("bigint").alias("logp_e9"),
+    )

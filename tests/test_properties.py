@@ -651,3 +651,91 @@ def test_bpe_learn_depth8_matches_python_reference(spark):
     from data_etl_spark.cache import release_tracked
 
     release_tracked()
+
+
+def test_unigram_lm_depth4_matches_python_reference(spark):
+    """q_unigram_lm's hard-EM loop at depth 4 (the driver runs
+    _UNI_ROUNDS=2) against a pure-Python reference implementing the
+    same spec: seed substring counts with multiplicity, top-_UNI_SEED
+    multi-char pieces by (count DESC, piece ASC) plus all single
+    chars, per-round Viterbi DP with exact Decimal costs
+    -quantize9(ln((c+1)/(T+V))) and (cost ASC, predecessor ASC)
+    tie-break, prune multi-char pieces with zero Viterbi count. Words
+    longer than _UNI_WMAX are excluded from training on both sides
+    (the bounded-DP contract)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from data_etl_spark.plans.textstats import (
+        _UNI_PLEN,
+        _UNI_SEED,
+        _UNI_WMAX,
+        _unigram_learn,
+    )
+
+    ROUNDS = 4
+    word_freqs = {
+        "aaaaaaaa": 6, "abababab": 5, "banana": 4, "bananas": 3,
+        "abcabc": 3, "aabbaabb": 2, "deeded": 2, "lolll": 1,
+        "xyzzy": 1, "anagram": 2, "mississippi": 2,  # >8: excluded
+    }
+
+    def reference(wf, rounds):
+        wf = {w: f for w, f in wf.items() if len(w) <= _UNI_WMAX}
+
+        def cost_of(c, T, V):
+            x = math.log((c + 1) / (T + V))
+            return -Decimal(x).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+
+        seed: dict = {}
+        for w, f in wf.items():
+            for p in range(len(w)):
+                for ln in range(1, min(_UNI_PLEN, len(w) - p) + 1):
+                    piece = w[p : p + ln]
+                    seed[piece] = seed.get(piece, 0) + f
+        singles = sorted(p for p in seed if len(p) == 1)
+        multis = sorted(
+            (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+        )[:_UNI_SEED]
+        counts = {p: seed[p] for p in singles + multis}
+        for _ in range(rounds):
+            T, V = sum(counts.values()), len(counts)
+            costs = {p: cost_of(c, T, V) for p, c in counts.items()}
+            vcnt: dict = {}
+            for w, f in wf.items():
+                n = len(w)
+                best = [None] * (n + 1)
+                best[0] = (Decimal(0), None)
+                for i in range(1, n + 1):
+                    cands = [
+                        (best[j][0] + costs[w[j:i]], j)
+                        for j in range(max(0, i - _UNI_PLEN), i)
+                        if best[j] is not None and w[j:i] in costs
+                    ]
+                    best[i] = min(cands) if cands else None
+                pos = n
+                while pos > 0:
+                    j = best[pos][1]
+                    piece = w[j:pos]
+                    vcnt[piece] = vcnt.get(piece, 0) + f
+                    pos = j
+            counts = {p: vcnt.get(p, 0) for p in singles}
+            for p in sorted(vcnt):
+                if len(p) > 1:
+                    counts[p] = vcnt[p]
+        return counts
+
+    want = reference(word_freqs, ROUNDS)
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(word_freqs.items())],
+        "doc_id long, text string",
+    )
+    counts_df, _singles = _unigram_learn(docs, rounds=ROUNDS)
+    got = {r.piece: r.cnt for r in counts_df.collect()}
+    assert got == want
+
+    from data_etl_spark.cache import release_tracked
+
+    release_tracked()
