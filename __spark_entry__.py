@@ -403,6 +403,12 @@ _TOUCHED_BY_ROUND[12] = frozenset({
     # vocabulary with decimal-exact costs; depth-4 property pin vs a
     # pure-Python reference in tests/test_properties.py:
     "q_unigram_lm",
+    # r12 NEW: deterministic hash-Bernoulli sampling audit (map-side
+    # reproducible corpus subsampling), per-doc character entropy
+    # (gibberish detection, integer-exact sums), per-doc top-3 TF-IDF
+    # keyword extraction (integer-exact ranking), and power-iteration
+    # PCA over the embeddings (decimal-exact matrix-vector rounds):
+    "q_hash_sample", "q_char_entropy", "q_tfidf_keywords", "q_pca_power",
 })
 
 

@@ -532,3 +532,83 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hash_sample — deterministic hash-Bernoulli corpus sampling with a
+# per-source audit (the release gate a training-data pipeline runs on
+# every subsample: "which strata did the sample starve?"). A doc is
+# selected iff the first 6 hex chars of md5(doc_id) fall under
+# fraction * 16^6 — a pure per-row predicate, so the sample is (a)
+# REPRODUCIBLE anywhere (same ids -> same sample, no RNG state, no
+# partition-order dependence — unlike DataFrame.sample, whose output
+# depends on the split layout), (b) CONSISTENT across tables (any
+# table keyed by doc_id can be co-sampled by the same predicate, so
+# joins between sampled tables stay complete), and (c) map-side at
+# 100 TB — the scan's only added cost is one md5 per row; the audit
+# is one partial-agg rollup. Output grain: one row per source with
+# selected/total counts, the binomial expectation, and the absolute
+# deviation — the number a curation gate thresholds on.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRAC_NUM, _SAMPLE_FRAC_DEN = 1, 8  # keep 1/8 of the corpus
+_SAMPLE_SPACE = 16**6
+
+
+def _hash_sample_oracle() -> str:
+    from ..operators.dedup import _hexval6_sql
+
+    thr = _SAMPLE_SPACE * _SAMPLE_FRAC_NUM // _SAMPLE_FRAC_DEN
+    return f"""
+WITH b AS (
+    SELECT source,
+           CASE WHEN {_hexval6_sql("md5(CAST(doc_id AS VARCHAR))", 1)} < {thr}
+                THEN 1 ELSE 0 END AS sel
+    FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sel) AS BIGINT) AS n_sampled,
+       CAST(round(count(*) * {_SAMPLE_FRAC_NUM}.0 / {_SAMPLE_FRAC_DEN})
+            AS BIGINT) AS n_expected,
+       CAST(abs(sum(sel) - round(count(*) * {_SAMPLE_FRAC_NUM}.0
+                                 / {_SAMPLE_FRAC_DEN})) AS BIGINT)
+           AS abs_deviation
+FROM b GROUP BY source
+"""
+
+
+@register(
+    "q_hash_sample",
+    oracle=_hash_sample_oracle(),
+    tags=("phase3", "documents", "curation"),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_sampled, n_expected, abs_deviation) — the
+    per-source audit of the deterministic 1/8 hash sample. See the
+    block comment for why this beats DataFrame.sample at 100 TB."""
+    from ..operators.dedup import _hexval6_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    thr = _SAMPLE_SPACE * _SAMPLE_FRAC_NUM // _SAMPLE_FRAC_DEN
+    bucket = F.expr(_hexval6_sql("md5(CAST(doc_id AS STRING))", 1))
+    sel = F.when(bucket < thr, 1).otherwise(0)
+    expected = F.round(
+        F.count("*") * F.lit(_SAMPLE_FRAC_NUM) / F.lit(_SAMPLE_FRAC_DEN)
+    ).cast("bigint")
+    return (
+        d.select("source", sel.alias("sel"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("sel").cast("bigint").alias("n_sampled"),
+            expected.alias("n_expected"),
+            F.abs(
+                F.sum("sel")
+                - F.round(
+                    F.count("*")
+                    * F.lit(_SAMPLE_FRAC_NUM)
+                    / F.lit(_SAMPLE_FRAC_DEN)
+                )
+            ).cast("bigint").alias("abs_deviation"),
+        )
+    )

@@ -1801,3 +1801,166 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mind"),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_pca_power — top principal direction of the embedding matrix by
+# FIXED-ROUND power iteration (von Mises-Pollaczek-Geiringer 1929; the
+# PCA/whitening primitive embedding-curation pipelines run before
+# SemDeDup-style clustering). Uncentered by contract (the dominant
+# right-singular direction of X; corpus embeddings are normalized
+# upstream), _PCA_ROUNDS synchronized iterations of
+#   v <- normalize(X^T (X v)),
+# each = two key-partitioned aggregations over the exploded
+# (vec_id, dim, x) table: d_vec = sum_j x_j v_j per vector, then
+# w_dim = sum_x x_dim d_x per dimension — map-side combined, nothing
+# ever materializes a dim x dim covariance.
+#
+# DETERMINISM (the decimal-exact chain): inputs quantize once to
+# DECIMAL(12,6); every cross-row sum (d, w, the norm accumulator) is
+# exact decimal arithmetic, so partitioning cannot reorder a float
+# sum anywhere; the only doubles are per-scalar (sqrt of the exact
+# norm accumulator, the final w/norm division), evaluated as the
+# identical expression tree on both engines; each round re-quantizes
+# v to integer micro-units (v_e6 BIGINT), which is also the output
+# format — no float column reaches the driver hash.
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 3
+
+
+def _pca_round_ctes(r: int) -> str:
+    """One power-iteration round: consumes v{r} (dim, vj DECIMAL(12,6)),
+    defines w{r}, nrm{r}, e{r}, v{r+1}. Multiply-referenced CTEs are
+    MATERIALIZED (DuckDB inlining precedent, q_kcore_peel)."""
+    return f"""
+d{r} AS MATERIALIZED (
+    SELECT x.vec_id, CAST(sum(CAST(x.xj * v.vj AS DECIMAL(26,12)))
+                          AS DECIMAL(20,12)) AS d
+    FROM x JOIN v{r} v ON v.dim = x.dim GROUP BY x.vec_id),
+w{r} AS MATERIALIZED (
+    SELECT x.dim, CAST(sum(CAST(x.xj * d.d AS DECIMAL(34,18)))
+                       AS DECIMAL(30,12)) AS w
+    FROM x JOIN d{r} d ON d.vec_id = x.vec_id GROUP BY x.dim),
+nrm{r} AS MATERIALIZED (
+    SELECT sqrt(CAST(sum(CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 6)
+                              AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+    FROM w{r}),
+e{r} AS MATERIALIZED (
+    SELECT w.dim,
+           CAST(round(CAST(w.w AS DOUBLE) / nullif(n.nrm, 0.0) * 1000000.0)
+                AS BIGINT) AS v_e6
+    FROM w{r} w, nrm{r} n),
+v{r + 1} AS MATERIALIZED (
+    SELECT dim, CAST(CAST(v_e6 AS DECIMAL(18,0))
+                     * CAST(0.000001 AS DECIMAL(8,6)) AS DECIMAL(12,6)) AS vj
+    FROM e{r})"""
+
+
+def _pca_oracle() -> str:
+    rounds = ",".join(_pca_round_ctes(r) for r in range(1, _PCA_ROUNDS + 1))
+    last = _PCA_ROUNDS
+    return f"""
+WITH x AS MATERIALIZED (
+    SELECT vec_id, s.dim AS dim,
+           CAST(round(CAST(embedding[s.dim] AS DOUBLE), 6)
+                AS DECIMAL(12,6)) AS xj
+    FROM embeddings, (SELECT unnest(generate_series(1, {_PCA_DIM})) AS dim) s
+    WHERE {_EMB_OK} AND len(embedding) = {_PCA_DIM}),
+v1 AS (SELECT DISTINCT dim, CAST(0.125 AS DECIMAL(12,6)) AS vj FROM x),
+{rounds}
+SELECT e.dim AS dim, e.v_e6 AS v_e6,
+       CAST(round(n.nrm * 1000.0) AS BIGINT) AS eig_e3
+FROM e{last} e, nrm{last} n
+"""
+
+
+@register(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    tags=("phase3", "similarity", "linalg"),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, v_e6, eig_e3) — the top principal direction in integer
+    micro-units plus the eigenvalue estimate (the final iterate's norm,
+    milli-units). See the block comment for the decimal-exact chain.
+    The exploded (vec_id, dim, x) table persists DISK_ONLY (it feeds
+    both aggregations every round); per-round v tables rotate through
+    eager localCheckpoints (the _bpe_learn pattern)."""
+    from ..cache import release_ckpt, tracked_local_checkpoint
+
+    e = _embeddings(spark, sf_dir).filter(
+        F.size("embedding") == _PCA_DIM
+    )
+    x = tracked_persist(
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("dim0", "x")
+        ).select(
+            "vec_id",
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.round(F.col("x").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("xj"),
+        ),
+        StorageLevel.DISK_ONLY,
+    )
+    v = x.select("dim").distinct().select(
+        "dim", F.lit(0.125).cast("decimal(12,6)").alias("vj")
+    )
+    prev_handle: list = []
+    out = None
+    for r in range(1, _PCA_ROUNDS + 1):
+        d = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("xj") * F.col("vj")).cast("decimal(26,12)")
+                ).cast("decimal(20,12)").alias("d")
+            )
+        )
+        w = (
+            x.join(d, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (F.col("xj") * F.col("d")).cast("decimal(34,18)")
+                ).cast("decimal(30,12)").alias("w")
+            )
+        )
+        wd = F.col("w").cast("double")
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(wd * wd, 6).cast("decimal(38,6)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        # nullif guard: an all-zero (or degenerate) corpus has no
+        # principal direction — norm 0 yields NULL components on both
+        # engines instead of an ANSI divide-by-zero (fuzz corpus edge)
+        ev = w.crossJoin(F.broadcast(nrm)).select(
+            "dim",
+            F.round(wd / F.nullif(F.col("nrm"), F.lit(0.0)) * F.lit(1e6))
+            .cast("bigint").alias("v_e6"),
+            F.round(F.col("nrm") * F.lit(1e3)).cast("bigint").alias("eig_e3"),
+        )
+        if r < _PCA_ROUNDS:
+            handle: list = []
+            v = tracked_local_checkpoint(
+                ev.select(
+                    "dim",
+                    (
+                        F.col("v_e6").cast("decimal(18,0)")
+                        * F.lit(0.000001).cast("decimal(8,6)")
+                    ).cast("decimal(12,6)").alias("vj"),
+                ),
+                handle_out=handle,
+            )
+            if prev_handle:
+                release_ckpt(prev_handle[0])
+            prev_handle = handle
+        else:
+            out = ev
+    return out.select("dim", "v_e6", "eig_e3")

@@ -2475,3 +2475,185 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cannot carry a float dtype skew into the driver hash
         F.round(F.log(ratio) * F.lit(1e9)).cast("bigint").alias("logp_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_char_entropy — per-doc character-distribution entropy, the classic
+# gibberish/boilerplate detector (low entropy = repeated-char runs and
+# template padding; implausibly high = random noise). Counted over
+# [a-z0-9] so both engines see the identical alphabet.
+#
+# DETERMINISM (the integer-sum pattern): the per-doc aggregation sums
+# c * round(ln(c) * 1e9) — an exact BIGINT per (doc, char) row, so the
+# sum is order-independent under any partitioning — and the final
+# entropy in nats is derived PER ROW from exact integers:
+#   H = ln(n) - (1/n) * sum(c * ln(c))
+#     = (round(ln(n)*1e9) * n - sum(c * round(ln(c)*1e9))) / (n * 1e9)
+# evaluated with the identical expression tree on both engines.
+# Scale: explode chars -> (doc, char) counts is map-side combined
+# (<= |alphabet| rows per doc per partition on the wire), then one
+# per-doc rollup — two key-partitioned aggregations, nothing else.
+# ---------------------------------------------------------------------------
+
+_CHAR_ENTROPY_ORACLE = """
+WITH cc AS (
+    SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]')) AS c
+          FROM documents)
+    GROUP BY doc_id, c),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars_an,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000.0)
+                               AS BIGINT)) AS BIGINT) AS s_clogc_e9
+    FROM cc GROUP BY doc_id)
+SELECT doc_id, n_chars_an, n_distinct,
+       CAST(CAST(round(ln(CAST(n_chars_an AS DOUBLE)) * 1000000000.0) AS BIGINT)
+                * n_chars_an - s_clogc_e9 AS DOUBLE)
+           / (CAST(n_chars_an AS DOUBLE) * 1000000000.0) AS entropy_nats
+FROM agg
+"""
+
+
+@register(
+    "q_char_entropy",
+    oracle=_CHAR_ENTROPY_ORACLE,
+    tags=("phase3", "textstats", "quality"),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_an, n_distinct, entropy_nats) — character
+    entropy over [a-z0-9]; see the block comment for the integer-exact
+    determinism story."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z0-9]', 0)")
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    clogc = F.col("cnt") * F.round(
+        F.log(F.col("cnt").cast("double")) * F.lit(1e9)
+    ).cast("bigint")
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_an"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(clogc).cast("bigint").alias("s_clogc_e9"),
+    )
+    ln_n_e9 = F.round(
+        F.log(F.col("n_chars_an").cast("double")) * F.lit(1e9)
+    ).cast("bigint")
+    return agg.select(
+        "doc_id",
+        "n_chars_an",
+        "n_distinct",
+        (
+            (ln_n_e9 * F.col("n_chars_an") - F.col("s_clogc_e9")).cast("double")
+            / (F.col("n_chars_an").cast("double") * F.lit(1e9))
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf_keywords — per-document top-3 keyword extraction by TF-IDF
+# (Sparck Jones 1972), the routing/tagging primitive a curation
+# pipeline runs to label corpus slices. Distinct from q_bm25 (full
+# scoring matrix): this is the per-doc ARGMAX-k — grouped fold, no
+# corpus-wide window.
+#
+# DETERMINISM: score_e9 = tf * round(ln(N/df) * 1e9) is an exact
+# BIGINT, so the (score DESC, word ASC) top-3 is identically ordered
+# on both engines — no float comparison anywhere near the ranking.
+# Scale: tf and df are map-side-combined aggs; the tf-df join is
+# key-partitioned on word (AQE broadcasts the df side when it fits);
+# the top-3 is a per-doc collect_list + array_sort + slice — group
+# state bounded by per-doc vocabulary, never a corpus-scale sort.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_KEYWORDS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TX.words_sql('text')}) AS word FROM documents),
+tf AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE regexp_full_match(word, '[a-z0-9]+')
+    GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (
+    SELECT t.doc_id, t.word, t.tf,
+           t.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+                             * 1000000000.0) AS BIGINT) AS score_e9
+    FROM tf t JOIN df ON df.word = t.word, n),
+ranked AS (
+    SELECT doc_id, word, tf, score_e9,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_e9 DESC, word) AS rk
+    FROM sc)
+SELECT doc_id, CAST(rk AS INT) AS rank, word, tf, score_e9
+FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+@register(
+    "q_tfidf_keywords",
+    oracle=_TFIDF_KEYWORDS_ORACLE,
+    tags=("phase3", "textstats", "curation"),
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank, word, tf, score_e9) — each doc's top-3 TF-IDF
+    keywords; integer-exact ranking (see block comment). The oracle
+    ranks with a window for SQL clarity; the engine uses the grouped
+    fold (collect_list + array_sort + slice), which needs no
+    corpus-scale sort — same (score_e9 DESC, word ASC) order."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    sc = tf.join(df, "word").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "word",
+        "tf",
+        (
+            F.col("tf")
+            * F.round(
+                F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * F.lit(1e9)
+            ).cast("bigint")
+        ).alias("score_e9"),
+    )
+    top = sc.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_e9")).alias("negscore"),
+                        "word",
+                        "tf",
+                        "score_e9",
+                    )
+                )
+            ),
+            1,
+            _TFIDF_K,
+        ).alias("top")
+    )
+    return top.select(
+        "doc_id", F.posexplode("top").alias("pos", "kw")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("kw.word").alias("word"),
+        F.col("kw.tf").alias("tf"),
+        F.col("kw.score_e9").alias("score_e9"),
+    )

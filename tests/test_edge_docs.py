@@ -69,6 +69,19 @@ _QUERIES = [
     # round 11: Zipf MLE on the degenerate 8-doc corpus (singleton
     # frequencies dominate; empty doc contributes nothing)
     "q_zipf_fit",
+    # round 12: unigram-LM training — doc 0 (empty) contributes no
+    # words, doc 3 (pure repetition) dominates the seed counts, doc 7's
+    # non-[a-z0-9] and >8-char words are excluded identically
+    "q_unigram_lm",
+    # round 12: char entropy — empty doc drops out (no [a-z0-9] chars),
+    # doc 3's single-word repetition pins the low-entropy end
+    "q_char_entropy",
+    # round 12: TF-IDF keywords — docs with < 3 distinct words emit
+    # fewer than 3 rows; dup docs 5/6 share identical keyword sets
+    "q_tfidf_keywords",
+    # round 12: hash-sample audit on an 8-doc corpus (integer-exact
+    # expectation rounding at tiny strata)
+    "q_hash_sample",
 ]
 
 

@@ -1148,6 +1148,21 @@ _CHAOS_PINNED = [
     # round 11: Zipf MLE — NULL texts/sources through the per-source
     # vocab agg, DECIMAL-exact ln-term sum under chaotic partitioning
     "q_zipf_fit",
+    # round 12: unigram-LM training — NULL texts vanish identically,
+    # duplicate runs dominate the seed/Viterbi counts, unicode and
+    # >8-char words excluded by the bounded-DP contract on both sides
+    "q_unigram_lm",
+    # round 12: char entropy (NULL/empty texts drop; integer-exact
+    # c*ln(c) sums under chaotic partitioning), TF-IDF keywords
+    # (integer-exact ranking with <k-keyword docs), hash-sample audit
+    # (NULL sources form their own stratum row)
+    "q_char_entropy",
+    "q_tfidf_keywords",
+    "q_hash_sample",
+    # round 12: power-iteration PCA — NULL embeddings excluded by the
+    # vector contract; the decimal-exact d/w sums must survive chaotic
+    # partitioning bit-for-bit
+    "q_pca_power",
 ]
 
 
