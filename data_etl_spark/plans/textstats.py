@@ -2572,6 +2572,11 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key-partitioned on word (AQE broadcasts the df side when it fits);
 # the top-3 is a per-doc collect_list + array_sort + slice — group
 # state bounded by per-doc vocabulary, never a corpus-scale sort.
+# The tf subtree feeds two consumers (the probe side and df) and is
+# deliberately RECOMPUTED, not persisted: the DISK_ONLY-persist
+# variant was A/B-measured at sf1 and LOST (min-of-2 6.44 s vs
+# 5.85 s) — one extra tokenize+agg scan is cheaper than the persisted
+# tf's disk round-trip, and the df consumer prunes to (word) anyway.
 # ---------------------------------------------------------------------------
 
 _TFIDF_K = 3

@@ -739,3 +739,50 @@ def test_unigram_lm_depth4_matches_python_reference(spark):
     from data_etl_spark.cache import release_tracked
 
     release_tracked()
+
+
+def test_pca_power_aligns_with_numpy_truth(spark, tmp_path):
+    """q_pca_power's engine-vs-oracle hash check proves the two engines
+    agree; this pins that they agree on the RIGHT answer: on a fixture
+    with a planted dominant direction, 3 power-iteration rounds must
+    align with numpy's exact top right-singular vector (|cos| > 0.999)
+    and the eigenvalue estimate must be within 2% of the true top
+    singular value of the quantized matrix."""
+    import numpy as np
+
+    from data_etl_spark.plans.similarity import _PCA_DIM, q_pca_power
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=_PCA_DIM)
+    u /= np.linalg.norm(u)
+    n = 400
+    # strong planted component + isotropic noise
+    X = np.outer(rng.normal(size=n) * 5.0, u) + rng.normal(
+        size=(n, _PCA_DIM)
+    )
+    Xq = np.round(X, 6)
+
+    rows = [(int(i), [float(v) for v in Xq[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    # float32 storage is part of the contract: round-trip through
+    # parquet exactly as the real table does
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = q_pca_power(spark, sf_dir).toPandas().sort_values("dim")
+    v = out["v_e6"].to_numpy(dtype=np.float64) / 1e6
+    # numpy truth on the float32-then-quantized matrix the engine saw
+    Xs = np.round(Xq.astype(np.float32).astype(np.float64), 6)
+    _, s, vt = np.linalg.svd(Xs, full_matrices=False)
+    cos = abs(float(v @ vt[0]) / np.linalg.norm(v))
+    assert cos > 0.999, f"cosine to true PC1 only {cos:.6f}"
+    eig = float(out["eig_e3"].iloc[0]) / 1e3
+    # after normalize(X^T X v) rounds, ||X^T X v|| -> top eigenvalue
+    # of X^T X = s[0]^2
+    assert abs(eig - s[0] ** 2) / s[0] ** 2 < 0.02, (eig, s[0] ** 2)
+
+    from data_etl_spark.cache import release_tracked
+
+    release_tracked()
