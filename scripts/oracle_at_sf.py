@@ -40,7 +40,6 @@ GATE_QUERIES = [
     "q_join_auto",         # auto_join: skew-gated salting
     "q_rank_auto",         # auto_rank: window vs two-pass bucketed
     "q_lsh_adaptive",      # lsh_adaptive: band-count re-plan (_ADAPT_N)
-    "q_window_rank",       # registered window/rank pairing of auto_rank
     # two-pass exact_global_rank / exact_global_cumsum consumers — the
     # range-bucket boundary count adapts to input cardinality:
     "q_quality_percentiles",
