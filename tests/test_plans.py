@@ -691,3 +691,52 @@ def test_registry_queries_drain_to_baseline(spark, sf_dir):
         assert persisted() <= baseline, (
             f"{name} leaked persisted RDDs: {persisted()} > {baseline}"
         )
+
+
+def test_tfidf_keywords_broadcasts_df_side(spark, sf_dir):
+    """The word-df table must arrive at the tf join as a broadcast (AQE
+    or static), never a shuffled sort-merge at test scale, and the
+    1-row N must ride a broadcast nested-loop — no CartesianProduct."""
+    plan = _plan(spark, sf_dir, "q_tfidf_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the per-doc top-3 is a grouped fold, not a corpus-scale window
+    assert "Window" not in plan
+
+
+def test_unigram_lm_dp_is_join_free_after_cost_lookup(spark, sf_dir):
+    """q_unigram_lm's Viterbi DP + backtrack are column expressions:
+    the FINAL round's plan (the lazy output) may contain exactly the
+    piece-cost broadcast join, the vocab union joins, and key-partition
+    exchanges — never a cartesian, never a window, never a sort-merge
+    join of two corpus-scale sides."""
+    plan = _plan(spark, sf_dir, "q_unigram_lm")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    from data_etl_spark.cache import release_tracked
+
+    release_tracked()
+
+
+def test_pca_power_never_materializes_covariance(spark, sf_dir):
+    """q_pca_power is two key-partitioned aggs per round over the
+    exploded (vec_id, dim, x) rows: no dim x dim cartesian, no window,
+    and the v-side joins broadcast (64 rows)."""
+    plan = _plan(spark, sf_dir, "q_pca_power")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    from data_etl_spark.cache import release_tracked
+
+    release_tracked()
+
+
+def test_hash_sample_is_single_agg(spark, sf_dir):
+    """q_hash_sample is one map-side-combined rollup over a pure
+    per-row predicate: exactly one exchange (the source groupBy), no
+    joins of any kind."""
+    plan = _plan(spark, sf_dir, "q_hash_sample")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
