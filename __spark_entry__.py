@@ -409,6 +409,10 @@ _TOUCHED_BY_ROUND[12] = frozenset({
     # keyword extraction (integer-exact ranking), and power-iteration
     # PCA over the embeddings (decimal-exact matrix-vector rounds):
     "q_hash_sample", "q_char_entropy", "q_tfidf_keywords", "q_pca_power",
+    # r12 NEW: kNN label-disagreement audit (Confident Learning) —
+    # per-class annotation-noise rates over the embedding table,
+    # SF-capped exact baseline (CAPPED_QUERIES-registered):
+    "q_label_noise",
 })
 
 

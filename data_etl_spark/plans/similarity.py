@@ -1964,3 +1964,116 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             out = ev
     return out.select("dim", "v_e6", "eig_e3")
+
+
+# ---------------------------------------------------------------------------
+# q_label_noise — kNN label-disagreement audit (the Confident-Learning
+# family, Northcutt et al. 2021: an example whose nearest neighbors
+# vote for a different class is a likely annotation error). For every
+# vector: its 5 nearest neighbors by cosine (self excluded), the
+# neighbourhood's majority label (ties -> smaller label), and per TRUE
+# label the count/rate of majority disagreements — the label-QC gate a
+# finetuning-data pipeline runs before training on labeled corpora.
+#
+# SF-capped at vec_id < _NOISE_CAP (the q_cosine_pairs precedent):
+# every-vector-vs-corpus exact kNN is intrinsically quadratic; the
+# scale path is the IVF-bucketed neighbor family (q_ivf_knn /
+# q_semantic_dedup cells), while this query is the exact baseline at a
+# fixed corpus size. Determinism: cosine scores are bit-identical
+# across engines (functions/vectors.py), rank ties break on
+# neighbor id, majority ties on smaller label, and the final rate is
+# a per-row division of exact integers.
+# ---------------------------------------------------------------------------
+
+_NOISE_CAP = 2000
+_NOISE_K = 5
+
+_LABEL_NOISE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS emb FROM embeddings
+           WHERE {_EMB_OK} AND label IS NOT NULL AND vec_id < {_NOISE_CAP}),
+s AS (SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS cid,
+             b.label AS clab, {V.cosine_sql('a.emb', 'b.emb')} AS score
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+r AS (SELECT qid, qlab, clab,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, cid) AS rk
+      FROM s),
+v AS (SELECT qid, qlab, clab, count(*) AS cnt
+      FROM r WHERE rk <= {_NOISE_K} GROUP BY qid, qlab, clab),
+mx AS (SELECT qid, max(cnt) AS mc FROM v GROUP BY qid),
+m AS (SELECT v.qid, min(v.qlab) AS qlab, min(v.clab) AS maj
+      FROM v JOIN mx ON mx.qid = v.qid AND v.cnt = mx.mc
+      GROUP BY v.qid)
+SELECT qlab AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN maj != qlab THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(sum(CASE WHEN maj != qlab THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS flag_rate
+FROM m GROUP BY qlab
+"""
+
+register_cap(
+    "q_label_noise", "vec_id", _NOISE_CAP, "_NOISE_CAP",
+    "every-vector-vs-corpus exact kNN is intrinsically quadratic "
+    "(the q_cosine_pairs class); the IVF-bucketed neighbor family is "
+    "the scale path — the exact label-noise baseline runs at a fixed "
+    "corpus size",
+)
+
+
+@register(
+    "q_label_noise",
+    oracle=_LABEL_NOISE_ORACLE,
+    tags=("phase3", "similarity", "curation"),
+)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n, n_flagged, flag_rate) — per-class kNN majority-label
+    disagreement (see block comment)."""
+    e = _embeddings(spark, sf_dir).filter(
+        F.col("label").isNotNull() & (F.col("vec_id") < _NOISE_CAP)
+    )
+    emb = V.as_double(F.col("embedding"))
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        emb.alias("q_emb"),
+    ).withColumn("__qn", V.l2_norm(F.col("q_emb")))
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        emb.alias("c_emb"),
+    ).withColumn("__cn", V.l2_norm(F.col("c_emb")))
+    score = V.seq_cosine_pre(
+        F.col("q_emb"), F.col("c_emb"), F.col("__qn"), F.col("__cn")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qlab", "cid", "clab", score.alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NOISE_K)
+        .groupBy("qid", "qlab", "clab")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # argmax neighbor-label count, ties -> smaller label: one hash agg
+    maj = votes.groupBy("qid", "qlab").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("clab").alias("maj")))
+        .getField("maj")
+        .alias("maj")
+    )
+    flagged = F.when(F.col("maj") != F.col("qlab"), 1).otherwise(0)
+    return (
+        maj.select("qlab", flagged.alias("f"))
+        .groupBy("qlab")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("f").cast("bigint").alias("n_flagged"),
+            (F.sum("f").cast("double") / F.count("*")).alias("flag_rate"),
+        )
+        .select(F.col("qlab").alias("label"), "n", "n_flagged", "flag_rate")
+    )

@@ -1163,6 +1163,10 @@ _CHAOS_PINNED = [
     # vector contract; the decimal-exact d/w sums must survive chaotic
     # partitioning bit-for-bit
     "q_pca_power",
+    # round 12: label-noise audit — NULL labels/embeddings excluded on
+    # both sides; identical-vector ties break on neighbor id; majority
+    # ties on smaller label
+    "q_label_noise",
 ]
 
 
