@@ -118,3 +118,73 @@ def top_cosine_pairs_per_group(
     return grouped.applyInPandas(
         lambda pdf: _top_pairs_group(pdf, k), schema=PAIR_SCHEMA
     )
+
+
+VOTE_SCHEMA = "qid bigint, qlab int, clab int"
+
+
+def _self_knn_votes_group(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """For every vector in the group: the labels of its k nearest
+    neighbors by cosine (self excluded) — one output row per
+    (query, neighbor). Ordering contract (identical to the
+    window/oracle form it replaces): score DESC with NULLs LAST
+    (zero-norm cosine is NULL via try_divide), ties on neighbor id
+    ASC. Scores are bit-identical to the expression/oracle path: the
+    dot matrix accumulates dimension by dimension (rank-1 updates) so
+    every pair's additions happen in left-fold order — see the module
+    docstring."""
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    labs = pdf["label"].to_numpy()[order]
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])[order]
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(columns=["qid", "qlab", "clab"])
+    norms = _seq_norms(m)
+    out_q, out_ql, out_cl = [], [], []
+    for s in range(0, n, _BLOCK):
+        e = min(s + _BLOCK, n)
+        acc = np.zeros((e - s, n))
+        for d in range(m.shape[1]):
+            acc = acc + np.outer(m[s:e, d], m[:, d])
+        denom = np.outer(norms[s:e], norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / denom
+        # NULL (zero-norm) scores sort LAST under DESC on both engines
+        # (try_divide NULL; never a real -inf: cosine >= -1), self is
+        # excluded entirely
+        key = np.where(denom == 0.0, -np.inf, cos)
+        rows = np.arange(s, e)
+        key[np.arange(e - s), rows] = np.nan  # self: drop below -inf
+        take = min(k, n - 1)
+        for r in range(e - s):
+            # NaN (self) sorts LAST under lexsort -> with take <= n-1 it
+            # is never selected, while -inf (NULL-score) fillers still
+            # can be, in cid-asc order (secondary key = ids ascending)
+            sel = np.lexsort((ids, -key[r]))[:take]
+            g = rows[r]
+            out_q.extend([int(ids[g])] * len(sel))
+            out_ql.extend([int(labs[g])] * len(sel))
+            out_cl.extend(int(labs[j]) for j in sel)
+    return pd.DataFrame({"qid": out_q, "qlab": out_ql, "clab": out_cl})
+
+
+def self_knn_label_votes(e: DataFrame, k: int) -> DataFrame:
+    """(qid, qlab, clab) — k nearest-neighbor label votes for every
+    vector, via ONE applyInPandas group kernel (the top_cosine_pairs
+    rank-1-update machinery). The single group is bounded by the
+    caller's SF cap (CAPPED_QUERIES); the distributed form at real
+    scale blocks queries over corpus splits and re-ranks the per-split
+    top-k union — and the ANN/IVF family remains the documented scale
+    path either way. Input columns: (vec_id, label, emb double-array),
+    NULL labels already excluded."""
+    from pyspark.sql import functions as F
+
+    return (
+        e.select("vec_id", "label", "emb")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: _self_knn_votes_group(pdf, k), schema=VOTE_SCHEMA
+        )
+    )
