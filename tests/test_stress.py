@@ -242,3 +242,35 @@ def test_semantic_dedup_giant_cluster(spark):
     # identical vectors: every member except the rank-1 keeper is a dup
     assert n_dup == n - 1
     assert dt < 90, f"giant-cluster pairing took {dt:.1f}s"
+
+
+def test_self_knn_votes_ordering_contract(spark):
+    """Pin operators/pairs.self_knn_label_votes' ranking contract on a
+    hand-checkable fixture: score DESC with zero-norm (NULL-cosine)
+    neighbors LAST, ties on neighbor id ASC, self never voted, and a
+    query with fewer than k real-score neighbors topped up by
+    NULL-score fillers in id order — exactly the window/oracle form
+    the kernel replaced."""
+    from data_etl_spark.operators.pairs import self_knn_label_votes
+
+    rows = [
+        # v0 and v1 identical direction (cos 1.0 to each other), v2
+        # orthogonal-ish, v3 zero vector (NULL cosine to everyone)
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [2.0, 0.0]),
+        (2, 1, [0.0, 1.0]),
+        (3, 2, [0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    out = self_knn_label_votes(e, k=2).collect()
+    votes: dict = {}
+    for r in out:
+        votes.setdefault(r.qid, []).append(r.clab)
+    # v0: best = v1 (cos 1.0), then v2 (cos 0.0) — v3's NULL loses
+    assert votes[0] == [0, 1]
+    # v1: symmetric
+    assert votes[1] == [0, 1]
+    # v2: v0 and v1 both cos 0.0 — tie breaks on id ASC (v0 then v1)
+    assert votes[2] == [0, 0]
+    # v3 (zero vector): every cosine NULL — fillers in id order v0, v1
+    assert votes[3] == [0, 0]
