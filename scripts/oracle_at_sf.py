@@ -9,7 +9,9 @@ local suite at sf0.001, and the sf1 rehearsal checks only perf gates —
 so the branch that actually executes at bench scale was never
 DuckDB-hash-checked. This script runs exactly those names from the FULL
 registry (driver_sim iterates only the 50-name window) at sf0.1 and
-writes ORACLE_SF01_r{N}.json.
+writes ORACLE_SF01_r{N}.json. The SF-capped queries (CAPPED_QUERIES)
+ride along: their cap BINDS only above the driver's sf0.01 corpus, so
+the cap-live branch shares the same blind spot.
 
 Usage: python scripts/oracle_at_sf.py [sf_dir] [out.json]
 """
@@ -55,13 +57,20 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as E  # noqa: F401  (registers the registry)
-    from data_etl_spark.plans import REGISTRY
+    from data_etl_spark.plans import CAPPED_QUERIES, REGISTRY
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "ORACLE_SF01.json"
 
     missing = [n for n in GATE_QUERIES if n not in REGISTRY]
     assert not missing, f"gate queries missing from registry: {missing}"
+    # the SF-capped queries share the blind spot: their cap BINDS only
+    # above the driver's sf0.01 corpus, so the cap-live branch is
+    # likewise only oracle-checkable here (drawn from CAPPED_QUERIES
+    # directly — no second inventory to drift)
+    names = GATE_QUERIES + sorted(
+        n for n in CAPPED_QUERIES if n not in GATE_QUERIES
+    )
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -75,7 +84,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     n_fail = 0
-    for name in GATE_QUERIES:
+    for name in names:
         q = REGISTRY[name]
         row: dict = {"sf_dir": sf_dir}
         t0 = time.time()
@@ -108,12 +117,12 @@ def main() -> None:
     artifact = {
         "sf_dir": sf_dir,
         "queries": results,
-        "n_pass": len(GATE_QUERIES) - n_fail,
+        "n_pass": len(names) - n_fail,
         "n_fail": n_fail,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
-    print(f"\n== {artifact['n_pass']}/{len(GATE_QUERIES)} gate queries "
+    print(f"\n== {artifact['n_pass']}/{len(names)} gate+capped queries "
           f"oracle-matched at {sf_dir} -> {out_path} ==")
     sys.exit(1 if n_fail else 0)
 
