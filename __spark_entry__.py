@@ -31,19 +31,31 @@ _WINDOW_CAP = 50
 #: refill slots reserved for least-recently-verified rotation even when
 #: a wide helper edit drifts much of the registry (see _driver_window)
 _LRV_FLOOR = 10
+#: max rounds a green name may sit outside the window before its
+#: evidence counts as stale (WINDOW_STALENESS.json's enforced bound).
+#: Any green whose staleness would EXCEED this if skipped gets a
+#: mandatory "urgent" refill slot ahead of the drift tier — the bound
+#: is a contract the build enforces, not a report it hopes about.
+_STALENESS_BOUND = 6
 
-# Per-round rotation budgets (VERDICT r11 #2): with ~220 names cycling
-# through a 50-slot window, staleness feasibility is arithmetic, not
-# luck. The simulator in tests/test_entry_contract.py seeds from the
-# real evidence and projects forward under these budgets (touched
-# greens modeled adversarially young, refill otherwise age-ordered);
-# at (15 touched, 6 new) the <=6 bound holds indefinitely, at
-# (20, 6) or (15, 8) it breaks within the horizon, and a <=5 ratchet
-# is NOT sustainable while new queries keep landing — so the bound
-# stays 6 and these budgets are ENFORCED per round: exceeding either
-# fails the feasibility test before the driver ever builds the window.
-_TOUCHED_GREENS_BUDGET = 15
-_NEW_QUERIES_BUDGET = 6
+# Per-round rotation budgets (VERDICT r11 #2, re-derived r13): with
+# 222 names cycling through a 50-slot window, staleness feasibility is
+# arithmetic, not luck. Steady-state LRV throughput must cover
+# ~(N-50)/bound ≈ 29 names/round; the round-12 budgets (15 touched,
+# 6 new) left only 28 refill slots in the adversarial case and the
+# REAL r13 window build projected 19 names at staleness 7 — so r13
+# cuts both budgets and adds the urgent tier. The simulator in
+# tests/test_entry_contract.py seeds from the real evidence and steps
+# the worst case forward (touched slots to the youngest greens, the
+# post-floor drift tier also adversarially young, urgent tier honored);
+# at (10 touched, 2 new) the <=6 bound holds across the horizon, and
+# these budgets are ENFORCED per round: a 3rd new query or an 11th
+# touched green fails the feasibility test before the driver ever
+# builds the window. Consequence adopted from VERDICT r12 #2: the
+# registry is feature-frozen to <=2 net new names/round; operator
+# budget goes to consolidation and scale work instead.
+_TOUCHED_GREENS_BUDGET = 10
+_NEW_QUERIES_BUDGET = 2
 
 # Queries whose Spark plan or oracle changed, KEYED BY ROUND: the window
 # refill re-verifies the current round's entries before alphabetically-
@@ -658,8 +670,10 @@ def _driver_window() -> list[str]:
     (never-attempted names before persistent failures, so a >cap backlog
     drains across rounds instead of the same leading names re-occupying
     every slot), topped up with already-green names for re-verification —
-    this round's touched queries, then greens whose HELPER code changed
-    since their last window slot (fingerprint drift), then
+    this round's touched queries, then greens whose evidence would
+    breach _STALENESS_BOUND if skipped (urgent tier, mandatory), then
+    the _LRV_FLOOR stalest greens, then greens whose HELPER code
+    changed since their last window slot (fingerprint drift), then
     least-recently-verified freshness.
 
     Memoized per (process, repo dir): the build RECORDS fingerprints
@@ -725,22 +739,36 @@ def _driver_window() -> list[str]:
     def age_key(n: str) -> tuple:
         return (evidence.get(n, (0, False))[0], n)
 
+    building = (max(recorded) + 1) if recorded else 1
     touched = sorted((n for n in greens if n in _TOUCHED_THIS_ROUND), key=age_key)
     rest = sorted((n for n in greens if n not in _TOUCHED_THIS_ROUND), key=age_key)
-    # LRV floor: a wide helper edit can drift half the registry; if the
-    # drift tier were allowed to flood every refill slot, the stalest
-    # greens would stop rotating and their evidence age without bound
-    # (the staleness report tracks exactly this). The floor goes to the
-    # STALEST untouched greens irrespective of drift status — a drift
-    # wave cannot starve rotation, and drifted-but-unpicked names keep
-    # their old manifest fingerprint, so they drain over later rounds.
-    floor_names = rest[: min(_LRV_FLOOR, max(0, remaining - len(touched)))]
+
+    # URGENT tier (r13, VERDICT r12 #1): any green that would BREACH
+    # _STALENESS_BOUND if left outside this window gets a mandatory
+    # slot ahead of the drift tier. Round 12 showed why this must be
+    # structural: a wide helper edit drifted 33 recently-green names,
+    # the age-sorted drift tier soaked every refill slot past the
+    # floor, and the r13 build projected 19 names at staleness 7 > 6.
+    # Drift re-verification is best-effort; the staleness bound is a
+    # contract, so bound-breaching names preempt it.
+    def _stale_if_skipped(n: str) -> int:
+        last, ok = evidence.get(n, (0, False))
+        return (building - last) if ok else 0
+
+    urgent = [n for n in rest if _stale_if_skipped(n) > _STALENESS_BOUND]
+    urgent_set = set(urgent)
+    lrv_pool = [n for n in rest if n not in urgent_set]
+    # LRV floor: even below the bound, the STALEST untouched greens get
+    # reserved slots irrespective of drift status — a drift wave cannot
+    # starve rotation, and drifted-but-unpicked names keep their old
+    # manifest fingerprint, so they drain over later rounds.
+    floor_n = min(_LRV_FLOOR, max(0, remaining - len(touched) - len(urgent)))
+    floor_names = lrv_pool[:floor_n]
     floor_set = set(floor_names)
-    drifted = [n for n in rest if n not in floor_set and _helper_drifted(n)]
-    others = [n for n in rest if n not in floor_set and not _helper_drifted(n)]
-    window += (touched + floor_names + drifted + others)[:remaining]
+    drifted = [n for n in lrv_pool if n not in floor_set and _helper_drifted(n)]
+    others = [n for n in lrv_pool if n not in floor_set and not _helper_drifted(n)]
+    window += (touched + urgent + floor_names + drifted + others)[:remaining]
     window = sorted(window)
-    building = (max(recorded) + 1) if recorded else 1
     _record_fp_manifest(repo_dir, window, fps, building)
     _WINDOW_CACHE[repo_dir] = window
     return window

@@ -8,7 +8,9 @@ Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 import sys
 import time
 
@@ -130,6 +132,38 @@ def main():
             f"WARNING: window overflow — modified queries NOT in this round's "
             f"driver window (stale-evidence risk): {dropped}"
         )
+    # Staleness tripwire (VERDICT r12 #8): project the SAME staleness
+    # number the driver's post-round report will record — a red
+    # feasibility state is visible in every local driver replica, not
+    # only in pytest, and fails the run before the round ships.
+    stale_breach = False
+    try:
+        from data_etl_spark.plans import REGISTRY
+
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        evidence = E._driver_rows(repo_dir)
+        recorded = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        building = (max(recorded) + 1) if recorded else 1
+        outside = [
+            building - evidence[n][0]
+            for n in REGISTRY
+            if evidence.get(n, (0, False))[1] and n not in qs
+        ]
+        proj = max(outside) if outside else 0
+        bound = E._STALENESS_BOUND
+        print(f"projected max green staleness outside window: {proj} (bound {bound})")
+        if proj > bound:
+            stale_breach = True
+            print(
+                f"WARNING: staleness breach — {sum(1 for o in outside if o > bound)} "
+                f"green queries project staleness > {bound}; rotation infeasible"
+            )
+    except Exception as ex:  # never let the tripwire mask real results
+        print(f"WARNING: staleness projection failed: {ex}")
     failed, passed, rows_only = [], 0, 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -162,7 +196,9 @@ def main():
     print(f"\n== {passed} oracle-matched, {rows_only} rows-only, {len(failed)} failed ==")
     for name, err in failed:
         print(f"  FAIL {name}: {err}")
-    sys.exit(1 if failed else 0)
+    if stale_breach:
+        print("exit 1: staleness projection exceeds bound (see WARNING above)")
+    sys.exit(1 if (failed or stale_breach) else 0)
 
 
 if __name__ == "__main__":
