@@ -426,6 +426,13 @@ _TOUCHED_BY_ROUND[12] = frozenset({
     # SF-capped exact baseline (CAPPED_QUERIES-registered):
     "q_label_noise",
 })
+_TOUCHED_BY_ROUND[13] = frozenset({
+    # VERDICT r12 #3: q_tfidf (worst sf1 scaler, 6.09x) and q_bm25
+    # (the allowlisted broadcast->SMJ flip) rebuilt on a repartition-
+    # by-doc_id + broadcast-df plan shape — postings never shuffle;
+    # values identical, physical plan changed, re-verify both:
+    "q_tfidf", "q_bm25",
+})
 
 
 def _current_touched() -> frozenset:

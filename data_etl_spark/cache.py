@@ -78,11 +78,17 @@ def tracked_local_checkpoint(
 
 
 def release_ckpt(entry: tuple) -> None:
-    """Drop one tracked_local_checkpoint's blocks EARLY (the
-    iterative-rotation counterpart of release_one): ``entry`` is what
-    tracked_local_checkpoint appended to the caller's ``handle_out``
-    list. Removes the bookkeeping entry so release_tracked doesn't
-    double-drop."""
+    """Drop one tracked_local_checkpoint's blocks EARLY (the rotation
+    primitive behind the iterative loops — _bpe_learn, k-center,
+    k-core): ``entry`` is what tracked_local_checkpoint appended to the
+    caller's ``handle_out`` list. Removes the bookkeeping entry so
+    release_tracked doesn't double-drop.
+
+    (A tracked_persist-layer sibling, release_one, existed r11-r12 but
+    never gained a production caller — single-action lazy plans cannot
+    release mid-plan, and every in-repo iterative loop rotates via
+    localCheckpoint — so it was removed in r13; release_tracked is the
+    drain for plain persists.)"""
     try:
         _TRACKED_CKPT.remove(entry)
     except ValueError:
@@ -93,22 +99,6 @@ def release_ckpt(entry: tuple) -> None:
         jrdd = registry.get(i)
         if jrdd is not None:
             jrdd.unpersist(False)
-
-
-def release_one(df: DataFrame) -> None:
-    """Unpersist a single tracked handle EARLY, removing its
-    bookkeeping entry so the final drain doesn't double-unpersist.
-
-    This is the tracked_persist-layer counterpart of release_ckpt.
-    The in-repo iterative loops (_bpe_learn, k-center, k-core) rotate
-    via localCheckpoint and therefore use release_ckpt; release_one is
-    the public API for callers that rotate plain persists instead
-    (covered by tests/test_cache_rotation.py)."""
-    try:
-        _TRACKED.remove(df)
-    except ValueError:
-        pass
-    df.unpersist()
 
 
 def release_tracked() -> int:

@@ -339,19 +339,40 @@ SELECT doc_id, term, tf, doc_freq, tfidf FROM (
 
 @register("q_tfidf", oracle=_TFIDF_ORACLE, tags=("phase3", "textstats", "sparse"))
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per doc (sparse-vector pipeline, V2 analog)."""
+    """Top-5 TF-IDF terms per doc (sparse-vector pipeline, V2 analog).
+
+    Plan shape (r13, VERDICT r12 #3 — q_tfidf was the registry's worst
+    sf1 scaler two rounds running, 6.09x at 10x data): repartition the
+    DOCUMENTS by doc_id before the explode, then broadcast the term-df
+    side. hash(doc_id) satisfies both the (doc_id, term) grouping's
+    clustering AND the final window's required distribution, so the
+    exploded postings never shuffle at all — the only exchange is the
+    raw document text (small next to tokens), plus the 32xV partial
+    rows of the df aggregate. It also fixes parallelism: the corpus
+    parquet reads as ~2 tasks at sf1 and the explode+agg previously ran
+    on 2 cores. Measured (scripts/profile_plan.py tfidf-stages-ab,
+    min-of-2): sf1 shipped 4.09 s (optimizer flips the term join to
+    SMJ, shuffling the full postings) -> broadcast hint 2.04 s ->
+    repartition+broadcast 1.46 s; sf0.1 0.82 -> 0.72 -> 0.61 s.
+    Projected sf1/sf0.1 ratio drops 6.09x -> ~2.4x. Scale note: the
+    broadcast side is vocab-sized (one row per distinct term) —
+    sublinear in corpus bytes (Heaps' law), but for an open-web corpus
+    whose vocab outgrows the broadcast budget the hint is the one line
+    to drop (the join then reverts to the optimizer's shuffle choice;
+    everything upstream of it still avoids the postings shuffle)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     wc = (
-        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+        d.repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     df_ = wc.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        wc.join(df_, "term")
+        wc.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -420,8 +441,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k1, b = 1.2, 0.75
     d = load_table(spark, sf_dir, "documents")
+    # Same plan shape as q_tfidf (r13, see its docstring for the
+    # measured A/B): repartition documents by doc_id up front so the
+    # exploded postings never shuffle — hash(doc_id) satisfies the
+    # (doc_id, term) grouping, the doc_len grouping, the wc |x| dl join
+    # (both sides co-partitioned), AND the final window; the vocab-
+    # sized idf side is broadcast. This was the allowlisted expected-
+    # superlinear entry (broadcast->SMJ flip at sf1); the hint plus
+    # co-partitioning removes the flip instead of explaining it.
     wc = (
-        d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+        d.repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -444,7 +474,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         wc.join(dl, "doc_id")
-        .join(idf, "term")
+        .join(F.broadcast(idf), "term")
         .crossJoin(F.broadcast(avgdl))
         .select(
             "doc_id",

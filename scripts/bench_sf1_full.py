@@ -61,7 +61,6 @@ EXPECTED_SUPERLINEAR = {
     "q_minhash_estimate": "output IS the any-seed candidate set it evaluates (cause b)",
     "q_lsh_tuning_curve": "S-curve eval over n_shared_bands needs the any-seed census (cause b)",
     "q_simhash_eval": "truth side = the DF-capped co-shingle pair universe being measured; postings-pair growth within the cap (cause b)",
-    "q_bm25": "physical-plan flip: term-df side broadcastable at sf0.1 (near-zero shuffle) but SMJ at sf1 — shuffle is linear in postings either way",
     "q_shingle_containment": "output is the co-shingle pair set: true dup-family pairs grow ~k^2 per reworded family (cause a); DF cap bounds the background term",
     "q_ngram_jaccard": "co-shingle pairs on the 10x replication grow ~100x (cause a): every df-1 shingle becomes a 10-copy bucket emitting 45 TRUE dup pairs; the DF cap (operators/dedup.py:31) bounds the non-dup background, and wall stays linear (2.6x at 10x data)",
 }

@@ -64,17 +64,33 @@ def main() -> None:
 
     missing = [n for n in GATE_QUERIES if n not in REGISTRY]
     assert not missing, f"gate queries missing from registry: {missing}"
-    # the SF-capped queries share the blind spot: their cap BINDS only
-    # above the driver's sf0.01 corpus, so the cap-live branch is
-    # likewise only oracle-checkable here (drawn from CAPPED_QUERIES
-    # directly — no second inventory to drift)
-    names = GATE_QUERIES + sorted(
-        n for n in CAPPED_QUERIES if n not in GATE_QUERIES
-    )
+    if len(sys.argv) > 3:
+        # Explicit query list (VERDICT r12 #7): replicate arbitrary
+        # names at an arbitrary SF — used for the sf1 check of the
+        # expected-superlinear queries, whose physical plan SHAPE flips
+        # (broadcast -> SMJ) only at sf1, so the sf1-live plan was
+        # never hash-checked by the sf0.1 gate sweep.
+        names = sys.argv[3:]
+        missing = [n for n in names if n not in REGISTRY]
+        assert not missing, f"unknown queries: {missing}"
+    else:
+        # the SF-capped queries share the blind spot: their cap BINDS
+        # only above the driver's sf0.01 corpus, so the cap-live branch
+        # is likewise only oracle-checkable here (drawn from
+        # CAPPED_QUERIES directly — no second inventory to drift)
+        names = GATE_QUERIES + sorted(
+            n for n in CAPPED_QUERIES if n not in GATE_QUERIES
+        )
 
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("oracle-at-sf")
+        # driver-replica fidelity does NOT extend to heap size: the
+        # default 1g local-mode heap dies with GCLocker allocation
+        # failures on the sf1 candidate-census queries (first seen
+        # running VERDICT r12 #7), and the real driver's own session
+        # is similarly sized up
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -339,8 +339,83 @@ def banded_bandkey_ab(spark, sf_dir):
     _stage("B minus A (must be 0)", nB.exceptAll(nA).count)
 
 
+def tfidf_stages_ab(spark, sf_dir):
+    """Decompose q_tfidf, the registry's worst sf1 scaler two rounds
+    running (6.09x at 10x data — VERDICT r12 #3), and A/B the join +
+    window shape:
+
+      A (shipped): explode -> groupBy(doc_id,term) -> join df_ on term
+                   (optimizer's choice) -> window partitionBy(doc_id)
+      B: A with an explicit F.broadcast(df_) hint
+      C: repartition(documents by doc_id) BEFORE the explode, then
+         broadcast(df_) — hash(doc_id) satisfies the (doc_id,term)
+         grouping clustering AND the final window's distribution, so
+         the postings never shuffle at all; the only exchange is the
+         raw documents table (tiny next to exploded tokens).
+    """
+    from data_etl_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def wc_of(dd):
+        return (
+            dd.select("doc_id", F.explode(TX.words(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    def topk(wc, df_, hint):
+        n = d.agg(F.count("*").alias("n_docs"))
+        side = F.broadcast(df_) if hint else df_
+        scored = (
+            wc.join(side, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id", "term", "tf", "doc_freq",
+                (
+                    (F.col("tf").cast("double") * (F.col("n_docs") + 1))
+                    / (F.col("doc_freq") + 1)
+                ).alias("tfidf"),
+            )
+        )
+        w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+        )
+
+    # marginal stage costs of the shipped shape
+    wc = wc_of(d)
+    _stage("stage: wc = explode+groupBy(doc,term)", wc.count)
+    df_ = wc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    _stage("stage: df_ = groupBy(term)  (wc recomputed)", df_.count)
+    _stage("stage: join+window top-5    (both recomputed)",
+           topk(wc, df_, hint=False).count)
+
+    for label, dd, hint in (
+        ("A: shipped (optimizer join)", d, False),
+        ("B: broadcast(df_) hint", d, True),
+        ("C: repartition(doc_id) + broadcast", d.repartition(F.col("doc_id")), True),
+    ):
+        wc_v = wc_of(dd)
+        df_v = wc_v.groupBy("term").agg(F.count("*").alias("doc_freq"))
+        q = topk(wc_v, df_v, hint)
+        t0 = time.perf_counter()
+        n1 = q.count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q.count()
+        t2 = time.perf_counter() - t0
+        nx = len([x for x in q._jdf.queryExecution().executedPlan().toString().split("\n")
+                  if "Exchange" in x])
+        print(f"{label}: {t1:.2f}s / {t2:.2f}s (min {min(t1, t2):.2f})  rows={n1}  exchanges={nx}",
+              flush=True)
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
+    "tfidf-stages-ab": tfidf_stages_ab,
     "setsim-verify-ab": setsim_verify_ab,
     "setsim-prefix-ab": setsim_prefix_ab,
     "hardneg-pairs-ab": hardneg_pairs_ab,

@@ -1,6 +1,8 @@
-"""Early-release cache APIs (round 11): release_one for tracked
-persists, release_ckpt for tracked localCheckpoints — the rotation
-primitives behind _bpe_learn / q_kcenter_coreset / q_kcore_peel."""
+"""Early-release cache API (round 11; consolidated r13): release_ckpt
+for tracked localCheckpoints — the rotation primitive behind
+_bpe_learn / q_kcenter_coreset / q_kcore_peel. (A tracked_persist
+sibling, release_one, was removed in r13 with zero production callers;
+release_tracked drains plain persists.)"""
 
 from __future__ import annotations
 
@@ -10,20 +12,6 @@ from data_etl_spark import cache as C
 def _persistent_rdd_ids(spark) -> set[int]:
     sc = spark.sparkContext
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def test_release_one_unpersists_and_untracks(spark):
-    df = C.tracked_persist(spark.range(100).toDF("n"))
-    df.count()
-    assert df.storageLevel.useMemory or df.storageLevel.useDisk
-    before = len(C._TRACKED)
-    C.release_one(df)
-    assert len(C._TRACKED) == before - 1
-    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
-    # idempotent: a second release is a no-op, and the final drain
-    # must not double-unpersist it
-    C.release_one(df)
-    C.release_tracked()
 
 
 def test_release_ckpt_drops_blocks_and_entry(spark):
