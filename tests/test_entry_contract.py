@@ -457,6 +457,64 @@ def test_lrv_floor_survives_drift_wave(monkeypatch, tmp_path):
     assert got_lrv >= entry_mod._LRV_FLOOR
 
 
+def test_urgent_tier_preempts_drift_wave(monkeypatch, tmp_path):
+    """The r12 failure mode, pinned: greens whose evidence would BREACH
+    _STALENESS_BOUND if skipped must be windowed even when a drift wave
+    re-flags the recently-verified names (drift is best-effort; the
+    bound is a contract). Build mirrors the real r13 window that fired
+    the tripwire: a stale UNDRIFTED cohort last green in r1 (more names
+    than the LRV floor holds), the rest freshly green in round
+    (1 + bound) and ALL drifted — the old refill ordered
+    floor < drifted < others, so the drifted-young tier soaked every
+    slot past the floor and left part of the stale cohort outside at
+    staleness bound+1."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    bound = entry_mod._STALENESS_BOUND
+    # 30 names stale since r1 (more than the LRV floor can absorb) ...
+    stale_cohort = [n for n in names if n != entry_mod.FLAGSHIP][:30]
+    fresh_round = 1 + bound
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    # ... everything else re-verified in the most recent round, so the
+    # build is for round fresh_round+1 and the cohort sits at exactly
+    # staleness bound+1 if skipped
+    (tmp_path / f"CORRECTNESS_r{fresh_round:02d}.json").write_text(
+        json.dumps(
+            {
+                n: {"hash_match": True, "err": None}
+                for n in names
+                if n not in stale_cohort
+            }
+        )
+    )
+    fps = {n: "fp_now" for n in names}
+    manifest = {
+        n: {
+            "round": fresh_round,
+            # fresh names drifted; the stale cohort's helpers unchanged
+            "fp": "fp_now" if n in set(stale_cohort) else "fp_then",
+        }
+        for n in names
+    }
+    (tmp_path / ".driver_fingerprints.json").write_text(json.dumps(manifest))
+    monkeypatch.setattr(entry_mod, "_query_fingerprint_map", lambda: fps)
+    monkeypatch.setattr(entry_mod, "_TOUCHED_THIS_ROUND", frozenset())
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    window = set(entry_mod._driver_window())
+    left_out = set(stale_cohort) - window
+    assert not left_out, (
+        f"{len(left_out)} bound-breaching greens displaced by the drift "
+        f"wave: {sorted(left_out)[:5]}"
+    )
+
+
 def test_gate_queries_inventory_complete_both_ways():
     """scripts/oracle_at_sf.py's GATE_QUERIES (VERDICT r11 #1) is the
     single inventory of cost-gated / cardinality-adaptive queries —
