@@ -38,12 +38,16 @@ def build_session(app_name: str = "data-etl-spark") -> SparkSession:
         # ~10x, so a 50k-doc corpus is ~6 MB on disk and the DEFAULT
         # 4 MB open-cost floor caps the scan at 2 tasks — every
         # map-heavy per-doc query then runs on 2 of 32 cores (measured:
-        # q_char_entropy sf1 1.78 s -> 0.74 s once sliced). Lowering
-        # the floor to 64 KB lets totalBytes/parallelism drive small
-        # corpora to full-width scans; at 100 TB that term dominates
-        # (maxSplitBytes stays 128 MB), so behavior at scale is
-        # unchanged — this only removes the small-corpus cliff.
-        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # q_char_entropy sf1 1.78 s -> 0.64 s once sliced). 512 KB was
+        # picked by a three-point sweep (scripts/, r13): 64 KB
+        # over-slices SMALL single-row-group files into mostly-empty
+        # byte ranges that still pay a footer read each (q_ngram_jaccard
+        # sf0.1 0.89 -> 1.22 s), while 512 KB keeps sf0.1 at parity AND
+        # the sf1 win (12 slices over 33 row groups). At 100 TB the
+        # bytes/parallelism term dominates (split size stays 128 MB),
+        # so behavior at scale is unchanged — this only removes the
+        # small-corpus parallelism cliff.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # RocksDB state store for stateful streaming: state lives
         # off-heap/on-disk with incremental (changelog) checkpoints, so
         # per-key state scales past executor heap — the HDFS-backed
