@@ -413,9 +413,38 @@ def tfidf_stages_ab(spark, sf_dir):
               flush=True)
 
 
+def scan_opencost_sweep(spark, sf_dir):
+    """The r13 scan-width decision recipe: sweep
+    spark.sql.files.openCostInBytes over {64 KB, 256 KB, 512 KB, 4 MB}
+    on one map-heavy documents query per SF of interest. Split size is
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism));
+    snappy text compresses ~10x so the 4 MB default floor caps a
+    6 MB/50k-doc corpus at 2 scan tasks, while 64 KB over-slices small
+    single-row-group files into mostly-empty byte ranges that still pay
+    a footer read each. r13 measured (min-of-2): 512 KB keeps sf0.1 at
+    parity with 4 MB AND the sf1 win (q_char_entropy 1.54 s -> 0.64 s)
+    — the committed session.py value. Re-run after any testdata
+    regeneration: the right floor depends on row-group layout."""
+    from data_etl_spark.plans import REGISTRY
+
+    probes = ["q_char_entropy", "q_ngram_jaccard", "q_knn_exact"]
+    for oc in (64 * 1024, 256 * 1024, 512 * 1024, 4 * 1024 * 1024):
+        spark.conf.set("spark.sql.files.openCostInBytes", str(oc))
+        for q in probes:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[q].fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"oc={oc // 1024}KB {q}: {best:.2f}s", flush=True)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
     "tfidf-stages-ab": tfidf_stages_ab,
+    "scan-opencost-sweep": scan_opencost_sweep,
     "setsim-verify-ab": setsim_verify_ab,
     "setsim-prefix-ab": setsim_prefix_ab,
     "hardneg-pairs-ab": hardneg_pairs_ab,
