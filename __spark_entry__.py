@@ -432,6 +432,11 @@ _TOUCHED_BY_ROUND[13] = frozenset({
     # by-doc_id + broadcast-df plan shape — postings never shuffle;
     # values identical, physical plan changed, re-verify both:
     "q_tfidf", "q_bm25",
+    # r13: self_knn_label_votes rebuilt distributed (corpus hash-split
+    # + per-split top-k union + global re-rank) — the single-group
+    # funnel VERDICT r12 watched is gone; values parity-pinned
+    # identical, physical plan changed, re-verify:
+    "q_label_noise",
 })
 
 

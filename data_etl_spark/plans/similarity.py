@@ -2034,9 +2034,14 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair leg runs in the rank-1-update Arrow kernel
     (operators/pairs.self_knn_label_votes): bit-identical scores to the
     oracle's expression cosine, same (score DESC NULLS LAST, cid ASC)
-    ranking, but 64 vectorized outer-product sweeps instead of 4M
+    ranking, but vectorized outer-product sweeps instead of 4M
     interpreted crossJoin rows — measured 22.3 s -> 2.0 s at the sf0.1
-    cap (the q_cosine_pairs r8 rewrite, same playbook)."""
+    cap (the q_cosine_pairs r8 rewrite, same playbook). Since r13 the
+    kernel is DISTRIBUTED (corpus hash-split + per-split top-k union +
+    global re-rank, parity-pinned to the single-group reference) so
+    the exact baseline no longer funnels the corpus through one
+    executor; the cap stays because exact kNN is intrinsically
+    quadratic, with the IVF family as the scale path."""
     e = _embeddings(spark, sf_dir).filter(
         F.col("label").isNotNull() & (F.col("vec_id") < _NOISE_CAP)
     )

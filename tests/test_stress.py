@@ -274,3 +274,38 @@ def test_self_knn_votes_ordering_contract(spark):
     assert votes[2] == [0, 0]
     # v3 (zero vector): every cosine NULL — fillers in id order v0, v1
     assert votes[3] == [0, 0]
+
+
+def test_self_knn_votes_distributed_parity(spark):
+    """The r13 distributed split/re-rank build of self_knn_label_votes
+    must reproduce the single-group reference kernel EXACTLY (same
+    (qid, qlab, clab) multiset) on a fixture that exercises every edge:
+    duplicate directions (score ties -> cid ASC), zero vectors
+    (NULL-score fillers), a query with fewer than k real neighbors,
+    and split counts that do and do not divide the corpus."""
+    import numpy as np
+
+    from data_etl_spark.operators.pairs import (
+        _self_knn_votes_group,
+        self_knn_label_votes,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(37):
+        if i % 9 == 0:
+            emb = [0.0, 0.0, 0.0]  # zero vector: NULL cosine tier
+        elif i % 5 == 0:
+            emb = [1.0, 2.0, -1.0]  # shared direction: exact ties
+        else:
+            emb = [round(float(x), 3) for x in rng.randn(3)]
+        rows.append((i, i % 4, emb))
+    e = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    ref = _self_knn_votes_group(
+        pd.DataFrame(rows, columns=["vec_id", "label", "emb"]), k=4
+    )
+    ref_set = sorted(map(tuple, ref[["qid", "qlab", "clab"]].to_numpy()))
+    for n_splits in (3, 8):
+        got = self_knn_label_votes(e, k=4, n_splits=n_splits).collect()
+        got_set = sorted((r.qid, r.qlab, r.clab) for r in got)
+        assert got_set == ref_set, f"n_splits={n_splits} diverged"
