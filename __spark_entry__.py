@@ -676,6 +676,29 @@ def _write_staleness_report(
 _WINDOW_CACHE: dict[str, list[str]] = {}
 
 
+def _load_persisted_window(repo_dir: str, recorded: list[int]) -> list[str] | None:
+    """The committed WINDOW_STALENESS.json's window, iff it was built
+    for the SAME round this build would target over the SAME registry —
+    else None (fresh build). See the reuse note in _driver_window."""
+    import json
+
+    building = (max(recorded) + 1) if recorded else 1
+    try:
+        with open(os.path.join(repo_dir, _STALENESS_REPORT)) as f:
+            report = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if report.get("building_round") != building:
+        return None
+    rows = report.get("queries", {})
+    if set(rows) != set(REGISTRY):
+        return None  # registry changed since the persisted build
+    window = sorted(n for n, r in rows.items() if r.get("in_this_window"))
+    if not window or len(window) > _WINDOW_CAP or FLAGSHIP not in window:
+        return None
+    return window
+
+
 def _driver_window() -> list[str]:
     """This round's <=50-name exposure: registry names without a
     driver-green row first, least-recently-attempted order
@@ -704,6 +727,21 @@ def _driver_window() -> list[str]:
         for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
+    # Persisted-window reuse (r13): building the refill CONSUMES the
+    # drift signal (_record_fp_manifest records current fingerprints),
+    # so a second build on the same tree selects the NEXT drifted batch
+    # — the end-of-round sync commit and the driver's own build would
+    # expose DIFFERENT windows, and the sync-recorded names would dodge
+    # driver verification (the r8 stale-evidence class, process
+    # edition). Instead the first build of a round persists its window
+    # in WINDOW_STALENESS.json and every later build of the SAME
+    # building round (same registry) reuses it verbatim; the reuse
+    # auto-expires when the round's CORRECTNESS file lands and
+    # `building` advances.
+    persisted = _load_persisted_window(repo_dir, recorded)
+    if persisted is not None:
+        _WINDOW_CACHE[repo_dir] = persisted
+        return persisted
     evidence = _driver_rows(repo_dir) if recorded else {}
     unchecked = [n for n in sorted(REGISTRY) if not evidence.get(n, (0, False))[1]]
     # Priority: (0) names that FAILED in the most recent recorded

@@ -515,6 +515,44 @@ def test_urgent_tier_preempts_drift_wave(monkeypatch, tmp_path):
     )
 
 
+def test_persisted_window_reused_same_round(monkeypatch, tmp_path):
+    """Building the refill consumes the drift signal, so two fresh
+    builds on one tree can pick different windows — the end-of-round
+    sync and the driver's build must instead agree. Pin the r13 rule:
+    a WINDOW_STALENESS.json persisted for the SAME building round over
+    the SAME registry is reused verbatim; one persisted for another
+    round (stale state from a finished round) is ignored."""
+    import json
+
+    from data_etl_spark.plans import REGISTRY
+
+    names = sorted(REGISTRY)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "err": None} for n in names})
+    )
+    pick = sorted(
+        set(names[: entry_mod._WINDOW_CAP - 1]) | {entry_mod.FLAGSHIP}
+    )[: entry_mod._WINDOW_CAP]
+    report = {
+        "building_round": 2,
+        "queries": {
+            n: {"in_this_window": n in set(pick)} for n in names
+        },
+    }
+    (tmp_path / "WINDOW_STALENESS.json").write_text(json.dumps(report))
+    monkeypatch.setattr(
+        entry_mod.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    assert entry_mod._driver_window() == sorted(pick)
+    # a report from a DIFFERENT building round must not be reused
+    entry_mod._WINDOW_CACHE.clear()
+    report["building_round"] = 1
+    (tmp_path / "WINDOW_STALENESS.json").write_text(json.dumps(report))
+    fresh = entry_mod._driver_window()
+    assert len(fresh) == entry_mod._WINDOW_CAP
+    assert entry_mod.FLAGSHIP in fresh
+
+
 def test_gate_queries_inventory_complete_both_ways():
     """scripts/oracle_at_sf.py's GATE_QUERIES (VERDICT r11 #1) is the
     single inventory of cost-gated / cardinality-adaptive queries —
