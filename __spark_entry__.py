@@ -437,6 +437,18 @@ _TOUCHED_BY_ROUND[13] = frozenset({
     # funnel VERDICT r12 watched is gone; values parity-pinned
     # identical, physical plan changed, re-verify:
     "q_label_noise",
+    # r13 (optimization pass, guide §2.3/§2.4): basket pairs generated
+    # map-side from one collect_set shuffle instead of distinct + both
+    # self-join legs — values identical (sf0.001 + sf0.01 oracle-exact),
+    # physical plan changed (3 item-table shuffles -> 1), re-verify:
+    "q_market_basket",
+    # r13 (optimization pass, guide §2.4/§5): per-round piece costs
+    # collected as a bounded literal map (<= 156 rows by construction)
+    # — no broadcast join, no per-round checkpoint, DP state in exact
+    # nano-nat longs instead of DECIMAL(38,9); values identical
+    # (sf0.001 + sf0.01 oracle-exact, 6.19 s -> 3.73 s at sf0.1),
+    # physical plan changed, re-verify:
+    "q_unigram_lm",
 })
 
 

@@ -2554,9 +2554,30 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_market_basket — association rules from order baskets: part-pair
 # co-occurrence (support), confidence and lift, count floor >= 3. The
-# a-priori first pass as one self-join on the basket key: pair volume is
-# sum of per-basket squares (baskets are small), never catalog². All
-# scores are count ratios — identical double expressions both engines.
+# a-priori first pass: pair volume is sum of per-basket squares (baskets
+# are small), never catalog². All scores are count ratios — identical
+# double expressions both engines.
+#
+# r13 shape (guide §2.3 "aggregate before you shuffle" / §2.4): ONE
+# groupBy(l_orderkey).collect_set shuffle replaces the old
+# distinct-then-self-join — the basket array IS the distinct item set,
+# and the (part1 < part2) pairs are generated MAP-SIDE from the sorted
+# array, so the item table is shuffled once instead of three times
+# (distinct + both self-join legs). Per-basket pair blowup is identical
+# to the self-join's (sum of squares over basket sizes — baskets are
+# order-bounded, the same skew envelope as before). Measured warm:
+# sf0.1 min-of-5 2.82 s -> 1.99 s (shuffle_write 28.1 -> 23.5 MB,
+# input 44.8 -> 23.9 MB — ONE lineitem pass instead of two); sf1
+# min-of-3 6.71 s -> 3.78 s (274.5 -> 248.2 MB shuffled, input
+# halved). Locally the old join legs rode an AQE broadcast, so the
+# win is one scan + the distinct exchange; at 100 TB the item table
+# out-sizes any broadcast and the old shape degrades to THREE
+# corpus-scale shuffles (distinct + both SMJ legs) where this keeps
+# exactly one. NULL semantics pinned to the old plan: a NULL
+# l_orderkey joins nothing -> its basket emits no pairs (the explicit
+# isNotNull filter); countDistinct(l_orderkey) skipped NULLs ->
+# count(l_orderkey) over the grouped baskets; item_freq counted the
+# NULL-orderkey basket's distinct items -> explode of its set does too.
 # ---------------------------------------------------------------------------
 
 _BASKET_ORACLE = """
@@ -2589,22 +2610,40 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem")
-    # DISK_ONLY: one row per distinct lineitem — corpus-scale (the
-    # dedup.py persist policy; memory-caching would evict hotter blocks)
+    # DISK_ONLY: one row per basket — corpus-scale (the dedup.py persist
+    # policy; memory-caching would evict hotter blocks). collect_set
+    # dedupes within the basket, so this one shuffle subsumes the old
+    # distinct() AND both self-join legs (see block comment).
     from ..cache import tracked_persist
 
-    items = tracked_persist(
-        li.select("l_orderkey", "l_partkey").distinct(), StorageLevel.DISK_ONLY
+    baskets = tracked_persist(
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts")),
+        StorageLevel.DISK_ONLY,
     )
     # basket count rides the plan as a broadcast 1-row crossJoin — no
-    # driver-side count job (the lm_perplexity rule)
-    n_df = items.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part1"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part2"))
+    # driver-side count job (the lm_perplexity rule); count(col) skips
+    # the NULL-orderkey group exactly as countDistinct did
+    n_df = baskets.agg(F.count("l_orderkey").cast("double").alias("n_orders"))
+    freq = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("c"))
+    # (part1 < part2) pairs map-side from the sorted distinct-item array;
+    # a NULL l_orderkey produced no pairs under the old equi-join
+    sp = F.array_sort("parts")
+    # index-lambda + slice: empty/singleton baskets yield an empty pair
+    # array with no type-juggling CASE arm
+    pair_arr = F.expr(
+        """flatten(transform(__sp, (x, i) ->
+             transform(slice(__sp, i + 2, size(__sp)), y ->
+               struct(x AS part1, y AS part2))))"""
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part1") < F.col("part2"))
+        baskets.filter(F.col("l_orderkey").isNotNull())
+        .withColumn("__sp", sp)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.part1", "p.part2")
         .groupBy("part1", "part2")
         .agg(F.count("*").alias("c_pair"))
         .filter(F.col("c_pair") >= 3)

@@ -2169,11 +2169,17 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale (the q_bpe_merges argument transfers): ONE corpus scan builds
 # the (word, freq) table; seeding, every Viterbi round, and every
-# re-estimation run on the VOCABULARY. Per round the engine does one
-# broadcast join (piece costs onto exploded word substrings), a
-# zero-shuffle column-expression DP + backtrack (see below), and one
-# vocabulary-scale count aggregation. Adding corpus only grows the
-# first scan.
+# re-estimation run on the VOCABULARY. Per round the engine builds the
+# per-word (DP-edge -> cost) map as a pure column expression over a
+# LITERAL piece-cost map (the piece table is <= 36 singles + _UNI_SEED
+# multis = 156 rows BY CONSTRUCTION, so each round collects it as a
+# bounded scalar — the operators/kmeans.py precedent — and inlines it),
+# then runs the zero-shuffle column-expression DP + backtrack (see
+# below) and one map-side-combined count aggregation. No join, no
+# broadcast, no per-round checkpoint: the literal map breaks the
+# lineage recursion that used to double the plan each round (r13 —
+# the eager per-round checkpoints were 80% of the query's wall at
+# sf0.1, 5.3 s of 6.6 s). Adding corpus only grows the first scan.
 #
 # BOUNDED-DP CONTRACT (both engines, the _KCORE_ROUNDS precedent):
 # training words are [a-z0-9]{1,_UNI_WMAX} — the Viterbi lattice over
@@ -2348,40 +2354,67 @@ def _uni_costs(counts: DataFrame) -> DataFrame:
     )
 
 
-def _uni_viterbi_counts(wfr: DataFrame, pieces: DataFrame) -> DataFrame:
-    """(piece, cnt) — word-frequency-weighted piece usage over the best
-    segmentation of every training word under ``pieces`` costs.
+def _uni_cost_map(rows) -> F.Column:
+    """LITERAL (piece -> cost BIGINT nano-nats) map from collected
+    ``_uni_costs`` rows. The piece table is bounded by construction
+    (<= 36 [a-z0-9] singles + _UNI_SEED multis = 156 rows), so the
+    collect is a bounded scalar pull (the operators/kmeans.py inertia
+    precedent) and the literal map keeps every round's DP plan FLAT —
+    no broadcast exchange, no lineage recursion, no checkpoint (r13).
 
-    Spark-first shape: ONE broadcast join attaches costs to the
-    exploded substring occurrences, ONE groupBy folds them back into a
-    per-word (k -> cost) map, and the entire 8-position Viterbi DP plus
-    backtrack is COLUMN EXPRESSIONS on that row — zero shuffles, whole-
-    stage-codegen all the way to the final vocabulary-scale count
-    aggregation. array_min over struct(cost, j) is the argmin with the
+    Nano-nat longs, not DECIMAL(28,9): a scale-9 decimal IS an integer
+    count of 1e-9 units, so Decimal.scaleb(9) converts exactly and
+    (long sum, long min) take the very same values/decisions as the
+    decimal DP did — while whole-stage codegen runs primitive longs
+    instead of boxed BigDecimals (measured: the decimal DP was ~2x the
+    long DP per execution at sf0.1). Overflow headroom: max cost
+    ln(T+V) nano-nats < 7e10 even at T=1e18 tokens; 8 summands < 6e11,
+    nine orders under the int64 ceiling."""
+    entries: list[F.Column] = []
+    for r in rows:
+        entries.append(F.lit(r["piece"]))
+        entries.append(F.lit(int(r["cost"].scaleb(9))).cast("bigint"))
+    return F.create_map(*entries)
+
+
+def _uni_viterbi_counts(wfr: DataFrame, cost_map: F.Column) -> DataFrame:
+    """(piece, cnt) — word-frequency-weighted piece usage over the best
+    segmentation of every training word under the ``cost_map`` literal
+    piece costs.
+
+    Spark-first shape (r13): the per-word (k -> cost) map is ONE column
+    expression — substring occurrences looked up directly in the
+    literal cost map (a missing piece yields a NULL cost entry, exactly
+    what the join's inner semantics dropped; the DP filters NULL-cost
+    candidates either way) — and the entire 8-position Viterbi DP plus
+    backtrack is COLUMN EXPRESSIONS on that row. Zero shuffles, zero
+    joins, whole-stage-codegen all the way to the final map-side-
+    combined count aggregation (the pre-r13 shape shipped every
+    substring occurrence through a groupBy(word) exchange to build this
+    same map). array_min over struct(cost, j) is the argmin with the
     (cost ASC, j ASC) tie-break = prefer the longest final piece."""
-    subs = wfr.select(
-        "word", "freq", F.explode(_uni_sub_positions()).alias("s")
-    ).select("word", "freq", F.col("s.k").alias("k"), F.col("s.sub").alias("sub"))
-    m = (
-        subs.join(F.broadcast(pieces), subs["sub"] == pieces["piece"])
-        .groupBy("word", "freq")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("k", "cost"))
-            ).alias("cm")
-        )
+    df = wfr.select(
+        "word",
+        "freq",
+        F.map_from_entries(
+            F.transform(
+                _uni_sub_positions(),
+                lambda s: F.struct(
+                    s["k"].alias("k"),
+                    F.element_at(cost_map, s["sub"]).alias("cost"),
+                ),
+            )
+        ).alias("cm"),
     )
-    df = m
-    zero = F.lit(0).cast("decimal(38,9)")
+    # long nano-nat DP state (see _uni_cost_map: exact, codegen-friendly)
+    zero = F.lit(0).cast("bigint")
     for i in range(1, _UNI_WMAX + 1):
         cands = [
             F.struct(
                 (
                     (zero if j == 0 else F.col(f"s{j}.cost"))
                     + F.element_at("cm", F.lit(j * 10 + i))
-                )
-                .cast("decimal(38,9)")
-                .alias("cost"),
+                ).alias("cost"),
                 F.lit(j).alias("j"),
             )
             for j in range(max(0, i - _UNI_PLEN), i)
@@ -2429,12 +2462,18 @@ def _unigram_learn(d: DataFrame, rounds: int = _UNI_ROUNDS):
     """Final (piece, cnt) vocabulary table after ``rounds`` hard-EM
     iterations, plus the singles table — the shared kernel behind
     q_unigram_lm and the depth-bounded property pin
-    (tests/test_properties.py). Per-round cache rotation is the
-    _bpe_learn pattern: the piece table is tiny (<= _UNI_SEED + 36
-    rows) but its LINEAGE doubles per round (each round's costs plan
-    contains the previous round's full DP), so rounds checkpoint
-    eagerly and release the previous round's blocks."""
-    from ..cache import release_ckpt, tracked_local_checkpoint, tracked_persist
+    (tests/test_properties.py). r13 shape: each round's piece costs are
+    COLLECTED (bounded <= 156 rows by construction, see _uni_cost_map)
+    and inlined as a literal map, so no round's plan references the
+    previous round's — lineage stays flat and the _bpe_learn-style
+    eager checkpoint rotation this loop used to need is gone (it was
+    ~80% of the query's wall at sf0.1: two checkpoint executions, each
+    paying a broadcast build + a vocabulary groupBy(word) exchange).
+    Decimal exactness is untouched because the costs are still computed
+    by the same _uni_costs Spark expressions — only their transport
+    into the next round changed (JVM decimal -> Python Decimal -> JVM
+    decimal literal round-trips exactly)."""
+    from ..cache import tracked_persist
 
     tok = d.select(F.explode(TX.words(F.col("text"))).alias("word")).filter(
         F.col("word").rlike(f"^[a-z0-9]{{1,{_UNI_WMAX}}}$")
@@ -2459,25 +2498,18 @@ def _unigram_learn(d: DataFrame, rounds: int = _UNI_ROUNDS):
         .select("piece")
     )
     v0 = singles.unionAll(multis).join(seedc, "piece")
-    pieces = tracked_local_checkpoint(_uni_costs(v0), eager=True)
+    cost_map = _uni_cost_map(_uni_costs(v0).collect())
 
     counts = None
-    prev_handle: list = []
     for r in range(1, rounds + 1):
-        vc = _uni_viterbi_counts(wfr, pieces)
+        vc = _uni_viterbi_counts(wfr, cost_map)
         counts = singles.join(vc, "piece", "left").select(
             "piece", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
         ).unionAll(
             vc.filter(F.length("piece") > 1).select("piece", "cnt")
         )
         if r < rounds:
-            handle: list = []
-            pieces = tracked_local_checkpoint(
-                _uni_costs(counts), handle_out=handle
-            )
-            if prev_handle:
-                release_ckpt(prev_handle[0])
-            prev_handle = handle
+            cost_map = _uni_cost_map(_uni_costs(counts).collect())
     return counts, singles
 
 
