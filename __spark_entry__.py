@@ -449,6 +449,18 @@ _TOUCHED_BY_ROUND[13] = frozenset({
     # (sf0.001 + sf0.01 oracle-exact, 6.19 s -> 3.73 s at sf0.1),
     # physical plan changed, re-verify:
     "q_unigram_lm",
+    # r13 (optimization pass, guide §2.5): per-group order statistics
+    # now go through operators.planner.auto_group_quantile — below the
+    # 1M-row gate the original F.percentile aggregate (live at every
+    # driver SF; the unconditional bucketed rewrite LOST its A/B
+    # locally), above it operators.rank.group_quantile_cont's bucketed
+    # two-pass order statistics (live at sf1+, where the per-value
+    # single-task-per-group shuffle must go). Values bit-identical on
+    # both branches (parity-pinned in tests/test_plans.py; sf0.001 +
+    # sf0.01 oracle-exact; bucketed branch hash-checked at sf1; the
+    # gate reads its row count from parquet footer metadata, no count
+    # job), physical plan changed, re-verify:
+    "q_winsorized_stats", "q_mad_outliers",
 })
 
 

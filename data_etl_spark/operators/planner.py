@@ -34,7 +34,7 @@ from .ivf import assign_cells
 from .joins import salted_join
 from .knn import exact_knn
 
-__all__ = ["auto_dedup", "auto_join", "auto_knn", "auto_rank"]
+__all__ = ["auto_dedup", "auto_group_quantile", "auto_join", "auto_knn", "auto_rank"]
 
 
 def auto_rank(
@@ -329,3 +329,67 @@ def auto_join(
     if strategy_name is not None:
         out = out.withColumn(strategy_name, F.lit(strategy))
     return out
+
+
+def auto_group_quantile(
+    df: DataFrame,
+    group_cols,
+    value_col,
+    ps: dict,
+    *,
+    n_rows: int | None = None,
+    threshold: int = 1_000_000,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group exact interpolated quantiles; physical strategy chosen
+    by input size (the order-statistics member of the auto_rank /
+    auto_knn / auto_dedup gate family — r13 optimization round).
+
+    - input <= ``threshold`` rows: plain ``F.percentile``. Its
+      buffering typed aggregate ships every value of a group to that
+      group's single reduce task and sorts there — *optimal* below the
+      gate (one exchange, no bucket bookkeeping; the A/Bs in
+      q_winsorized_stats / q_mad_outliers measured the bucketed pass
+      ~1.2 s slower per selection at sf0.1, where the largest group is
+      ~200k values);
+    - input  > ``threshold`` rows: the bucketed two-pass order
+      statistics (:func:`~.rank.group_quantile_cont`) — per-value
+      shuffle replaced by a map-side-combined (group, bucket) count
+      (KBs) plus a partitioned sort of only the target buckets
+      (~1/n_buckets of the rows). At sf1 the two are at wall-time
+      parity locally (7.75 s vs 7.64 s winsorized end-to-end) while
+      shuffle drops ~100x; past single-task scale only this branch
+      survives.
+
+    Both branches compute IDENTICAL values — group_quantile_cont
+    reproduces ``Percentile.getPercentile``'s double interpolation
+    bit-for-bit (pinned in tests/test_plans.py::
+    test_group_quantile_cont_parity) — so the gate changes only the
+    physical plan and a registered query over it stays hash-checkable
+    with a plain ``quantile_cont`` oracle. Caveat shared with the
+    bucketed operator: a group whose values are all NULL yields no
+    output row on the bucketed branch but a NULL-quantile row from
+    ``F.percentile``; callers must guarantee >= 1 non-null value per
+    group (ours are TPC-H measures, never NULL).
+
+    ``n_rows``: pass a known row count to skip the gate's count job —
+    q_mad_outliers gates its SECOND selection (over a broadcast-join
+    output whose row count equals the base table's by construction)
+    on the base count, so the gate never executes the join subtree
+    early. Threshold 1,000,000 = the auto_rank task-memory bound: the
+    gate proves with a count that every group's buffered sort fits a
+    task (~1M ~8-byte values plus aggregate overhead); beyond that a
+    single-task per-group sort risks spill on a real cluster
+    regardless of what local timing says.
+    """
+    from .rank import group_quantile_cont
+
+    n = df.count() if n_rows is None else n_rows
+    if n <= threshold:
+        return df.groupBy(*group_cols).agg(
+            *[
+                F.percentile(value_col, F.lit(p)).alias(name)
+                for name, p in ps.items()
+            ]
+        )
+    return group_quantile_cont(df, group_cols, value_col, ps, n_buckets=n_buckets)

@@ -2262,15 +2262,35 @@ GROUP BY l.l_returnflag
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (p05/p95-clamped) group means with clamp counts.
 
-    Two passes over one scan: the bounds aggregate is tiny (one row per
-    group) and broadcast back onto the fact table; sums go through
-    DECIMAL so the means are order-independent exact before the single
-    final double division.
+    The bounds aggregate is tiny (one row per group) and broadcast back
+    onto the fact table; sums go through DECIMAL so the means are
+    order-independent exact before the single final double division.
+
+    r13 (guide §2.5): the bounds go through
+    ``operators.planner.auto_group_quantile`` — below the 1M-row gate
+    (sf0.1 = 600k rows) the plain ``F.percentile`` aggregate, which a
+    head-to-head A/B measured FASTER locally (interleaved min-of-5
+    noop-sink at sf0.1: percentile 2.77 s vs bucketed 3.98 s — the
+    bucketed cascade's ~15 exchange-separated stages cost more than a
+    3-task sort of 200k values); above it the bucketed two-pass order
+    statistics (``operators.rank.group_quantile_cont``), which at sf1
+    is at wall parity (7.64 s vs 7.75 s) while cutting the per-value
+    shuffle (108 MB at sf1, all of l_extendedprice to one task per
+    l_returnflag group) to KB-scale counts — the only branch that
+    survives past single-task scale. Values are bit-identical on both
+    branches (parity pinned in tests/test_plans.py), so the gate moves
+    no hash-checked result.
     """
+    from ..operators.planner import auto_group_quantile
+    from ..sources import table_row_count
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    bounds = auto_group_quantile(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        {"lo": 0.05, "hi": 0.95},
+        n_rows=table_row_count(sf_dir, "lineitem"),
     )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     clamped = F.greatest("lo", F.least("hi", F.col("l_extendedprice")))
@@ -2534,14 +2554,43 @@ GROUP BY l.l_returnflag, m.med, d.mad
 
 @register("q_mad_outliers", oracle=_MAD_ORACLE, tags=("phase1", "agg", "robust"))
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group MAD outlier counts (3-MAD rule, exact medians)."""
+    """Per-group MAD outlier counts (3-MAD rule, exact medians).
+
+    r13 (guide §2.5): both exact medians go through
+    ``operators.planner.auto_group_quantile``. The committed LOSING
+    A/B that motivated the gate instead of an unconditional bucketed
+    rewrite (guide §1.1's "measure first"): MAD chains TWO selections
+    (median, then median of |x − med|), so the bucketed
+    ``group_quantile_cont`` form pays two full count/target/read
+    cascades END-TO-END SERIAL (~14 exchange-separated stages on the
+    critical path) and measured 4.80 s vs 3.14 s shipped-percentile at
+    sf0.1 warm min-of-5 (6.93 s before the operator persisted its tiny
+    result) — while ``F.percentile``'s single-task sort of 200k values
+    per group costs ~0.7 s per pass locally. Below the 1M-row gate the
+    percentile branch is live (this sf0.1 shape, unchanged); above it
+    the bucketed branch takes over before a group's values outgrow one
+    task. Both gates read the base row count from parquet footer
+    metadata (``sources.table_row_count`` — a driver-side catalog
+    stat, no count job); the SECOND selection runs over a
+    broadcast-join output whose row count equals the base table's by
+    construction, so ``n_rows=n`` also never executes the join
+    subtree early. Values bit-identical on both branches (parity
+    pinned in tests/test_plans.py::test_group_quantile_cont_parity)."""
+    from ..operators.planner import auto_group_quantile
+    from ..sources import table_row_count
+
     li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    n = table_row_count(sf_dir, "lineitem")
+    med = auto_group_quantile(
+        li, ["l_returnflag"], F.col("l_extendedprice"), {"med": 0.5}, n_rows=n
     )
     with_med = li.join(F.broadcast(med), "l_returnflag")
-    mad = with_med.groupBy("l_returnflag").agg(
-        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias("mad")
+    mad = auto_group_quantile(
+        with_med,
+        ["l_returnflag"],
+        F.abs(F.col("l_extendedprice") - F.col("med")),
+        {"mad": 0.5},
+        n_rows=n,
     )
     j = with_med.join(F.broadcast(mad), "l_returnflag")
     out = F.abs(F.col("l_extendedprice") - F.col("med")) > 3 * F.col("mad")

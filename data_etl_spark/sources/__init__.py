@@ -1,3 +1,15 @@
-from .tables import TABLE_NAMES, load_table, parallelize_narrow_scan, register_views
+from .tables import (
+    TABLE_NAMES,
+    load_table,
+    parallelize_narrow_scan,
+    register_views,
+    table_row_count,
+)
 
-__all__ = ["TABLE_NAMES", "load_table", "parallelize_narrow_scan", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "parallelize_narrow_scan",
+    "register_views",
+    "table_row_count",
+]

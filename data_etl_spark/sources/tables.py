@@ -82,6 +82,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a test table from parquet FOOTER metadata —
+    a driver-side stat read (milliseconds, no Spark job).
+
+    The auto_* cost gates need a row count before choosing a physical
+    strategy; ``df.count()`` answers it with a full (column-pruned)
+    scan job per bench run (~0.33 s warm at sf0.1, ~3.5 s cold). For
+    the plain parquet-backed base tables the footer already carries the
+    exact count, and at 100 TB this is precisely the statistic a
+    catalog serves without any scan — the loader docstring's "behind a
+    catalog" seam. Only valid for tables loaded 1:1 from parquet
+    (every TABLE_NAMES entry; the events ts normalization is
+    row-preserving); a gate over a DERIVED frame must either know its
+    count by construction (q_mad_outliers' broadcast-join output) or
+    fall back to ``df.count()``.
+    """
+    import pyarrow.parquet as pq
+
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def parallelize_narrow_scan(df: DataFrame, key: str) -> DataFrame:
     """Shuffle a scan out to full parallelism ONLY when it arrives with
     far fewer partitions than the cluster has cores.

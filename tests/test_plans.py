@@ -740,3 +740,89 @@ def test_hash_sample_is_single_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_hash_sample")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_group_quantile_cont_parity(spark, sf_dir):
+    """operators.rank.group_quantile_cont must reproduce F.percentile
+    (= DuckDB quantile_cont, the oracle-proven pair) BIT-FOR-BIT — it
+    replaced the buffering percentile aggregate in q_winsorized_stats
+    (r13; q_mad_outliers keeps F.percentile per its committed losing
+    A/B but would gate onto this operator past single-task scale), so
+    any drift here is a silent oracle break.
+    Covers interpolated and exact-hit positions, a derived-expression
+    value (the MAD inner percentile), and the single-group case."""
+    from pyspark.sql import functions as F
+
+    from data_etl_spark.cache import release_tracked
+    from data_etl_spark.operators.rank import group_quantile_cont
+    from data_etl_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = {"p05": 0.05, "p25": 0.25, "med": 0.5, "p95": 0.95}
+    ref = (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(k)
+                for k, p in ps.items()
+            ]
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    new = (
+        group_quantile_cont(li, ["l_returnflag"], F.col("l_extendedprice"), ps)
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    assert (ref[list(ps)].values == new[list(ps)].values).all()
+
+    # derived double expression + tiny bucket counts (forces several
+    # needed ranks into the same bucket): the q_mad_outliers inner shape
+    med = group_quantile_cont(
+        li, ["l_returnflag"], F.col("l_extendedprice"), {"med": 0.5}
+    )
+    wm = li.join(F.broadcast(med), "l_returnflag")
+    dev = F.abs(F.col("l_extendedprice") - F.col("med"))
+    ref2 = (
+        wm.groupBy("l_returnflag")
+        .agg(F.percentile(dev, F.lit(0.5)).alias("mad"))
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    new2 = (
+        group_quantile_cont(wm, ["l_returnflag"], dev, {"mad": 0.5}, n_buckets=4)
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    assert (ref2["mad"].values == new2["mad"].values).all()
+
+    # the production entry point: auto_group_quantile must hand back
+    # the identical values from BOTH gate branches (threshold forced
+    # each way), and n_rows must skip the count job without changing
+    # the choice
+    from data_etl_spark.operators.planner import auto_group_quantile
+
+    lo = (
+        auto_group_quantile(
+            li, ["l_returnflag"], F.col("l_extendedprice"), ps, threshold=10**12
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    hi = (
+        auto_group_quantile(
+            li, ["l_returnflag"], F.col("l_extendedprice"), ps, n_rows=10**9, threshold=0
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    assert (ref[list(ps)].values == lo[list(ps)].values).all()
+    assert (ref[list(ps)].values == hi[list(ps)].values).all()
+    release_tracked()
