@@ -19,7 +19,7 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "scripts"))
 
-from _loadgate import wait_quiet  # noqa: E402
+from _loadgate import wait_fault_probed, wait_quiet  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
 
@@ -106,6 +106,15 @@ def main() -> None:
     # cores; if it never comes, stamp load_waiver so loaded runs are
     # machine-distinguishable.
     loadavg_go, load_waiver = wait_quiet()
+    # Page-fault gate (VERDICT r13 #1): loadavg only sees *in-guest*
+    # contention, but this host's first-touch fault service rate swings
+    # 5-10x with host co-tenancy (BENCH_r13 recorded 111 s at loadavg 6.4
+    # where the same tree measured 63.8 s in a probed-good window). Wait
+    # (bounded) for a healthy fault-service window the same way; if it
+    # never comes, stamp stall_waiver so degraded runs are
+    # machine-distinguishable. Additions only: same timed region, same
+    # query set, same JSON contract plus two fields.
+    fault_probe_go, stall_waiver = wait_fault_probed()
     spark = build_session("data-etl-spark-bench")
     # Warm the JVM (JIT, codegen cache, shuffle machinery) with one pass of
     # the headline set at the smallest SF, so timed runs measure steady-state
@@ -167,6 +176,12 @@ def main() -> None:
         "loadavg_go": round(loadavg_go, 2),
         "load_waiver": load_waiver,
         "loadavg_end": list(os.getloadavg()),
+        # first-touch page-fault service rate (GB/s) when the fault gate
+        # released the run; stall_waiver=true means no healthy window
+        # appeared within the bounded wait and wall numbers are
+        # stall-suspect (see scripts/_loadgate.py::fault_probe)
+        "fault_probe_go": round(fault_probe_go, 2),
+        "stall_waiver": stall_waiver,
     }
     if errors:
         out["errors"] = errors

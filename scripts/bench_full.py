@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
-from _loadgate import wait_quiet  # noqa: E402
+from _loadgate import wait_fault_probed, wait_quiet  # noqa: E402
 from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +60,8 @@ def main() -> None:
     repo = os.path.join(os.path.dirname(__file__), "..")
     prior = _prior_full(repo, round_no)
     loadavg_go, load_waiver = wait_quiet()
+    # page-fault gate (VERDICT r13 #1, scripts/_loadgate.py::fault_probe)
+    fault_probe_go, stall_waiver = wait_fault_probed()
     spark = build_session("data-etl-spark-bench-full")
     names = sorted(REGISTRY)
 
@@ -130,6 +132,8 @@ def main() -> None:
         # wall times 1.1-2x (stragglers on tiny queries can hit 10x)
         "loadavg_go": round(loadavg_go, 2),
         "load_waiver": load_waiver,
+        "fault_probe_go": round(fault_probe_go, 2),
+        "stall_waiver": stall_waiver,
         "loadavg_end": list(os.getloadavg()),
     }
     if errors:

@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 from data_etl_spark.cache import release_tracked  # noqa: E402
 from data_etl_spark.plans import REGISTRY  # noqa: E402
 from data_etl_spark.session import build_session  # noqa: E402
-from _loadgate import wait_quiet  # noqa: E402
+from _loadgate import wait_fault_probed, wait_quiet  # noqa: E402
 from _stage_metrics import StageMetricsTracker  # noqa: E402
 
 SF1_DIR = os.environ.get("SF1_DIR", "/tmp/sf1")
@@ -180,6 +180,8 @@ def main() -> None:
     base_q = base.get("queries") or base.get("queries_sec") or {}
 
     loadavg_go, load_waiver = wait_quiet()
+    # page-fault gate (VERDICT r13 #1, scripts/_loadgate.py::fault_probe)
+    fault_probe_go, stall_waiver = wait_fault_probed()
     spark = build_session("data-etl-spark-bench-sf1-full")
     names = sorted(REGISTRY)
 
@@ -336,6 +338,8 @@ def main() -> None:
         # the box never quieted within the bounded wait
         "loadavg_go": round(loadavg_go, 2),
         "load_waiver": load_waiver,
+        "fault_probe_go": round(fault_probe_go, 2),
+        "stall_waiver": stall_waiver,
         "loadavg_end": list(os.getloadavg()),
     }
     path = os.path.join(repo, f"BENCH_SF1_FULL_r{round_no}.json")
