@@ -467,20 +467,32 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", "sg.s0", "sg.s1", V.l2_norm(F.col("emb")).alias("nrm"))
     )
 
-    def pairs_on(key: str) -> DataFrame:
+    def pairs_on(key: str, exclude_key: str | None = None) -> DataFrame:
         a = sig.select(
             F.col(key).alias("k"),
             F.col("vec_id").alias("vec1"),
             F.col("emb").alias("emb1"),
             F.col("nrm").alias("n1"),
+            *([F.col(exclude_key).alias("x1")] if exclude_key else []),
         )
         b = sig.select(
             F.col(key).alias("k"),
             F.col("vec_id").alias("vec2"),
             F.col("emb").alias("emb2"),
             F.col("nrm").alias("n2"),
+            *([F.col(exclude_key).alias("x2")] if exclude_key else []),
         )
         j = a.join(b, "k").filter(F.col("vec1") < F.col("vec2"))
+        if exclude_key is not None:
+            # Drop pairs ALREADY emitted by the `exclude_key` band — a
+            # pair is in that band's leg iff its signatures there are
+            # equal AND non-NULL (equi-join semantics), so keep iff
+            # (x1 != x2) OR either is NULL. This makes the band union
+            # duplicate-free BY CONSTRUCTION: the cross-band
+            # dropDuplicates exchange and the double-scoring of
+            # both-band collisions disappear (guide §2.4), at the cost
+            # of one 8-byte column riding the band-bucket join.
+            j = j.filter(F.coalesce(F.col("x1") != F.col("x2"), F.lit(True)))
         # Score + threshold INSIDE the band, before the OR-union: the
         # cross-band dedup shuffle then carries only (vec1, vec2, cos)
         # for true near-dups instead of 64-double arrays for every
@@ -492,9 +504,12 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cos_sim") >= F.lit(_RP_TAU))
         )
 
-    # cos_sim is identical on both legs (same deterministic expression
-    # over the same embeddings), so the keep-any dedup is deterministic.
-    return pairs_on("s0").unionByName(pairs_on("s1")).dropDuplicates(["vec1", "vec2"])
+    # A pair collides in both bands iff BOTH signatures match, so
+    # excluding s0-matches from the s1 leg yields exactly the old
+    # dropDuplicates(["vec1","vec2"]) set (cos_sim was identical on both
+    # legs, so keep-any == keep-either): same rows, one fewer
+    # corpus-pair-scale exchange, no duplicate scoring.
+    return pairs_on("s0").unionByName(pairs_on("s1", exclude_key="s0"))
 
 
 # ---------------------------------------------------------------------------

@@ -441,8 +441,77 @@ def scan_opencost_sweep(spark, sf_dir):
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
 
 
+def rp_dedup_ab(spark, sf_dir):
+    """r14 q_rp_lsh_pairs A/B: cross-band dropDuplicates exchange (OLD)
+    vs s1-leg band-exclusion filter (NEW, shipped) — the union is
+    duplicate-free by construction because a pair is double-emitted iff
+    BOTH band signatures match. Interleaved min-of-N in one JVM (the
+    only valid timing instrument on this host); also runs on
+    q_embed_dedup_clusters-equivalent CC input volume via the pair
+    count. NEW is the registry shape; OLD is reconstructed inline."""
+    from pyspark.sql import DataFrame
+    from data_etl_spark.functions import vectors as V
+    from data_etl_spark.plans.similarity import (
+        _RP_TAU,
+        _band_sigs,
+        _embeddings,
+    )
+    from data_etl_spark.plans import REGISTRY
+
+    def old_pairs() -> DataFrame:
+        e = _embeddings(spark, sf_dir).select(
+            "vec_id", V.as_double(F.col("embedding")).alias("emb")
+        )
+        sig = tracked_persist(
+            e.withColumn("sg", _band_sigs("emb")).select(
+                "vec_id", "emb", "sg.s0", "sg.s1", V.l2_norm(F.col("emb")).alias("nrm")
+            )
+        )
+
+        def pairs_on(key):
+            a = sig.select(
+                F.col(key).alias("k"), F.col("vec_id").alias("vec1"),
+                F.col("emb").alias("emb1"), F.col("nrm").alias("n1"),
+            )
+            b = sig.select(
+                F.col(key).alias("k"), F.col("vec_id").alias("vec2"),
+                F.col("emb").alias("emb2"), F.col("nrm").alias("n2"),
+            )
+            j = a.join(b, "k").filter(F.col("vec1") < F.col("vec2"))
+            cos = V.seq_cosine_pre(
+                F.col("emb1"), F.col("emb2"), F.col("n1"), F.col("n2")
+            )
+            return j.select("vec1", "vec2", cos.alias("cos_sim")).filter(
+                F.col("cos_sim") >= F.lit(_RP_TAU)
+            )
+
+        return (
+            pairs_on("s0").unionByName(pairs_on("s1"))
+            .dropDuplicates(["vec1", "vec2"])
+        )
+
+    def timed(fn, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            release_tracked()
+        return best
+
+    # warmup both shapes
+    timed(lambda: REGISTRY["q_rp_lsh_pairs"].fn(spark, "/root/testdata/sf0.001"), 1)
+    for rep in range(3):  # interleave old/new per repetition
+        o = timed(old_pairs)
+        n = timed(lambda: REGISTRY["q_rp_lsh_pairs"].fn(spark, sf_dir))
+        print(f"rep{rep} q_rp_lsh_pairs old={o:.2f}s new={n:.2f}s", flush=True)
+        oc = timed(lambda: REGISTRY["q_embed_dedup_clusters"].fn(spark, sf_dir), 3)
+        print(f"rep{rep} q_embed_dedup_clusters (new pairs subtree)={oc:.2f}s", flush=True)
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
+    "rp-dedup-ab": rp_dedup_ab,
     "tfidf-stages-ab": tfidf_stages_ab,
     "scan-opencost-sweep": scan_opencost_sweep,
     "setsim-verify-ab": setsim_verify_ab,
