@@ -11,6 +11,16 @@ import os
 # any test module.
 os.environ.setdefault("SPARK_GRAFT_WINDOW_READONLY", "1")
 
+# Test inputs are 100-2000 rows, so per-stage cost is task-scheduling
+# overhead, not compute: local[8]/8 shuffle partitions measured 16%
+# faster than local[32]/32 on the 222-query oracle sweep (r14, part of
+# getting the suite under the driver's time budget — VERDICT r13 #2).
+# Query RESULTS are proven invariant to this setting (the committed
+# config-sweep ritual runs the registry at shuffle.partitions 7 and 64,
+# scripts/config_sweep.py), so the oracle comparisons prove the same
+# contracts; an explicit SPARK_GRAFT_CPUS in the environment still wins.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 import duckdb
 import pytest
 

@@ -1317,8 +1317,14 @@ def chaostime_dir(tmp_path_factory):
 # time-kernel victims: epoch-aligned bucketing (tumbling/sliding/
 # hourly/rollup), gap-based sessions at exact boundaries, ordered-
 # window change detection with zero-length validity, the sweep line
-# under inverted intervals, the sequence() spine across a 585-year
-# span, and LOCF/as-of ordering at identical timestamps
+# under inverted intervals, and LOCF/as-of ordering at identical
+# timestamps. The two sequence()-spine queries (q_gap_fill,
+# q_locf_backfill) are pinned on a dedicated NARROW-SPAN corpus below:
+# on this corpus their hourly spine would stretch across the 585-year
+# pandas-ns range (~5.1M buckets x event types in BOTH engines —
+# measured 35 min for ONE test on a degraded host, the exact point
+# where the driver's r13 pytest leg timed out), and the span exercises
+# spine SIZE, not any correctness edge the narrow corpus lacks.
 _CHAOSTIME_PINNED = [
     "q_tumbling_window",
     "q_sliding_window",
@@ -1326,8 +1332,6 @@ _CHAOSTIME_PINNED = [
     "q_session_dynamic",
     "q_scd2_intervals",
     "q_interval_sweep",
-    "q_gap_fill",
-    "q_locf_backfill",
     "q_hourly_profile",
     "q_rollup_hierarchy",
     "q_markov_transitions",
@@ -1344,3 +1348,79 @@ _CHAOSTIME_PINNED = [
 @pytest.mark.parametrize("name", _CHAOSTIME_PINNED)
 def test_chaostime_matches_oracle(spark, chaostime_dir, name):
     _assert_matches(spark, chaostime_dir, name)
+
+
+def _spinetime_events(rng: random.Random, n: int = 300):
+    """Adversarial events for the sequence()-spine queries, with the
+    hourly span capped at ~3 weeks so the spine stays test-sized: keeps
+    every LOCF/gap-fill correctness edge of the chaostime corpus —
+    negative-epoch hour truncation (truncating division vs floor),
+    hour-boundary ties at +/-1 us, NULL timestamps, multi-hour holes
+    for the carry, duplicate observations in one bucket — and drops
+    only the 585-year spine WIDTH, which tests output volume, not a
+    kernel decision."""
+    rows = []
+    eid = 0
+
+    def emit(ts, et=None, value=None):
+        nonlocal eid
+        rows.append(
+            (
+                eid,
+                ts,
+                rng.randint(0, 12),
+                rng.choice(_EVENT_TYPES) if et is None else et,
+                round(rng.uniform(0.01, 500.0), 2) if value is None else value,
+                json.dumps({"k": rng.randint(0, 99)}),
+            )
+        )
+        eid += 1
+
+    hour_us = 3_600_000_000
+    # pre-epoch cluster: hours -200..-190 with sub-hour offsets (hour
+    # truncation below zero) and exact-boundary ties +/- 1 us
+    for h in range(-200, -190):
+        emit(h * hour_us + rng.choice((0, 1, 1_799_999_999, 3_599_999_999)))
+    for d in (-1, 0, 1):
+        emit(-100 * hour_us + d)
+        emit(d)  # epoch-zero boundary itself
+    # duplicate observations inside one bucket (sum + observed flag)
+    for _ in range(6):
+        emit(37 * hour_us + rng.randrange(0, hour_us))
+    # multi-day holes: isolated observations with nothing in between,
+    # so the carry crosses long runs of unobserved spine buckets
+    for h in (150, 151, 300, 460):
+        emit(h * hour_us + rng.randrange(0, hour_us))
+    # NULL timestamps through the spine bounds aggregate
+    for _ in range(6):
+        emit(None)
+    # scattered background across the ~3-week span (some value=NULL so
+    # carried_cents coalesce paths fire)
+    while len(rows) < n:
+        emit(
+            rng.randrange(-210 * hour_us, 470 * hour_us),
+            value=None if rng.random() < 0.1 else round(rng.uniform(0.01, 500.0), 2),
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def spinetime_dir(tmp_path_factory):
+    rng = random.Random(777)
+    d = str(tmp_path_factory.mktemp("fuzz_spinetime"))
+    _write_corpus_tables(
+        d,
+        _gen_documents(rng),
+        _spinetime_events(rng),
+        _smallgroups_embeddings(rng),
+    )
+    _write_relational(d, rng)
+    return d
+
+
+_SPINETIME_PINNED = ["q_gap_fill", "q_locf_backfill"]
+
+
+@pytest.mark.parametrize("name", _SPINETIME_PINNED)
+def test_spinetime_matches_oracle(spark, spinetime_dir, name):
+    _assert_matches(spark, spinetime_dir, name)
