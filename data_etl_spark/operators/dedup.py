@@ -306,16 +306,50 @@ def shared_seed_pairs(
     """
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    combos = signatures.select(
-        key, F.col("seed").alias("s0"), F.col("minhash").alias("m0")
+    # Combo enumeration is MAP-SIDE over the per-doc signature array
+    # (r14; guide §2.4): the previous (m-1)-fold ascending-seed
+    # self-join re-shuffled the signature table once per fold and
+    # re-derived the combos inside every consumer plan — one
+    # groupBy(key) exchange + nested array transforms produce the same
+    # C(k, m) ascending-seed combinations per doc (seeds are distinct
+    # integers, so sort_array(struct(seed, minhash)) IS the s0<s1<...
+    # enumeration; parity: combo sets and edge sets identical at
+    # sf0.001/sf0.1, scripts/profile_plan.py census-stages-ab, and the
+    # m=3 property pin in tests/test_planner.py). Measured sf0.1
+    # edges-subtree 1.08-1.10 s -> 0.41 s warm (2.6x, interleaved
+    # min-of-3); at 100 TB: m corpus-scale exchanges -> 1.
+
+    def _combos(arr, level: int, m: int):
+        """array of structs s{level}..,m{level}.. — all ascending m-touples
+        drawn from the (seed-sorted) struct array ``arr``."""
+        fields = lambda x, lv: [  # noqa: E731
+            x["seed"].alias(f"s{lv}"), x["minhash"].alias(f"m{lv}"),
+        ]
+        if m == 1:
+            return F.transform(arr, lambda x: F.struct(*fields(x, level)))
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    _combos(F.slice(arr, i + 2, F.size(arr)), level + 1, m - 1),
+                    lambda y: F.struct(
+                        *fields(x, level),
+                        *[
+                            y[f]
+                            for j in range(level + 1, level + m)
+                            for f in (f"s{j}", f"m{j}")
+                        ],
+                    ),
+                ),
+            )
+        )
+
+    grouped = signatures.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("__sm")
     )
-    for i in range(1, min_shared):
-        nxt = signatures.select(
-            key, F.col("seed").alias(f"s{i}"), F.col("minhash").alias(f"m{i}")
-        )
-        combos = combos.join(nxt, key).filter(
-            F.col(f"s{i - 1}") < F.col(f"s{i}")
-        )
+    combos = grouped.select(
+        key, F.explode(_combos(F.col("__sm"), 0, min_shared)).alias("__c")
+    ).select(key, "__c.*")
     bucket = [c for i in range(min_shared) for c in (f"s{i}", f"m{i}")]
     a = combos.select(F.col(key).alias("doc1"), *bucket)
     b = combos.select(F.col(key).alias("doc2"), *bucket)

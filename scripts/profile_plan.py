@@ -509,9 +509,101 @@ def rp_dedup_ab(spark, sf_dir):
         print(f"rep{rep} q_embed_dedup_clusters (new pairs subtree)={oc:.2f}s", flush=True)
 
 
+def census_stages_ab(spark, sf_dir):
+    """r14 q_dup_triangles/q_pagerank_dupgraph census decomposition
+    (VERDICT r13 #6): stage the >=2-shared-seed candidate census —
+    signature build, combo build, bucket self-join, triangle census —
+    and A/B the combo build: (A, shipped) the (m-1)-fold ascending-seed
+    self-join of the signature table vs (B) one groupBy(doc).
+    collect_list + map-side combo explode via nested array transforms
+    (one exchange instead of two join legs; seeds are distinct ints so
+    sort_array(struct(seed, minhash)) reproduces the s0<s1 enumeration
+    exactly). Interleaved min-of-3 per rep, one JVM."""
+    from data_etl_spark.plans.dedup import _GRAPH_MIN_SHARED, _triangle_census
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = tracked_persist(DD.minhash_signatures(DD.word_shingles(d)))
+    _stage("sig build+persist", sig.count)
+
+    def combos_join():
+        return (
+            sig.select(KEY, F.col("seed").alias("s0"), F.col("minhash").alias("m0"))
+            .join(
+                sig.select(KEY, F.col("seed").alias("s1"), F.col("minhash").alias("m1")),
+                KEY,
+            )
+            .filter(F.col("s0") < F.col("s1"))
+        )
+
+    def combos_arr():
+        g = sig.groupBy(KEY).agg(
+            F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm")
+        )
+        pair = F.explode(
+            F.flatten(
+                F.transform(
+                    "sm",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("sm"), i + 2, F.size("sm")),
+                        lambda y: F.struct(
+                            x["seed"].alias("s0"),
+                            x["minhash"].alias("m0"),
+                            y["seed"].alias("s1"),
+                            y["minhash"].alias("m1"),
+                        ),
+                    ),
+                )
+            )
+        )
+        return g.select(KEY, pair.alias("p")).select(KEY, "p.*")
+
+    def edges_of(combos):
+        bucket = ["s0", "m0", "s1", "m1"]
+        a = combos.select(F.col(KEY).alias("doc1"), *bucket)
+        b = combos.select(F.col(KEY).alias("doc2"), *bucket)
+        return (
+            a.join(b, bucket)
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+            .distinct()
+        )
+
+    def timed(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # parity first: identical combo sets and edge sets
+    n_a = combos_join().count()
+    n_b = combos_arr().count()
+    ea = edges_of(combos_join())
+    eb = edges_of(combos_arr())
+    diff = ea.exceptAll(eb).count() + eb.exceptAll(ea).count()
+    print(f"parity: combos A={n_a} B={n_b}, edge symdiff={diff}", flush=True)
+
+    for rep in range(3):
+        ca = timed(combos_join)
+        cb = timed(combos_arr)
+        print(f"rep{rep} combos join={ca:.2f}s arr={cb:.2f}s", flush=True)
+        fa = timed(lambda: edges_of(combos_join()))
+        fb = timed(lambda: edges_of(combos_arr()))
+        print(f"rep{rep} edges  join={fa:.2f}s arr={fb:.2f}s", flush=True)
+    e = tracked_persist(
+        edges_of(combos_join()).select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+    )
+    _stage("edges persist", e.count)
+    t0 = time.perf_counter()
+    _triangle_census(e).write.format("noop").mode("overwrite").save()
+    print(f"triangle census over persisted edges: {time.perf_counter() - t0:.2f}s", flush=True)
+
+
 EXPERIMENTS = {
     "setsim-stages": setsim_stages,
     "rp-dedup-ab": rp_dedup_ab,
+    "census-stages-ab": census_stages_ab,
     "tfidf-stages-ab": tfidf_stages_ab,
     "scan-opencost-sweep": scan_opencost_sweep,
     "setsim-verify-ab": setsim_verify_ab,
