@@ -27,6 +27,17 @@ def build_session(app_name: str = "data-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE advisory partition size 64m -> 256m (guide §2.2/§9):
+        # fewer, larger post-shuffle partitions — at 100 TB this cuts
+        # the M x R shuffle-block count (the quadratic small-block
+        # failure mode); locally it was a r13 wash under host drift but
+        # r14 re-measured it behind the page-fault gate with TWO
+        # independent in-process per-query passes (ADVISORY_AB_r14.json
+        # / _pass2.json): medians 0.960/0.976, totals -3.3%/-3.4%,
+        # consistent-win:consistent-loss 24:8. Result-safe (AQE
+        # coalescing only regroups partitions; config invariance pinned
+        # by scripts/config_sweep.py).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -76,6 +87,8 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # see build_session: reproduced r14 A/B win, scale-safe (guide §2.2)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     # rejects; read as int64 nanos and convert in sources.tables.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
