@@ -462,6 +462,24 @@ _TOUCHED_BY_ROUND[13] = frozenset({
     # job), physical plan changed, re-verify:
     "q_winsorized_stats", "q_mad_outliers",
 })
+_TOUCHED_BY_ROUND[14] = frozenset({
+    # r14 (optimization round 2, guide §2.4): the RP-LSH band union is
+    # duplicate-free by construction (s1 leg excludes s0-matches), so
+    # the cross-band dropDuplicates exchange and the double-scoring of
+    # both-band collisions are gone; pair set identical (sf0.001 +
+    # sf0.01 oracle-exact), physical plan changed (6 -> 4 Exchanges),
+    # re-verify both the pair query and its CC consumer:
+    "q_rp_lsh_pairs", "q_embed_dedup_clusters",
+    # r14 (guide §2.4): shared_seed_pairs enumerates C(k, m) seed
+    # combinations MAP-SIDE from one groupBy(doc) collect_list exchange
+    # (nested array transforms) instead of an (m-1)-fold self-join of
+    # the signature table; combo/edge sets identical (parity in
+    # profile_plan.py census-stages-ab + the m=3 property pin), plans
+    # of both census consumers changed, re-verify (q_kcore_peel uses
+    # banded_candidate_pairs, not shared_seed_pairs — plan unchanged,
+    # though it was oracle-re-checked at sf0.01 anyway):
+    "q_dup_triangles", "q_pagerank_dupgraph",
+})
 
 
 def _current_touched() -> frozenset:

@@ -83,12 +83,33 @@ def main() -> None:
         release_tracked()
 
     n_ok = sum(1 for r in results.values() if r.get("hash_match") or r.get("ok"))
+    # provenance (ADVICE r13 #1): stamp the exact tree and wall-clock so
+    # "this sweep postdates change X" is verifiable from the artifact
+    # itself, plus whether the tree was dirty when recorded
+    import subprocess
+
+    try:
+        tree = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"], capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        )
+    except OSError:
+        tree, dirty = "?", None
     artifact = {
         "sf_dir": sf,
         "n": len(results),
         "n_pass": n_ok,
         "fails": fails,
         "wall_sec": round(time.time() - t_start, 1),
+        "tree": tree,
+        "tree_dirty": dirty,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "queries": results,
     }
     with open(out, "w") as f:
